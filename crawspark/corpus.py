@@ -1,0 +1,252 @@
+"""Deterministic synthetic corpus generator (FIXTURES.md §2).
+
+All randomness comes from ``random.Random(seed ^ doc_index)`` — every
+document is a pure function of (seed, index), so the same corpus can be
+regenerated inside Spark executors without shipping data.
+
+Two surfaces:
+- ``make_doc(seed, i)``            → one interleaved document (dict).
+- ``interleave_from_text(doc_id, text, lang)`` → deterministic HTML wrapping
+  of a driver-testdata ``documents`` row (FIXTURES.md §3 usage mapping) so
+  the sf* parquet tables can feed the extractor without external data.
+"""
+
+from __future__ import annotations
+
+import random
+import zlib
+
+# ---------------------------------------------------------------------------
+# Word material. >=30% stopwords per FIXTURES.md §2.
+# ---------------------------------------------------------------------------
+
+_EN_CONTENT = (
+    "market research signal growth archive pipeline cluster window policy "
+    "report story village garden winter message question animal history "
+    "science leader moment energy system related measure culture"
+).split()
+_EN_STOP = (
+    "the of and to in a is that for it with as was on are this by be at "
+    "from or an but not they which one all were we their been has will"
+).split()
+_FR_CONTENT = (
+    "marche recherche signal croissance archive grappe fenetre politique "
+    "rapport histoire village jardin hiver message question animal energie "
+    "science culture mesure moment monde temps ville projet savoir"
+).split()
+_FR_STOP = (
+    "le de la et les des en un une du dans est que pour qui sur pas plus "
+    "par il au avec ne se ce son sont mais nous vous leur cette"
+).split()
+
+_AD_TOKENS = ["sidebar", "advert", "sponsor", "footer-links", "nav-menu",
+              "share-toolbar", "comment-box", "newsletter-promo"]
+_GOOD_IMGS = ["photo_{i}.jpg", "figure-{i}.png", "chart{i}.jpeg"]
+_BAD_IMGS = ["twitter.jpg", "spacer.gif", "btn_submit.png", "pixel-1x1.png",
+             "logo_site.png"]
+_SITES = ["Example Times", "La Gazette", "Tech Journal", "Daily Signal"]
+_VIDEO_URLS = [
+    "https://www.youtube.com/embed/vid{i}",
+    "https://player.vimeo.com/video/9{i}",
+    "https://www.dailymotion.com/embed/video/x{i}",
+]
+
+
+def _sentence(rng: random.Random, lang: str, n_words: int) -> str:
+    content = _EN_CONTENT if lang == "en" else _FR_CONTENT
+    stop = _EN_STOP if lang == "en" else _FR_STOP
+    words = []
+    for _ in range(n_words):
+        pool = stop if rng.random() < 0.45 else content
+        words.append(rng.choice(pool))
+    s = " ".join(words)
+    return s[0].upper() + s[1:] + "."
+
+
+def _paragraph(rng: random.Random, lang: str, n_sent: int | None = None) -> str:
+    n = n_sent if n_sent is not None else rng.randint(2, 5)
+    return " ".join(_sentence(rng, lang, rng.randint(8, 18)) for _ in range(n))
+
+
+# ---------------------------------------------------------------------------
+# HTML grammar (FIXTURES.md §2 bullet 1)
+# ---------------------------------------------------------------------------
+
+def make_html(rng: random.Random, lang: str, title_words: str,
+              n_paras: int | None = None, with_media: bool = True) -> str:
+    site = rng.choice(_SITES)
+    splitter = rng.choice([" | ", " - ", " » "])
+    title = f"{title_words}{splitter}{site}"
+    k = n_paras if n_paras is not None else rng.randint(1, 12)
+    parts = [
+        "<!DOCTYPE html><html lang=%s><head>" % lang,
+        '<meta charset="utf-8">',
+        f"<title>{title}</title>",
+        f'<meta name="description" content="{_sentence(rng, lang, 10)}">',
+    ]
+    if rng.random() < 0.5:
+        parts.append('<base href="http://example.com/articles/">')
+    parts.append("</head><body>")
+    # nav boilerplate
+    parts.append('<div class="nav-menu"><ul>' + "".join(
+        f'<li><a href="/s{j}">{rng.choice(_EN_CONTENT)}</a></li>'
+        for j in range(rng.randint(3, 6))) + "</ul></div>")
+    parts.append('<div id="content" class="article-body">')
+    parts.append(f"<h1>{title_words}</h1>")
+    media_budget = rng.randint(0, 3) if with_media else 0
+    video_budget = 1 if (with_media and rng.random() < 0.35) else 0
+    for p in range(k):
+        parts.append(f"<p>{_paragraph(rng, lang)}</p>")
+        if rng.random() < 0.25:  # interspersed ad/sidebar div
+            parts.append(
+                f'<div class="{rng.choice(_AD_TOKENS)}">'
+                f"{_sentence(rng, lang, 6)} "
+                f'<a href="http://adserver.example/{p}">click</a></div>'
+            )
+        if media_budget and rng.random() < 0.4:
+            media_budget -= 1
+            if rng.random() < 0.4:
+                img = rng.choice(_BAD_IMGS)
+            else:
+                img = rng.choice(_GOOD_IMGS).format(i=p)
+            parts.append(
+                f'<img src="img/{img}" alt="{rng.choice(_EN_CONTENT)}" '
+                f'width="{rng.choice([32, 480, 640])}" height="360">'
+            )
+        if video_budget and rng.random() < 0.3:
+            video_budget -= 1
+            parts.append(
+                f'<iframe src="{rng.choice(_VIDEO_URLS).format(i=p)}" '
+                'width="560" height="315"></iframe>'
+            )
+    parts.append("</div>")
+    parts.append('<div class="footer-links">' + " ".join(
+        f'<a href="/f{j}">{rng.choice(_EN_CONTENT)}</a>'
+        for j in range(rng.randint(2, 5))) + "</div>")
+    parts.append("</body></html>")
+    return "".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# PDF generator (FIXTURES.md §2 bullet 2)
+# ---------------------------------------------------------------------------
+
+def make_pdf(rng: random.Random, lang: str, n_pages: int | None = None,
+             flate: bool | None = None) -> str:
+    """Minimal valid PDF as a latin-1-mapped string."""
+    n_pages = n_pages if n_pages is not None else rng.randint(1, 3)
+    flate = flate if flate is not None else (rng.random() < 0.5)
+    objs: list[bytes] = []
+    page_ids = [3 + 2 * p for p in range(n_pages)]
+    kids = " ".join(f"{pid} 0 R" for pid in page_ids)
+    objs.append(b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+    objs.append(
+        f"2 0 obj\n<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>\nendobj\n"
+        .encode("latin-1"))
+    for p, pid in enumerate(page_ids):
+        cid = pid + 1
+        lines = [_sentence(rng, lang, rng.randint(6, 12))
+                 for _ in range(rng.randint(2, 5))]
+        ops = ["BT /F1 12 Tf 72 720 Td"]
+        for j, line in enumerate(lines):
+            esc = line.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+            if j == 0:
+                ops.append(f"({esc}) Tj")
+            else:
+                ops.append(f"0 -14 TD ({esc}) Tj")
+        ops.append("ET")
+        stream = " ".join(ops).encode("latin-1")
+        filt = b""
+        if flate:
+            stream = zlib.compress(stream)
+            filt = b"/Filter /FlateDecode "
+        objs.append(
+            f"{pid} 0 obj\n<< /Type /Page /Parent 2 0 R /Contents {cid} 0 R "
+            ">>\nendobj\n".encode("latin-1"))
+        objs.append(
+            b"%d 0 obj\n<< %s/Length %d >>\nstream\n" % (cid, filt, len(stream))
+            + stream + b"\nendstream\nendobj\n")
+    body = b"%PDF-1.4\n" + b"".join(objs) + b"trailer\n<< /Root 1 0 R >>\n%%EOF\n"
+    return body.decode("latin-1")
+
+
+# ---------------------------------------------------------------------------
+# Document-level assembly
+# ---------------------------------------------------------------------------
+
+def make_doc(seed: int, i: int, heavy_tail: bool = False) -> dict:
+    """One interleaved document — pure function of (seed, i)."""
+    rng = random.Random(seed ^ i)
+    doc_id = f"d{seed}-{i:012d}"
+    lang = "fr" if rng.random() < 0.25 else "en"
+    roll = rng.random()
+    spans: list[dict] = []
+    if roll < 0.78:  # html doc
+        n_paras = rng.randint(1, 12)
+        if heavy_tail and rng.random() < 0.001:
+            n_paras = 400  # deliberate 100x-median heavy tail (FIXTURES.md §2)
+        html = make_html(rng, lang, _sentence(rng, lang, 6)[:-1], n_paras)
+        if rng.random() < 0.15:  # multi-chunk html
+            cut = len(html) // 2
+            spans.append({"kind": "html", "text": html[:cut],
+                          "media_ref": None, "offset": 0})
+            spans.append({"kind": "html", "text": html[cut:],
+                          "media_ref": None, "offset": 1})
+        else:
+            spans.append({"kind": "html", "text": html,
+                          "media_ref": None, "offset": 0})
+    elif roll < 0.90:  # pdf doc
+        spans.append({"kind": "pdf", "text": make_pdf(rng, lang),
+                      "media_ref": None, "offset": 0})
+    else:  # plain text doc
+        spans.append({"kind": "text", "text": _paragraph(rng, lang, 4),
+                      "media_ref": None, "offset": 0})
+    # optional interleaved media spans
+    for k in range(rng.randint(0, 2)):
+        ext = rng.choice(["jpg", "png", "mp4"])
+        spans.append({
+            "kind": "media",
+            "text": _sentence(rng, lang, 4) if rng.random() < 0.5 else "",
+            "media_ref": f"img://{doc_id}/{k}.{ext}",
+            "offset": len(spans),
+        })
+    return {"doc_id": doc_id, "spans": spans}
+
+
+def make_corpus(n_docs: int, seed: int = 42, heavy_tail: bool = False):
+    """Yield interleaved documents deterministically."""
+    for i in range(n_docs):
+        yield make_doc(seed, i, heavy_tail)
+
+
+def interleave_from_text(doc_id, text: str, lang: str) -> dict:
+    """Deterministic interleaved wrapping of a driver ``documents`` row
+    (FIXTURES.md §3): HTML synthesized as a pure function of the row."""
+    i = int(doc_id)
+    rng = random.Random(0xC0FFEE ^ i)
+    lang = lang if lang in ("en", "fr") else "en"
+    body_text = " ".join((text or "").split()) or _paragraph(rng, lang, 2)
+    words = body_text.split()
+    title_words = " ".join(words[:6]) if words else "untitled"
+    # Split the row text into paragraphs of ~40 words.
+    paras = [" ".join(words[j:j + 40]) for j in range(0, len(words), 40)] or [body_text]
+    site = _SITES[i % len(_SITES)]
+    parts = [
+        f'<html lang="{lang}"><head><meta charset="utf-8">',
+        f"<title>{title_words} | {site}</title></head><body>",
+        '<div class="nav-menu"><a href="/a">home</a> <a href="/b">news</a></div>',
+        '<div id="content" class="article-body">',
+    ]
+    for j, p in enumerate(paras):
+        parts.append(f"<p>{p}</p>")
+        if j == 0 and i % 3 == 0:
+            parts.append(f'<img src="http://example.com/img/photo_{i}.jpg" '
+                         f'alt="fig" width="640" height="360">')
+    parts.append("</div>")
+    parts.append('<div class="footer-links"><a href="/c">contact</a></div>')
+    parts.append("</body></html>")
+    return {
+        "doc_id": str(doc_id),
+        "spans": [{"kind": "html", "text": "".join(parts),
+                   "media_ref": None, "offset": 0}],
+    }

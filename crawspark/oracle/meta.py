@@ -1,0 +1,83 @@
+"""Title / meta / language / canonical extraction (pre-clean stage).
+
+Reference loci (reconstructed): [R: goose/extractors.py::get_title,
+::get_meta_description, ::get_meta_keywords, ::get_meta_lang,
+::get_canonical_link].
+"""
+
+from __future__ import annotations
+
+import re
+
+from crawspark.oracle.dom import Node
+from crawspark.oracle.stats import tokenize
+from crawspark.rules import STOPWORDS_EN, STOPWORDS_FR, TITLE_SPLITTERS
+
+_RE_LANG = re.compile(r"^[a-zA-Z]{2}")
+
+
+def extract_title(root: Node) -> str:
+    """<title> text with the site-name fragment stripped: split on the
+    first splitter present, keep the LONGEST fragment [R: get_title]."""
+    tnode = root.find_first("title")
+    if tnode is None:
+        h1 = root.find_first("h1")
+        return h1.text() if h1 is not None else ""
+    title = tnode.text()
+    for splitter in TITLE_SPLITTERS:
+        if splitter in title:
+            parts = [p.strip() for p in title.split(splitter)]
+            parts = [p for p in parts if p]
+            if parts:
+                title = max(parts, key=len)  # ties: first longest (max is stable)
+            break
+    return title.strip()
+
+
+def extract_meta(root: Node) -> dict[str, str]:
+    """description / keywords / lang / canonical / base_href / charset."""
+    out = {"description": "", "keywords": "", "lang": "", "canonical": "",
+           "base_href": "", "charset": ""}
+    html = root.find_first("html")
+    if html is not None and html.attr("lang"):
+        m = _RE_LANG.match(html.attr("lang"))
+        if m:
+            out["lang"] = m.group(0).lower()
+    for meta in root.find_all("meta"):
+        name = meta.attr("name").lower()
+        http_equiv = meta.attr("http-equiv").lower()
+        content = meta.attr("content")
+        if meta.attr("charset"):
+            out["charset"] = meta.attr("charset").lower()
+        if name == "description" and not out["description"]:
+            out["description"] = content.strip()
+        elif name == "keywords" and not out["keywords"]:
+            out["keywords"] = content.strip()
+        elif name in ("lang", "language") and not out["lang"]:
+            m = _RE_LANG.match(content)
+            if m:
+                out["lang"] = m.group(0).lower()
+        elif http_equiv == "content-language" and not out["lang"]:
+            m = _RE_LANG.match(content)
+            if m:
+                out["lang"] = m.group(0).lower()
+        elif http_equiv == "content-type" and "charset=" in content.lower():
+            out["charset"] = content.lower().split("charset=")[-1].strip()
+    for link in root.find_all("link"):
+        if link.attr("rel").lower() == "canonical" and not out["canonical"]:
+            out["canonical"] = link.attr("href").strip()
+    base = root.find_first("base")
+    if base is not None:
+        out["base_href"] = base.attr("href").strip()
+    return out
+
+
+def detect_lang(meta_lang: str, text: str) -> str:
+    """Meta lang wins; else stopword-vote between en and fr (tie → en)
+    [R: get_meta_lang + project `lang` option, SURVEY.md §2.2 filter_lang]."""
+    if meta_lang in ("en", "fr"):
+        return meta_lang
+    words = tokenize(text)
+    en = sum(1 for w in words if w in STOPWORDS_EN)
+    fr = sum(1 for w in words if w in STOPWORDS_FR)
+    return "fr" if fr > en else "en"

@@ -1,0 +1,128 @@
+"""Minimal from-scratch PDF text extraction (stdlib zlib + re only).
+
+The reference does NOT parse PDFs (they are filtered by URL extension
+[R: url.py extension blacklist]); this route is mandated by the north rule
+"PDF/layout parse" (BASELINE.json:L14, SURVEY.md §2.3 ``parse_pdf``).
+
+Scope: the deterministic synthetic PDFs produced by crawspark.corpus —
+xref-free sequential object scan, ``FlateDecode`` streams via zlib, text
+from ``Tj`` / ``TJ`` operators with ``Td/TD/Tm`` positioning. Layout rule:
+within a page, text chunks sort by (-y, x) (top-to-bottom, left-to-right);
+one output text block per page, lines joined with ``\\n``.
+
+Input transport: raw PDF bytes arrive latin-1-mapped into the ``text``
+field of a ``kind='pdf'`` span (FIXTURES.md §1.1) — lossless bytes 0-255.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+
+_RE_OBJ = re.compile(rb"(\d+)\s+0\s+obj(.*?)endobj", re.DOTALL)
+_RE_STREAM = re.compile(rb"stream\r?\n(.*?)\r?\nendstream", re.DOTALL)
+_RE_CONTENTS = re.compile(rb"/Contents\s+(\d+)\s+0\s+R")
+_RE_KIDS = re.compile(rb"/Kids\s*\[(.*?)\]", re.DOTALL)
+_RE_REF = re.compile(rb"(\d+)\s+0\s+R")
+# Positioning + show-text operators inside a content stream.
+_RE_TOKEN = re.compile(
+    rb"(?P<num>-?\d+(?:\.\d+)?)\s+(?P<num2>-?\d+(?:\.\d+)?)\s+(?P<op>Td|TD)"
+    rb"|(?P<tm>(?:-?\d+(?:\.\d+)?\s+){6})Tm"
+    rb"|\((?P<str>(?:[^()\\]|\\.)*)\)\s*Tj"
+    rb"|\[(?P<arr>(?:[^\[\]\\]|\\.)*)\]\s*TJ",
+    re.DOTALL,
+)
+_RE_ARR_STR = re.compile(rb"\((?P<s>(?:[^()\\]|\\.)*)\)")
+
+_ESCAPES = {b"n": b"\n", b"r": b"\r", b"t": b"\t", b"b": b"\b", b"f": b"\f",
+            b"(": b"(", b")": b")", b"\\": b"\\"}
+
+
+def _unescape(raw: bytes) -> str:
+    out = bytearray()
+    i = 0
+    while i < len(raw):
+        c = raw[i:i + 1]
+        if c == b"\\" and i + 1 < len(raw):
+            nxt = raw[i + 1:i + 2]
+            if nxt in _ESCAPES:
+                out += _ESCAPES[nxt]
+                i += 2
+                continue
+            if nxt.isdigit():  # octal escape, up to 3 digits
+                j = i + 1
+                while j < len(raw) and j < i + 4 and raw[j:j + 1].isdigit():
+                    j += 1
+                out.append(int(raw[i + 1:j], 8) & 0xFF)
+                i = j
+                continue
+            i += 1
+            continue
+        out += c
+        i += 1
+    return out.decode("latin-1")
+
+
+def extract_pdf_text(payload: str) -> list[str]:
+    """latin-1-mapped PDF bytes → one text block per page (document order).
+
+    Never raises; unparseable payloads yield []."""
+    try:
+        data = payload.encode("latin-1", errors="replace")
+    except Exception:
+        return []
+    objs: dict[int, bytes] = {}
+    for m in _RE_OBJ.finditer(data):
+        objs[int(m.group(1))] = m.group(2)
+
+    # Page order: follow /Kids arrays when present, else /Type /Page objects
+    # in object-number order (our generator emits them sequentially).
+    page_ids: list[int] = []
+    for num in sorted(objs):
+        body = objs[num]
+        if b"/Type" in body and b"/Pages" in body:
+            km = _RE_KIDS.search(body)
+            if km:
+                page_ids = [int(r.group(1)) for r in _RE_REF.finditer(km.group(1))]
+                break
+    if not page_ids:
+        page_ids = [n for n in sorted(objs)
+                    if b"/Type" in objs[n] and b"/Page" in objs[n]
+                    and b"/Pages" not in objs[n]]
+
+    pages: list[str] = []
+    for pid in page_ids:
+        body = objs.get(pid, b"")
+        cm = _RE_CONTENTS.search(body)
+        if not cm:
+            continue
+        stream_obj = objs.get(int(cm.group(1)), b"")
+        sm = _RE_STREAM.search(stream_obj)
+        if not sm:
+            continue
+        content = sm.group(1)
+        if b"/FlateDecode" in stream_obj:
+            try:
+                content = zlib.decompress(content)
+            except zlib.error:
+                continue
+        chunks: list[tuple[float, float, str]] = []  # (y, x, text)
+        x = y = 0.0
+        for tok in _RE_TOKEN.finditer(content):
+            if tok.group("op"):
+                dx, dy = float(tok.group("num")), float(tok.group("num2"))
+                x, y = x + dx, y + dy
+            elif tok.group("tm"):
+                parts = tok.group("tm").split()
+                x, y = float(parts[4]), float(parts[5])
+            elif tok.group("str") is not None:
+                chunks.append((y, x, _unescape(tok.group("str"))))
+            elif tok.group("arr") is not None:
+                text = "".join(_unescape(s.group("s"))
+                               for s in _RE_ARR_STR.finditer(tok.group("arr")))
+                chunks.append((y, x, text))
+        chunks.sort(key=lambda c: (-c[0], c[1]))
+        lines = [t for _, _, t in chunks if t.strip()]
+        if lines:
+            pages.append("\n".join(lines))
+    return pages

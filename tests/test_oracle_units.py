@@ -1,0 +1,109 @@
+"""Unit tests for the oracle core pieces (SURVEY.md §2.3 semantics)."""
+
+from __future__ import annotations
+
+import random
+
+from crawspark.corpus import make_corpus, make_doc, make_pdf
+from crawspark.oracle.cleaner import clean_document
+from crawspark.oracle.dom import parse_html
+from crawspark.oracle.media import image_ok, media_kind_for_ref
+from crawspark.oracle.meta import detect_lang, extract_title
+from crawspark.oracle.pdfparse import extract_pdf_text
+from crawspark.oracle.scorer import score_nodes
+from crawspark.oracle.stats import link_density_high, word_stats
+
+
+def test_dom_parse_recovery():
+    root = parse_html("<div><p>a<p>b</div><span>tail")
+    ps = root.find_all("p")
+    assert [p.text() for p in ps] == ["a", "b"]  # implied </p> before <p>
+
+
+def test_dom_unclosed_and_void():
+    root = parse_html("<body><img src='x.jpg'><br><p>text")
+    assert root.find_first("img").attr("src") == "x.jpg"
+    assert root.find_first("p").text() == "text"
+
+
+def test_word_stats_stopwords():
+    wc, sc = word_stats("the quick brown fox is in the garden")
+    assert wc == 8 and sc == 4  # the, is, in, the
+
+
+def test_link_density():
+    high = parse_html("<div><p><a href='/x'>all the link words here</a></p></div>")
+    assert link_density_high(high.find_first("div"))
+    low = parse_html("<div><p>" + "plain words " * 30
+                     + "<a href='/x'>one link</a></p></div>")
+    assert not link_density_high(low.find_first("div"))
+
+
+def test_cleaner_drops_bad_attrs_keeps_article():
+    root = parse_html(
+        "<body><div class='sidebar'>junk</div>"
+        "<div class='article-body comment'>keep</div></body>")
+    clean_document(root)
+    body = root.find_first("body")
+    # sidebar dropped; rescued article div survives (as a p after div→p)
+    assert body.text() == "keep"
+
+
+def test_cleaner_div_to_p():
+    root = parse_html("<body><div>just inline text</div>"
+                      "<div><p>has block</p></div></body>")
+    clean_document(root)
+    assert root.find_all("p")[0].text() == "just inline text"
+    assert any(n.tag == "div" for n in root.iter())
+
+
+def test_scorer_picks_content_div():
+    html = ("<body><div id='nav'><p>a b c</p></div><div id='main'>"
+            + "<p>the market was open and all of the people were there for "
+            "it with a question about the energy.</p>" * 3
+            + "</div></body>")
+    root = parse_html(html)
+    top = score_nodes(root)
+    assert top is not None and top.attr("id") == "main"
+
+
+def test_scorer_no_content():
+    assert score_nodes(parse_html("<body><p>x</p></body>")) is None
+
+
+def test_title_splitter_longest():
+    root = parse_html("<head><title>Hub | The Long Real Article Title"
+                      "</title></head>")
+    assert extract_title(root) == "The Long Real Article Title"
+
+
+def test_detect_lang_vote():
+    assert detect_lang("", "le chat est sur la table avec les livres") == "fr"
+    assert detect_lang("", "the cat is on the table with the books") == "en"
+    assert detect_lang("fr", "the the the") == "fr"  # meta wins
+
+
+def test_image_rules():
+    assert not image_ok(parse_html("<img src='spacer.gif'>").find_first("img"))
+    assert not image_ok(parse_html("<img src='a.jpg' width='10'>").find_first("img"))
+    assert image_ok(parse_html("<img src='photo.jpg' width='640'>").find_first("img"))
+    assert media_kind_for_ref("img://d/0.mp4") == "video"
+    assert media_kind_for_ref("img://d/0.jpg") == "image"
+
+
+def test_pdf_roundtrip_order():
+    rng = random.Random(1)
+    pdf = make_pdf(rng, "en", n_pages=2, flate=True)
+    pages = extract_pdf_text(pdf)
+    assert len(pages) == 2
+    assert all(p.strip() for p in pages)
+
+
+def test_pdf_garbage():
+    assert extract_pdf_text("not a pdf") == []
+
+
+def test_corpus_deterministic():
+    a = [make_doc(42, i) for i in range(5)]
+    b = list(make_corpus(5, seed=42))
+    assert a == b

@@ -1,0 +1,156 @@
+"""Generate golden span-sequence fixtures (SURVEY.md §5.2.1, FIXTURES.md §1.2).
+
+Writes tests/fixtures/{case}/input.json + expected.json. Run ONCE, review,
+commit; goldens are then FROZEN (regenerate only on a deliberate,
+fixture-versioned rule change — rules_v1 pinned in crawspark.rules).
+
+Usage: python tools/gen_fixtures.py
+"""
+
+from __future__ import annotations
+
+import json
+import pathlib
+import random
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+from crawspark.corpus import make_corpus, make_pdf  # noqa: E402
+from crawspark.oracle import extract_document  # noqa: E402
+
+FIXDIR = pathlib.Path(__file__).resolve().parent.parent / "tests" / "fixtures"
+
+LOREM_EN = ("the market was open and all of the people were there for it "
+            "with a question about the energy of the village and the story "
+            "of the winter that they all shared in the garden. ")
+
+
+def handcrafted() -> dict[str, list[dict]]:
+    """Edge cases from FIXTURES.md §1.2 not guaranteed by the grammar."""
+    para = f"<p>{LOREM_EN}</p>"
+    cases: dict[str, list[dict]] = {}
+
+    def html_case(name: str, html: str) -> None:
+        cases[name] = [{"kind": "html", "text": html, "media_ref": None,
+                        "offset": 0}]
+
+    html_case("plain_article",
+              "<html><head><title>A Story of the Village | Example Times"
+              "</title></head><body><div id='content' class='article-body'>"
+              + para * 3 + "</div></body></html>")
+    html_case("highlink_trap",
+              "<html><head><title>Links</title></head><body>"
+              "<div id='content' class='article-body'>" + para * 2
+              + "</div><div id='morelinks'><p>"
+              + " ".join(f"<a href='/l{i}'>the link {i} here</a>" for i in range(20))
+              + "</p></div></body></html>")
+    html_case("sibling_merge",
+              "<html><head><title>Sib</title></head><body>"
+              f"<div id='lead'><p>{LOREM_EN * 2}</p></div>"
+              "<div id='content' class='article-body'>" + para * 4
+              + "</div></body></html>")
+    html_case("em_strong_unwrap",
+              "<html><head><title>Emph</title></head><body>"
+              "<div id='content' class='article-body'><p>the <em>market</em> "
+              "was <strong>open</strong> and all of the people were there "
+              "for it with a question about the energy of it all.</p>"
+              + para + "</div></body></html>")
+    html_case("div_to_p",
+              "<html><head><title>DivP</title></head><body>"
+              "<div id='content' class='article-body'><div>" + LOREM_EN * 2
+              + "</div>" + para + "</div></body></html>")
+    html_case("title_splitters",
+              "<html><head><title>Short » A Very Long Descriptive Article "
+              "Title Here</title></head><body><div id='content' "
+              "class='article-body'>" + para * 2 + "</div></body></html>")
+    html_case("meta_lang_fr",
+              "<html><head><title>Titre</title>"
+              "<meta http-equiv='content-language' content='fr-FR'>"
+              "</head><body><div id='content' class='article-body'>"
+              "<p>le marche est dans la ville et les gens sont pour le "
+              "projet avec une question sur la culture et le temps de la "
+              "ville et de la science pour tous.</p></div></body></html>")
+    html_case("banned_images",
+              "<html><head><title>Imgs</title></head><body>"
+              "<div id='content' class='article-body'>" + para
+              + "<img src='img/twitter.jpg' width='480' height='360'>"
+              "<img src='img/photo_1.jpg' alt='good' width='480' height='360'>"
+              "<img src='img/tiny.jpg' width='20' height='20'>"
+              + para + "</div></body></html>")
+    html_case("video_iframe",
+              "<html><head><title>Vid</title>"
+              "<base href='http://example.com/a/'></head><body>"
+              "<div id='content' class='article-body'>" + para
+              + "<iframe src='https://www.youtube.com/embed/abc123'></iframe>"
+              "<iframe src='https://evil.example/embed/x'></iframe>"
+              + para + "</div></body></html>")
+    html_case("relative_urls",
+              "<html><head><title>Rel</title>"
+              "<base href='http://example.com/sub/dir/'></head><body>"
+              "<div id='content' class='article-body'>" + para
+              + "<img src='../img/photo.jpg' width='480' height='360'>"
+              "</div></body></html>")
+    cases["empty_payload"] = [
+        {"kind": "html", "text": "", "media_ref": None, "offset": 0}]
+    cases["garbage_payload"] = [
+        {"kind": "html", "text": "\x00\x01 not html at all }{",
+         "media_ref": None, "offset": 0}]
+    html_case("wrong_charset",
+              "<html><head><meta charset='utf-8'><title>Enc</title></head>"
+              "<body><div id='content' class='article-body'><p>the cafÃ© "
+              "was open and all of the people were there for it with a "
+              "question about the energy of the day.</p></div></body></html>")
+    full = ("<html><head><title>Chunks | Site</title></head><body>"
+            "<div id='content' class='article-body'>" + para * 3
+            + "</div></body></html>")
+    cut = len(full) // 2
+    cases["multi_chunk_html"] = [
+        {"kind": "html", "text": full[:cut], "media_ref": None, "offset": 0},
+        {"kind": "html", "text": full[cut:], "media_ref": None, "offset": 1},
+    ]
+    rng = random.Random(99)
+    cases["pdf_single_page"] = [
+        {"kind": "pdf", "text": make_pdf(rng, "en", n_pages=1, flate=False),
+         "media_ref": None, "offset": 0}]
+    cases["pdf_multi_page_flate"] = [
+        {"kind": "pdf", "text": make_pdf(rng, "en", n_pages=3, flate=True),
+         "media_ref": None, "offset": 0}]
+    cases["interleaved_media"] = [
+        {"kind": "html", "text": full, "media_ref": None, "offset": 0},
+        {"kind": "media", "text": "a caption", "media_ref": "img://m/0.jpg",
+         "offset": 1},
+        {"kind": "media", "text": "", "media_ref": "img://m/1.mp4",
+         "offset": 2},
+    ]
+    cases["text_only"] = [
+        {"kind": "text", "text": "  plain   text payload\n with spaces ",
+         "media_ref": None, "offset": 0}]
+    return cases
+
+
+def main() -> None:
+    FIXDIR.mkdir(parents=True, exist_ok=True)
+    n = 0
+    for name, spans in handcrafted().items():
+        _write(f"hc_{name}", spans)
+        n += 1
+    for doc in make_corpus(32, seed=42):
+        _write(f"gen_{doc['doc_id']}", doc["spans"])
+        n += 1
+    print(f"wrote {n} fixture cases under {FIXDIR}")
+
+
+def _write(case: str, spans: list[dict]) -> None:
+    d = FIXDIR / case
+    d.mkdir(parents=True, exist_ok=True)
+    result = extract_document(case, spans)
+    (d / "input.json").write_text(json.dumps(spans, indent=1))
+    (d / "expected.json").write_text(json.dumps(
+        {"spans": result["spans"], "lang": result["lang"],
+         "n_spans": result["n_spans"], "title": result["title"],
+         "outlinks": result["outlinks"]}, indent=1))
+
+
+if __name__ == "__main__":
+    main()
