@@ -1,38 +1,56 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship extraction pipeline over sf0.001.
+``queries()`` — every implemented operator (SURVEY.md §2 + training-data
+ops), from the crawspark registry.
+``oracle_sql()`` — DuckDB-equivalent SQL for the SQL-expressible subset;
+extraction/minhash/simhash/LSH entries are rows-only by design (the
+extractor is pinned by span-sequence fixtures instead — tests/).
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: scan sf0.001 documents → interleaved spans → vectorized
+    Goose-style extraction → per-doc summary. Driver checks rows>0."""
+    from crawspark.bundle import ensure_shipped
+    from crawspark.operators.extract import extract_documents, interleave_documents
+    from crawspark.sources import read_testdata
+
+    ensure_shipped(spark)
+    docs = read_testdata(spark, "/root/testdata/sf0.001", "documents")
+    from pyspark.sql import functions as F
+
+    return (extract_documents(interleave_documents(docs))
+            .select("doc_id", "lang", "n_spans",
+                    F.element_at("spans", 1)["kind"].alias("first_kind"),
+                    F.element_at("spans", 1)["text"].alias("title")))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from crawspark.bundle import ensure_shipped
+    from crawspark.registry import load_all
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def wrap(fn) -> Callable[[SparkSession, str], DataFrame]:
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            ensure_shipped(spark)  # executors need the package for UDF stages
+            return fn(spark, sf_dir)
+        return run
+
+    return {name: wrap(spec.spark) for name, spec in load_all().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from crawspark.registry import load_all
+
+    return {name: spec.sql for name, spec in load_all().items()
+            if spec.sql is not None}

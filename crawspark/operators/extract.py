@@ -1,0 +1,146 @@
+"""Vectorized extraction stage (SURVEY.md §7 M2).
+
+``extract_documents`` is the JVM↔Python Arrow hop — the ONLY process
+boundary in the pipeline (SURVEY.md §3.2). It uses ``mapInArrow`` rather
+than a scalar pandas_udf so we can (a) re-chunk batches by cumulative
+payload bytes — the size-bucketed batching mandate for heavy-tailed
+documents (BASELINE.json:L6; a single global
+``arrow.maxRecordsPerBatch`` cannot adapt to 100 MB outliers) — and
+(b) fuse the whole per-document chain into one parse (no DOM ever crosses
+Arrow).
+
+Scale notes (100 TB):
+- upstream ``salted_repartition`` (operators.partitioning) spreads
+  heavy-tail docs; this stage is then embarrassingly parallel, no shuffle;
+- the Sparser-style pre-filter (PAPERS.md:L6) short-circuits payloads with
+  no markup before tokenization, inside the same batch loop;
+- per-batch memory is bounded by TARGET_BATCH_BYTES regardless of input
+  batch sizing.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pyarrow as pa
+from pyspark.sql import DataFrame
+
+from crawspark.oracle.extract import extract_document
+
+TARGET_BATCH_BYTES = 64 << 20  # re-chunk threshold (~64 MB of payload)
+
+_OUT_SCHEMA = pa.schema([
+    ("doc_id", pa.string()),
+    ("spans", pa.list_(pa.struct([
+        ("kind", pa.string()),
+        ("text", pa.string()),
+        ("media_ref", pa.string()),
+        ("offset", pa.int32()),
+    ]))),
+    ("lang", pa.string()),
+    ("n_spans", pa.int32()),
+])
+
+
+def _extract_rows(rows: list[dict]) -> pa.RecordBatch:
+    out = {"doc_id": [], "spans": [], "lang": [], "n_spans": []}
+    for row in rows:
+        res = extract_document(row["doc_id"], row["spans"] or [])
+        out["doc_id"].append(res["doc_id"])
+        out["spans"].append(res["spans"])
+        out["lang"].append(res["lang"])
+        out["n_spans"].append(res["n_spans"])
+    return pa.RecordBatch.from_pydict(out, schema=_OUT_SCHEMA)
+
+
+def _extract_arrow(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+    """mapInArrow body: re-chunk by payload bytes, extract, emit."""
+    pending: list[dict] = []
+    pending_bytes = 0
+    for batch in batches:
+        for row in batch.to_pylist():
+            row_bytes = sum(len(s.get("text") or "")
+                            for s in (row.get("spans") or []))
+            pending.append(row)
+            pending_bytes += row_bytes
+            if pending_bytes >= TARGET_BATCH_BYTES:
+                yield _extract_rows(pending)
+                pending, pending_bytes = [], 0
+    if pending:
+        yield _extract_rows(pending)
+
+
+def extract_documents(df: DataFrame) -> DataFrame:
+    """documents_interleaved → extracted_spans (schema.EXTRACTED_SPANS)."""
+    from crawspark.schema import EXTRACTED_SPANS
+    return df.select("doc_id", "spans").mapInArrow(_extract_arrow, EXTRACTED_SPANS)
+
+
+# ---------------------------------------------------------------------------
+# documents-testdata → interleaved shape (FIXTURES.md §3 usage mapping)
+# ---------------------------------------------------------------------------
+
+_INTER_SCHEMA = pa.schema([
+    ("doc_id", pa.string()),
+    ("spans", pa.list_(pa.struct([
+        ("kind", pa.string()),
+        ("text", pa.string()),
+        ("media_ref", pa.string()),
+        ("offset", pa.int32()),
+    ]))),
+])
+
+
+def _interleave_arrow(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+    from crawspark.corpus import interleave_from_text
+    for batch in batches:
+        docs = [interleave_from_text(r["doc_id"], r.get("text") or "",
+                                     r.get("lang") or "en")
+                for r in batch.to_pylist()]
+        yield pa.RecordBatch.from_pydict(
+            {"doc_id": [d["doc_id"] for d in docs],
+             "spans": [d["spans"] for d in docs]},
+            schema=_INTER_SCHEMA)
+
+
+def interleave_documents(df: DataFrame) -> DataFrame:
+    """Driver `documents` table → documents_interleaved, deterministically
+    (pure function of each row — no data shipped to executors)."""
+    from crawspark.schema import DOCUMENTS_INTERLEAVED
+    return df.select("doc_id", "text", "lang").mapInArrow(
+        _interleave_arrow, DOCUMENTS_INTERLEAVED)
+
+
+# ---------------------------------------------------------------------------
+# Synthetic corpus as a DataFrame (bench / scaling runs): generate rows on
+# executors from (seed, index) ranges — zero driver-side data movement.
+# ---------------------------------------------------------------------------
+
+def synthetic_corpus(spark, n_docs: int, seed: int = 42,
+                     heavy_tail: bool = True, partitions: int = 64) -> DataFrame:
+    from crawspark.schema import DOCUMENTS_INTERLEAVED
+
+    def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from crawspark.corpus import make_doc
+        for batch in batches:
+            idx = batch.column("id").to_pylist()
+            chunk: list[dict] = []
+            chunk_bytes = 0
+            for i in idx:
+                d = make_doc(seed, int(i), heavy_tail=heavy_tail)
+                chunk.append(d)
+                chunk_bytes += sum(len(s["text"] or "") for s in d["spans"])
+                if chunk_bytes >= TARGET_BATCH_BYTES:
+                    yield pa.RecordBatch.from_pydict(
+                        {"doc_id": [c["doc_id"] for c in chunk],
+                         "spans": [c["spans"] for c in chunk]},
+                        schema=_INTER_SCHEMA)
+                    chunk, chunk_bytes = [], 0
+            if chunk:
+                yield pa.RecordBatch.from_pydict(
+                    {"doc_id": [c["doc_id"] for c in chunk],
+                     "spans": [c["spans"] for c in chunk]},
+                    schema=_INTER_SCHEMA)
+
+    return (spark.range(0, n_docs, numPartitions=partitions)
+            .mapInArrow(gen, DOCUMENTS_INTERLEAVED))

@@ -1,0 +1,139 @@
+"""Extraction-pipeline queries exposed to the driver contract.
+
+These run the real vectorized extraction (oracle core inside mapInArrow)
+over the driver `documents` testdata transformed into the interleaved
+shape (FIXTURES.md §3). They are non-SQL-expressible (the extractor is not
+SQL), so the driver records rows-only checks; full value correctness is
+pinned by the span-sequence fixtures in tests/ (`python -m pytest -x -q`).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import functions as F, types as T
+
+from crawspark.operators.extract import extract_documents, interleave_documents
+from crawspark.registry import register
+from crawspark.sources import read_testdata
+
+
+def _extracted(spark, sf_dir):
+    docs = read_testdata(spark, sf_dir, "documents")
+    return extract_documents(interleave_documents(docs))
+
+
+@register("extract_flagship")
+def extract_flagship(spark, sf_dir):
+    # Full pipeline: scan → interleave → vectorized extract → per-doc stats.
+    return (_extracted(spark, sf_dir)
+            .select("doc_id", "lang", "n_spans",
+                    F.element_at("spans", 1)["kind"].alias("first_kind")))
+
+
+@register("agg_span_stats")
+def agg_span_stats(spark, sf_dir):
+    # Span-kind histogram + mean text length (explode → hash agg).
+    return (_extracted(spark, sf_dir)
+            .select(F.explode("spans").alias("s"))
+            .groupBy(F.col("s.kind").alias("kind"))
+            .agg(F.count("*").alias("n_spans"),
+                 F.round(F.avg(F.length("s.text")), 2).alias("avg_chars")))
+
+
+@register("classify_spans")
+def classify_spans(spark, sf_dir):
+    # Content-vs-boilerplate verdict surfaced as a ratio: extracted payload
+    # chars vs raw payload chars per language (BASELINE.json:L6).
+    docs = read_testdata(spark, sf_dir, "documents")
+    inter = interleave_documents(docs)
+    raw = (inter.select(
+        "doc_id",
+        F.aggregate("spans", F.lit(0).cast("long"),
+                    lambda acc, s: acc + F.coalesce(F.length(s["text"]),
+                                                    F.lit(0)))
+        .alias("raw_chars")))
+    ext = (extract_documents(inter).select(
+        "doc_id", "lang",
+        F.aggregate("spans", F.lit(0).cast("long"),
+                    lambda acc, s: acc + F.coalesce(F.length(s["text"]),
+                                                    F.lit(0)))
+        .alias("content_chars")))
+    return (ext.join(raw, "doc_id")
+            .groupBy("lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.round(F.sum("content_chars")
+                         / F.sum("raw_chars"), 4).alias("content_ratio")))
+
+
+@register("window_span_order")
+def window_span_order(spark, sf_dir):
+    # Invariant check as a query: offsets must be dense 0..n-1 per doc.
+    ext = _extracted(spark, sf_dir)
+    ok = (F.aggregate(
+        F.zip_with("spans",
+                   F.sequence(F.lit(0), F.size("spans") - 1),
+                   lambda s, i: (s["offset"] == i).cast("int")),
+        F.lit(1), lambda acc, v: acc * v) == 1) | (F.size("spans") == 0)
+    return (ext.select(ok.alias("offsets_dense"))
+            .groupBy("offsets_dense").agg(F.count("*").alias("n_docs")))
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing: binary media columns + typed metadata. Decode is a
+# deterministic STUB (no image/audio libs in this container) — the Spark
+# plumbing (schema, batching, UDF signature) is real.
+# ---------------------------------------------------------------------------
+
+_MEDIA_META_SCHEMA = T.StructType([
+    T.StructField("media_ref", T.StringType()),
+    T.StructField("media_kind", T.StringType()),
+    T.StructField("n_bytes", T.LongType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+])
+
+
+def _fake_decode(ref: str, payload: bytes) -> tuple[int, int]:
+    """STUB decode: deterministic pseudo-dimensions from the payload header.
+    A real deployment swaps in PIL/ffmpeg here (NotImplementedError path
+    kept explicit); batch shape and schema are what matter to the plan."""
+    if not payload:
+        return 0, 0
+    w = 160 + (payload[0] % 8) * 80
+    h = 120 + (payload[-1] % 8) * 60
+    return w, h
+
+
+def _media_meta(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        dims = [_fake_decode(r, p) for r, p in zip(pdf["media_ref"],
+                                                   pdf["payload"])]
+        yield pd.DataFrame({
+            "media_ref": pdf["media_ref"],
+            "media_kind": ["video" if r.endswith(".mp4") else "image"
+                           for r in pdf["media_ref"]],
+            "n_bytes": [len(p) for p in pdf["payload"]],
+            "width": [d[0] for d in dims],
+            "height": [d[1] for d in dims],
+        })
+
+
+@register("multimodal_media_meta")
+def multimodal_media_meta(spark, sf_dir):
+    # Opaque binary media column (synthesized deterministically from doc_id)
+    # + mapInPandas metadata extraction; aggregated so the check is stable.
+    docs = read_testdata(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 5 == 0)
+    media = docs.select(
+        F.concat(F.lit("img://doc/"), F.col("doc_id").cast("string"),
+                 F.when(F.col("doc_id") % 10 == 0, ".mp4").otherwise(".jpg"))
+        .alias("media_ref"),
+        F.encode(F.repeat(F.concat(F.lit("B"), F.col("doc_id").cast("string")),
+                          10), "utf-8").alias("payload"))
+    meta = media.mapInPandas(_media_meta, _MEDIA_META_SCHEMA)
+    return (meta.groupBy("media_kind")
+            .agg(F.count("*").alias("n_media"),
+                 F.sum("n_bytes").cast("long").alias("total_bytes"),
+                 F.max("width").alias("max_width")))

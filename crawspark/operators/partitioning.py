@@ -1,0 +1,57 @@
+"""Skew handling: salted repartitioning + size-bucketed batching
+(BASELINE.json:L6; SURVEY.md §4.3).
+
+Heavy-tailed document sizes (lognormal, 100x-median outliers) make naive
+hash-partitioning by doc_id produce straggler partitions. Strategy:
+
+1. ``with_size_bucket`` — ``bucket = floor(log2(payload_bytes))`` computed
+   JVM-side (built-in functions only, stays in whole-stage codegen).
+2. ``salted_repartition`` — shuffle on ``(bucket, pmod(xxhash64(doc_id), S))``
+   so same-size docs co-locate (uniform per-task work) while the salt
+   spreads hot buckets across S slots. At 1000 executors: P ≈ 2-3x total
+   cores, S ≈ 4x tasks-per-bucket — no single task owns the heavy tail.
+3. Batch-level bounding happens inside the extraction UDF itself
+   (operators.extract re-chunks by cumulative payload bytes), so a task
+   that still receives several 100 MB docs processes them in small Arrow
+   batches instead of one giant one.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def payload_size(df: DataFrame, col: str = "spans") -> DataFrame:
+    """Add ``size_bytes``: total payload chars across spans (JVM-side
+    aggregate over the nested array — no Python)."""
+    return df.withColumn(
+        "size_bytes",
+        F.aggregate(
+            F.col(col),
+            F.lit(0).cast("long"),
+            lambda acc, s: acc + F.coalesce(F.length(s["text"]), F.lit(0)),
+        ),
+    )
+
+
+def with_size_bucket(df: DataFrame, col: str = "spans") -> DataFrame:
+    """``bucket = floor(log2(size_bytes))`` (0 for empty docs)."""
+    if "size_bytes" not in df.columns:
+        df = payload_size(df, col)
+    return df.withColumn(
+        "bucket",
+        F.when(F.col("size_bytes") > 0,
+               F.floor(F.log2(F.col("size_bytes")))).otherwise(F.lit(0))
+        .cast("int"),
+    )
+
+
+def salted_repartition(df: DataFrame, partitions: int, salt_buckets: int = 64,
+                       key: str = "doc_id") -> DataFrame:
+    """Repartition on (bucket, salt) — breaks heavy-key/heavy-bucket
+    hotspots (SURVEY.md §4.3(1))."""
+    if "bucket" not in df.columns:
+        df = with_size_bucket(df)
+    df = df.withColumn(
+        "salt", F.pmod(F.xxhash64(F.col(key)), F.lit(salt_buckets)).cast("int"))
+    return df.repartition(partitions, F.col("bucket"), F.col("salt"))

@@ -1,0 +1,377 @@
+"""Relational operator surface (SURVEY.md §2.1/2.2/2.4/2.5/2.6).
+
+Every query here is declarative DataFrame API — Catalyst gets predicate
+pushdown, column pruning and join planning for free; ``.explain`` on each
+shows parquet ``PushedFilters``/``ReadSchema`` pruning and broadcast joins
+where a small dimension is involved.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+from crawspark.registry import register
+from crawspark.sources import read_testdata
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return read_testdata(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Scans / projections / filters (§2.1, §2.2)
+# ---------------------------------------------------------------------------
+
+@register("scan_documents", sql="""
+    SELECT doc_id, lang, source, n_chars FROM documents WHERE n_chars > 0
+""")
+def scan_documents(spark, sf_dir):
+    return (_t(spark, sf_dir, "documents")
+            .filter(F.col("n_chars") > 0)
+            .select("doc_id", "lang", "source", "n_chars"))
+
+
+@register("project_article_fields", sql="""
+    SELECT doc_id, substr(text, 1, 100) AS excerpt, lang FROM documents
+""")
+def project_article_fields(spark, sf_dir):
+    return (_t(spark, sf_dir, "documents")
+            .select("doc_id",
+                    F.substring("text", 1, 100).alias("excerpt"), "lang"))
+
+
+@register("filter_lang", sql="""
+    SELECT doc_id, lang, source FROM documents WHERE lang IN ('en', 'fr')
+""")
+def filter_lang(spark, sf_dir):
+    return (_t(spark, sf_dir, "documents")
+            .filter(F.col("lang").isin("en", "fr"))
+            .select("doc_id", "lang", "source"))
+
+
+# Adblock-style URL rule filter [R: url.py::Url.is_valid]: synthesize an
+# outlink-ish URL per doc (deterministic), drop rule matches.
+_URL_EXPR = ("concat('http://', source, '.example.com/doc/', cast(doc_id as string), "
+             "case when doc_id % 7 = 0 then '?utm_source=feed' else '' end)")
+_URL_SQL = ("'http://' || source || '.example.com/doc/' || doc_id || "
+            "CASE WHEN doc_id % 7 = 0 THEN '?utm_source=feed' ELSE '' END")
+_AD_RE = r"doubleclick\.net|googlesyndication|/ads?/|[?&]utm_|adserver"
+
+
+@register("filter_url_rules", sql=f"""
+    SELECT doc_id, url FROM (
+      SELECT doc_id, {_URL_SQL} AS url FROM documents
+    ) WHERE NOT regexp_matches(url, '{_AD_RE}')
+""")
+def filter_url_rules(spark, sf_dir):
+    return (_t(spark, sf_dir, "documents")
+            .withColumn("url", F.expr(_URL_EXPR))
+            .filter(~F.col("url").rlike(_AD_RE))
+            .select("doc_id", "url"))
+
+
+@register("filter_query_relevance", sql="""
+    SELECT doc_id, lang FROM documents
+    WHERE (text LIKE '%data%' AND text LIKE '%query%') OR text LIKE '%stream%'
+""")
+def filter_query_relevance(spark, sf_dir):
+    # Boolean text-query predicate [R: query.py::Query.match]: whoosh-style
+    # (data AND query) OR stream, as a pushed-down LIKE combination.
+    t = F.col("text")
+    return (_t(spark, sf_dir, "documents")
+            .filter((t.contains("data") & t.contains("query"))
+                    | t.contains("stream"))
+            .select("doc_id", "lang"))
+
+
+# ---------------------------------------------------------------------------
+# Aggregations / windows / sorts / set ops (§2.5)
+# ---------------------------------------------------------------------------
+
+@register("q1_pricing_summary", sql="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(round(sum(l_quantity), 2) AS DOUBLE)       AS sum_qty,
+           CAST(round(sum(l_extendedprice), 2) AS DOUBLE)  AS sum_base_price,
+           CAST(round(sum(l_extendedprice * (1 - l_discount)), 2) AS DOUBLE)
+                                                           AS sum_disc_price,
+           CAST(round(avg(l_quantity), 4) AS DOUBLE)       AS avg_qty,
+           count(*)                                        AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+""")
+def q1_pricing_summary(spark, sf_dir):
+    # TPC-H Q1 shape: partial (map-side) agg + final agg, one shuffle on the
+    # tiny group key; the heavy l_* columns never leave the scan unpruned.
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-01 00:00:00").cast("timestamp"))
+    return (li.groupBy("l_returnflag", "l_linestatus")
+            .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                 F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+                 F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 2)
+                 .alias("sum_disc_price"),
+                 F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+                 F.count("*").alias("count_order")))
+
+
+@register("agg_status_counts", sql="""
+    SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+           count(*) AS n_events
+    FROM events GROUP BY event_type, day
+""")
+def agg_status_counts(spark, sf_dir):
+    # Crawl-report aggregate [R: report.py] over the events stream table.
+    return (_t(spark, sf_dir, "events")
+            .groupBy("event_type",
+                     F.to_date(F.date_trunc("day", "ts")).alias("day"))
+            .agg(F.count("*").alias("n_events")))
+
+
+@register("agg_mktsegment", sql="""
+    SELECT c_mktsegment, count(*) AS n_customers,
+           CAST(round(avg(c_acctbal), 2) AS DOUBLE) AS avg_acctbal
+    FROM customer GROUP BY c_mktsegment
+""")
+def agg_mktsegment(spark, sf_dir):
+    return (_t(spark, sf_dir, "customer")
+            .groupBy("c_mktsegment")
+            .agg(F.count("*").alias("n_customers"),
+                 F.round(F.avg("c_acctbal"), 2).alias("avg_acctbal")))
+
+
+@register("approx_distinct_urls", sql="""
+    SELECT count(DISTINCT source) AS n_sources, count(*) AS n_docs
+    FROM documents
+""")
+def approx_distinct_urls(spark, sf_dir):
+    # Exact variant for oracle parity; the scale path swaps in
+    # approx_count_distinct (HLL++) — see approx_distinct_urls_hll.
+    return (_t(spark, sf_dir, "documents")
+            .agg(F.countDistinct("source").alias("n_sources"),
+                 F.count("*").alias("n_docs")))
+
+
+@register("approx_distinct_urls_hll")  # rows-only: HLL estimate is engine-specific
+def approx_distinct_urls_hll(spark, sf_dir):
+    return (_t(spark, sf_dir, "documents")
+            .agg(F.approx_count_distinct("source").alias("approx_sources")))
+
+
+@register("window_dedup_first", sql="""
+    SELECT user_id, event_id, event_type FROM (
+      SELECT user_id, event_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id) AS rn
+      FROM events
+    ) WHERE rn = 1
+""")
+def window_dedup_first(spark, sf_dir):
+    # Keep-latest-version semantics [R: page.save upsert-by-url].
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), "event_id")
+    return (_t(spark, sf_dir, "events")
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("user_id", "event_id", "event_type"))
+
+
+@register("window_running_value", sql="""
+    SELECT event_id, user_id,
+           CAST(round(sum(value) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id), 2) AS DOUBLE)
+             AS running_value
+    FROM events
+""")
+def window_running_value(spark, sf_dir):
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (_t(spark, sf_dir, "events")
+            .select("event_id", "user_id",
+                    F.round(F.sum("value").over(w), 2).alias("running_value")))
+
+
+@register("topk_largest_docs", sql="""
+    SELECT doc_id, n_chars FROM documents
+    ORDER BY n_chars DESC, doc_id LIMIT 10
+""")
+def topk_largest_docs(spark, sf_dir):
+    # TakeOrderedAndProject — no total sort at scale.
+    return (_t(spark, sf_dir, "documents")
+            .orderBy(F.col("n_chars").desc(), "doc_id")
+            .select("doc_id", "n_chars").limit(10))
+
+
+@register("sort_export", sql="""
+    SELECT doc_id, lang, source FROM documents ORDER BY doc_id
+""")
+def sort_export(spark, sf_dir):
+    # Deterministic export order [R: export.py] — range-partitioned total sort.
+    return (_t(spark, sf_dir, "documents")
+            .orderBy("doc_id").select("doc_id", "lang", "source"))
+
+
+@register("union_frontier", sql="""
+    SELECT c_nationkey AS nationkey FROM customer
+    UNION
+    SELECT s_nationkey AS nationkey FROM supplier
+""")
+def union_frontier(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey"))
+    return c.unionByName(s).distinct()
+
+
+@register("except_done", sql="""
+    SELECT c_custkey FROM customer
+    EXCEPT
+    SELECT o_custkey AS c_custkey FROM orders
+""")
+def except_done(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey"))
+    return c.exceptAll(o).distinct()
+
+
+@register("grouping_size_buckets", sql="""
+    SELECT CAST(floor(log2(n_chars)) AS INT) AS bucket, count(*) AS n_docs
+    FROM documents WHERE n_chars > 0 GROUP BY bucket
+""")
+def grouping_size_buckets(spark, sf_dir):
+    # Size-bucketed batching key (BASELINE.json:L6) over the testdata proxy.
+    return (_t(spark, sf_dir, "documents")
+            .filter(F.col("n_chars") > 0)
+            .withColumn("bucket",
+                        F.floor(F.log2("n_chars")).cast("int"))
+            .groupBy("bucket").agg(F.count("*").alias("n_docs")))
+
+
+@register("rollup_lang_source", sql="""
+    SELECT lang, source, count(*) AS n_docs
+    FROM documents GROUP BY ROLLUP (lang, source)
+""")
+def rollup_lang_source(spark, sf_dir):
+    return (_t(spark, sf_dir, "documents")
+            .rollup("lang", "source").agg(F.count("*").alias("n_docs")))
+
+
+# ---------------------------------------------------------------------------
+# Joins (§2.4)
+# ---------------------------------------------------------------------------
+
+@register("join_rules_broadcast", sql="""
+    SELECT r.r_name AS region_name, count(*) AS n_customers
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+""")
+def join_rules_broadcast(spark, sf_dir):
+    # Small-dim broadcast pattern: nation+region are tiny → broadcast both;
+    # zero shuffle of the big side for the join itself.
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+            .groupBy(F.col("r_name").alias("region_name"))
+            .agg(F.count("*").alias("n_customers")))
+
+
+@register("anti_join_seen", sql="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""")
+def anti_join_seen(spark, sf_dir):
+    # Resume/dedup semantics (§2.4): drop already-extracted keys.
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+            .select("c_custkey", "c_name"))
+
+
+@register("semi_join_relevant", sql="""
+    SELECT c_custkey, c_mktsegment FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000)
+""")
+def semi_join_relevant(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 100000)
+    return (c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+            .select("c_custkey", "c_mktsegment"))
+
+
+@register("join_media_docs", sql="""
+    SELECT o.o_orderpriority,
+           count(*) AS n_lines,
+           CAST(round(sum(l.l_extendedprice), 2) AS DOUBLE) AS sum_price
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderpriority
+""")
+def join_media_docs(spark, sf_dir):
+    # Big-big equi-join: shuffle hash / SMJ chosen by planner + AQE.
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (o.join(li, o.o_orderkey == li.l_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n_lines"),
+                 F.round(F.sum("l_extendedprice"), 2).alias("sum_price")))
+
+
+@register("join_salted_skew", sql="""
+    SELECT l_returnflag,
+           CAST(round(sum(l_quantity), 2) AS DOUBLE) AS sum_qty,
+           sum(n) AS n_lines
+    FROM (
+      SELECT l_returnflag, sum(l_quantity) AS l_quantity, count(*) AS n
+      FROM lineitem GROUP BY l_returnflag, l_orderkey % 16
+    ) GROUP BY l_returnflag
+""")
+def join_salted_skew(spark, sf_dir):
+    # Two-phase salted aggregation (BASELINE.json:L6): phase 1 groups by
+    # (key, salt) spreading hot keys over 16 slots; phase 2 re-aggregates.
+    # Oracle mirrors the same two-phase float summation order class; sums
+    # are rounded to absorb associativity noise.
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "salt", (F.col("l_orderkey") % 16))
+    phase1 = (li.groupBy("l_returnflag", "salt")
+              .agg(F.sum("l_quantity").alias("l_quantity"),
+                   F.count("*").alias("n")))
+    return (phase1.groupBy("l_returnflag")
+            .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                 F.sum("n").cast("long").alias("n_lines")))
+
+
+@register("q_orders_by_year", sql="""
+    SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+           count(*) AS n_orders,
+           CAST(round(sum(o_totalprice), 2) AS DOUBLE) AS sum_total
+    FROM orders GROUP BY order_year
+""")
+def q_orders_by_year(spark, sf_dir):
+    return (_t(spark, sf_dir, "orders")
+            .groupBy(F.year("o_orderdate").alias("order_year"))
+            .agg(F.count("*").alias("n_orders"),
+                 F.round(F.sum("o_totalprice"), 2).alias("sum_total")))
+
+
+@register("events_json_extract", sql="""
+    SELECT CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS INT) % 10 AS k_mod,
+           count(*) AS n_events,
+           CAST(round(sum(value), 2) AS DOUBLE) AS sum_value
+    FROM events GROUP BY k_mod
+""")
+def events_json_extract(spark, sf_dir):
+    # events.props JSON scalar exercise (§2.6); regexp_extract has identical
+    # (str, pattern, group) semantics in Spark and DuckDB.
+    return (_t(spark, sf_dir, "events")
+            .withColumn("k_mod",
+                        (F.regexp_extract("props", r'"k":\s*(\d+)', 1)
+                         .cast("int") % 10))
+            .groupBy("k_mod")
+            .agg(F.count("*").alias("n_events"),
+                 F.round(F.sum("value"), 2).alias("sum_value")))

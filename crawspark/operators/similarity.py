@@ -1,0 +1,139 @@
+"""Similarity search over the embeddings table (array<float>, dim 64).
+
+Brute-force cosine top-k is the correctness baseline (oracle-checked);
+the LSH-bucketed variant is the 100 TB scale path: random-hyperplane
+signatures shrink the candidate set so the crossJoin never materializes
+N x M. Dot products are built-in ``zip_with``/``aggregate`` — JVM-side,
+no Python."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+from crawspark.registry import register
+from crawspark.sources import read_testdata
+
+# Sequential left-fold dot product — same accumulation order as DuckDB's
+# list_cosine_similarity single pass, so double results agree bit-for-bit
+# (rounded anyway).
+_DOT = ("aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * "
+        "cast(y as double)), cast(0.0 as double), (acc, v) -> acc + v)")
+
+
+def _cosine(a: str, b: str):
+    dot = _DOT.format(a=a, b=b)
+    na = _DOT.format(a=a, b=a)
+    nb = _DOT.format(a=b, b=b)
+    return F.expr(f"({dot}) / (sqrt({na}) * sqrt({nb}))")
+
+
+@register("embedding_cosine_pairs", sql="""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           CAST(round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                             b.embedding::DOUBLE[]), 4)
+                AS DOUBLE) AS cos_sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+                                 b.embedding::DOUBLE[]) >= 0.35
+""")
+def embedding_cosine_pairs(spark, sf_dir):
+    # Embedding near-dup: all-pairs cosine >= 0.35. Correctness baseline —
+    # quadratic by design; the scale path is ann_lsh_buckets below.
+    emb = read_testdata(spark, sf_dir, "embeddings")
+    a = emb.alias("a")
+    b = emb.alias("b")
+    sim = _cosine("a.embedding", "b.embedding")
+    return (a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+            .withColumn("cos_sim_raw", sim)
+            .filter(F.col("cos_sim_raw") >= 0.35)
+            .select(F.col("a.vec_id").alias("vec_a"),
+                    F.col("b.vec_id").alias("vec_b"),
+                    F.round("cos_sim_raw", 4).alias("cos_sim")))
+
+
+@register("ann_cosine_topk", sql="""
+    SELECT query_id, neighbor_id, rank FROM (
+      SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY round(list_cosine_similarity(q.embedding::DOUBLE[],
+                                 n.embedding::DOUBLE[]), 6) DESC,
+                        n.vec_id) AS rank
+      FROM embeddings q JOIN embeddings n ON q.vec_id <> n.vec_id
+      WHERE q.vec_id < 5
+    ) WHERE rank <= 5
+""")
+def ann_cosine_topk(spark, sf_dir):
+    # Brute-force cosine top-k for 5 query vectors: broadcast the tiny query
+    # side, scan the corpus once, per-query window top-k. Rounded-sim
+    # ordering + vec_id tie-break keeps ranking engine-stable.
+    emb = read_testdata(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).alias("q")
+    n = emb.alias("n")
+    sim = F.round(_cosine("q.embedding", "n.embedding"), 6)
+    w = (Window.partitionBy("query_id")
+         .orderBy(F.col("sim").desc(), F.col("neighbor_id")))
+    return (n.join(F.broadcast(q), F.col("q.vec_id") != F.col("n.vec_id"))
+            .select(F.col("q.vec_id").alias("query_id"),
+                    F.col("n.vec_id").alias("neighbor_id"),
+                    sim.alias("sim"))
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 5)
+            .select("query_id", "neighbor_id", "rank"))
+
+
+N_PLANES = 8
+
+
+def _lsh_signature(emb_col: str) -> F.Column:
+    """Random-hyperplane LSH bucket: sign bits of dot(v, plane_i) where
+    plane_i components are deterministic pseudo-random in {-1,+1} derived
+    from xxhash64(i, dim_index) — reproducible on any executor with no
+    shipped model."""
+    bits = []
+    for p in range(N_PLANES):
+        # plane_i[j] = +1 if xxhash64('p<i>:<j>') even else -1; dot via
+        # aggregate over the posexploded-free transform/aggregate combo.
+        dot = F.expr(
+            f"aggregate(zip_with({emb_col}, sequence(0, size({emb_col}) - 1), "
+            f"(x, j) -> cast(x as double) * "
+            f"(case when pmod(xxhash64(concat('p{p}:', cast(j as string))), 2) = 0 "
+            f"then 1.0 else -1.0 end)), cast(0.0 as double), (acc, v) -> acc + v)")
+        bits.append(F.when(dot >= 0, F.lit(2 ** p)).otherwise(F.lit(0)))
+    sig = bits[0]
+    for b in bits[1:]:
+        sig = sig + b
+    return sig.cast("int")
+
+
+@register("ann_lsh_buckets")  # rows-only: Spark-hash-derived planes
+def ann_lsh_buckets(spark, sf_dir):
+    # Scale path: bucket vectors by hyperplane signature; ANN search then
+    # joins query buckets (+neighboring probes) instead of the full corpus.
+    emb = read_testdata(spark, sf_dir, "embeddings")
+    sig = emb.select("vec_id", _lsh_signature("embedding").alias("bucket"))
+    return (sig.groupBy("bucket").agg(F.count("*").alias("n_vectors"))
+            .agg(F.count("*").alias("n_buckets"),
+                 F.max("n_vectors").alias("max_bucket"),
+                 F.sum("n_vectors").cast("long").alias("n_total")))
+
+
+def ann_search_lsh(spark, sf_dir, query_ids: list[int], k: int = 5) -> DataFrame:
+    """LSH-pruned top-k: exact rerank within the query's bucket. Falls back
+    to nothing when a bucket is sparse — callers widen probes as needed.
+    (Library surface; benched in bench.py, not oracle-checked.)"""
+    emb = read_testdata(spark, sf_dir, "embeddings")
+    sig = emb.withColumn("bucket", _lsh_signature("embedding"))
+    q = sig.filter(F.col("vec_id").isin(query_ids)).alias("q")
+    n = sig.alias("n")
+    sim = F.round(_cosine("q.embedding", "n.embedding"), 6)
+    w = (Window.partitionBy("query_id")
+         .orderBy(F.col("sim").desc(), F.col("neighbor_id")))
+    return (n.join(F.broadcast(q),
+                   (F.col("q.bucket") == F.col("n.bucket"))
+                   & (F.col("q.vec_id") != F.col("n.vec_id")))
+            .select(F.col("q.vec_id").alias("query_id"),
+                    F.col("n.vec_id").alias("neighbor_id"), sim.alias("sim"))
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
