@@ -1,0 +1,97 @@
+"""Benchmark harness (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
+
+`value` = total wall seconds of the headline suite; extra keys report the
+north-metric view (extraction docs/sec) without breaking the contract.
+Scaling evidence (local[8] vs local[32]) lives in tools/bench_scaling.py →
+BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+SYN_DOCS = int(os.environ.get("CRAWSPARK_BENCH_SYN", "20000"))
+
+
+def _materialize(df) -> int:
+    """Force full computation without driver collect; returns row count."""
+    return df.count()
+
+
+def main() -> None:
+    from crawspark.bundle import ensure_shipped
+    from crawspark.operators.extract import (
+        extract_documents,
+        interleave_documents,
+        synthetic_corpus,
+    )
+    from crawspark.operators.partitioning import salted_repartition
+    from crawspark.registry import load_all
+    from crawspark.session import get_spark
+    from crawspark.sources import read_testdata
+
+    spark = get_spark(master=f"local[{CPUS}]", app="crawspark-bench",
+                      shuffle_partitions=CPUS)
+    ensure_shipped(spark)
+    registry = load_all()
+
+    timings: dict[str, float] = {}
+    extra: dict[str, float] = {}
+
+    def bench(name: str, df_fn) -> None:
+        t0 = time.perf_counter()
+        n = _materialize(df_fn())
+        timings[name] = round(time.perf_counter() - t0, 3)
+        extra[f"{name}_rows"] = n
+
+    # 1) The product: full extraction over the sf documents table.
+    docs = read_testdata(spark, SF_DIR, "documents")
+    n_docs = docs.count()
+    t0 = time.perf_counter()
+    _materialize(extract_documents(interleave_documents(docs)))
+    t_ext = time.perf_counter() - t0
+    timings["extract_testdata"] = round(t_ext, 3)
+    extra["extract_testdata_docs_per_sec"] = round(n_docs / t_ext, 1)
+
+    # 2) Heavy-tail synthetic corpus extraction (generated on executors).
+    t0 = time.perf_counter()
+    syn = salted_repartition(
+        synthetic_corpus(spark, SYN_DOCS, seed=42, heavy_tail=True,
+                         partitions=CPUS * 2), partitions=CPUS * 2)
+    _materialize(extract_documents(syn))
+    t_syn = time.perf_counter() - t0
+    timings["extract_synthetic"] = round(t_syn, 3)
+    extra["extract_synthetic_docs_per_sec"] = round(SYN_DOCS / t_syn, 1)
+
+    # 3) Relational / dedup / similarity headliners from the registry.
+    for name in ("q1_pricing_summary", "join_media_docs", "window_dedup_first",
+                 "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard",
+                 "text_token_count", "embedding_cosine_pairs",
+                 "ann_cosine_topk"):
+        bench(name, lambda n=name: registry[n].spark(spark, SF_DIR))
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_suite_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
+        "cpus": CPUS,
+        "extra": extra,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

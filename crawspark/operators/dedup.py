@@ -120,16 +120,15 @@ def dedup_minhash_lsh(spark, sf_dir):
     docs = read_testdata(spark, sf_dir, "documents")
     sig = minhash_signatures(docs)
     rows_per_band = N_HASHES // BANDS
-    bands = []
-    for bnd in range(BANDS):
-        cols = [F.col(f"mh{bnd * rows_per_band + r}")
-                for r in range(rows_per_band)]
-        bands.append(sig.select(
-            "doc_id", F.lit(bnd).alias("band_id"),
-            F.xxhash64(*cols).alias("band_hash")))
-    exploded = bands[0]
-    for x in bands[1:]:
-        exploded = exploded.unionByName(x)
+    # One pass: band hashes as columns, then a single stack() explode —
+    # a per-band union would recompute the signature aggregation B times.
+    band_cols = [F.xxhash64(*[F.col(f"mh{b * rows_per_band + r}")
+                              for r in range(rows_per_band)]).alias(f"bh{b}")
+                 for b in range(BANDS)]
+    wide = sig.select("doc_id", *band_cols)
+    stack_expr = "stack({}, {}) as (band_id, band_hash)".format(
+        BANDS, ", ".join(f"{b}, bh{b}" for b in range(BANDS)))
+    exploded = wide.select("doc_id", F.expr(stack_expr))
     a = exploded.alias("a")
     b = exploded.alias("b")
     pairs = (a.join(b, (F.col("a.band_id") == F.col("b.band_id"))

@@ -1,0 +1,71 @@
+"""Idempotent-resume contract (SURVEY.md §5.2.4): interrupt after k
+partitions, re-run, output equals a single uninterrupted run and no
+partition is double-counted."""
+
+from __future__ import annotations
+
+import pytest
+
+from crawspark.checkpoint import CheckpointedExtraction
+from crawspark.corpus import make_doc
+from crawspark.schema import DOCUMENTS_INTERLEAVED
+from crawspark.sources.tables import ParquetBackend
+
+
+@pytest.fixture()
+def docs_df(spark):
+    docs = [make_doc(42, i) for i in range(60)]
+    return spark.createDataFrame(
+        [(d["doc_id"], d["spans"]) for d in docs], schema=DOCUMENTS_INTERLEAVED)
+
+
+def _results(spark, backend):
+    return {r["doc_id"]: (r["n_spans"], r["lang"])
+            for r in backend.read(spark, "extracted_spans").collect()}
+
+
+def test_interrupt_then_resume_equals_single_run(spark, docs_df, tmp_path):
+    single = CheckpointedExtraction(ParquetBackend(str(tmp_path / "single")),
+                                    n_parts=8)
+    r = single.run(spark, docs_df, run_id="r1", completed_ts="2026-01-01 00:00:00")
+    assert r["partitions_processed"] == 8 and r["docs_out"] == 60
+    expected = _results(spark, single.backend)
+
+    resumed = CheckpointedExtraction(ParquetBackend(str(tmp_path / "resumed")),
+                                     n_parts=8)
+    # "Crash" after 3 partitions...
+    r1 = resumed.run(spark, docs_df, run_id="r1",
+                     completed_ts="2026-01-01 00:00:00", max_partitions=3)
+    assert r1["partitions_processed"] == 3
+    # ...then resume: only the remaining 5 run.
+    r2 = resumed.run(spark, docs_df, run_id="r1",
+                     completed_ts="2026-01-01 01:00:00")
+    assert r2["partitions_processed"] == 5
+    assert _results(spark, resumed.backend) == expected
+
+    # Third invocation: nothing pending, results unchanged.
+    r3 = resumed.run(spark, docs_df, run_id="r1",
+                     completed_ts="2026-01-01 02:00:00")
+    assert r3["partitions_processed"] == 0
+    assert _results(spark, resumed.backend) == expected
+
+    # Checkpoint lineage: each partition exactly once, counts consistent.
+    ckpt = resumed.backend.read(spark, "checkpoint").collect()
+    keys = [c["partition_key"] for c in ckpt]
+    assert len(keys) == 8 and len(set(keys)) == 8
+    assert sum(c["docs_out"] for c in ckpt) == 60
+    assert all(c["docs_in"] == c["docs_out"] for c in ckpt)
+    assert all(c["input_fingerprint"] for c in ckpt)
+
+
+def test_input_drift_invalidates_checkpoint(spark, docs_df, tmp_path):
+    ck = CheckpointedExtraction(ParquetBackend(str(tmp_path / "drift")),
+                                n_parts=4)
+    ck.run(spark, docs_df, run_id="r1", completed_ts="2026-01-01 00:00:00")
+    # Same run_id but different input → fingerprints mismatch → all rerun.
+    docs2 = [make_doc(43, i) for i in range(30)]
+    df2 = spark.createDataFrame(
+        [(d["doc_id"], d["spans"]) for d in docs2], schema=DOCUMENTS_INTERLEAVED)
+    r = ck.run(spark, df2, run_id="r1", completed_ts="2026-01-01 01:00:00")
+    assert r["partitions_processed"] == 4
+    assert r["docs_out"] == 30
