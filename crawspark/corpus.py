@@ -174,17 +174,21 @@ def make_pdf(rng: random.Random, lang: str, n_pages: int | None = None,
 # Document-level assembly
 # ---------------------------------------------------------------------------
 
-def make_doc(seed: int, i: int, heavy_tail: bool = False) -> dict:
-    """One interleaved document — pure function of (seed, i)."""
+def make_doc(seed: int, i: int, heavy_tail: bool = False,
+             min_paras: int = 1, max_paras: int = 12) -> dict:
+    """One interleaved document — pure function of (seed, i).
+
+    min/max_paras control document weight: defaults give small fixture
+    docs; bench corpora use 15-45 (≈10-40 KB — realistic web pages)."""
     rng = random.Random(seed ^ i)
     doc_id = f"d{seed}-{i:012d}"
     lang = "fr" if rng.random() < 0.25 else "en"
     roll = rng.random()
     spans: list[dict] = []
     if roll < 0.78:  # html doc
-        n_paras = rng.randint(1, 12)
+        n_paras = rng.randint(min_paras, max_paras)
         if heavy_tail and rng.random() < 0.001:
-            n_paras = 400  # deliberate 100x-median heavy tail (FIXTURES.md §2)
+            n_paras = max_paras * 33  # 100x-median heavy tail (FIXTURES.md §2)
         html = make_html(rng, lang, _sentence(rng, lang, 6)[:-1], n_paras)
         if rng.random() < 0.15:  # multi-chunk html
             cut = len(html) // 2
@@ -213,10 +217,11 @@ def make_doc(seed: int, i: int, heavy_tail: bool = False) -> dict:
     return {"doc_id": doc_id, "spans": spans}
 
 
-def make_corpus(n_docs: int, seed: int = 42, heavy_tail: bool = False):
+def make_corpus(n_docs: int, seed: int = 42, heavy_tail: bool = False,
+                min_paras: int = 1, max_paras: int = 12):
     """Yield interleaved documents deterministically."""
     for i in range(n_docs):
-        yield make_doc(seed, i, heavy_tail)
+        yield make_doc(seed, i, heavy_tail, min_paras, max_paras)
 
 
 def interleave_from_text(doc_id, text: str, lang: str) -> dict:

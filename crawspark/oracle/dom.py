@@ -82,14 +82,21 @@ class Node:
         return None
 
     def text(self) -> str:
-        """Concatenated descendant text, whitespace-normalized."""
+        """Concatenated descendant text, whitespace-normalized.
+
+        Single flat collect + one normalize pass — equivalent to joining
+        per-level (whitespace collapses either way) without the
+        intermediate per-node strings."""
         parts: list[str] = []
+        self._collect_text(parts)
+        return " ".join(" ".join(parts).split())
+
+    def _collect_text(self, parts: list[str]) -> None:
         for c in self.children:
             if isinstance(c, str):
                 parts.append(c)
             else:
-                parts.append(c.text())
-        return " ".join(" ".join(parts).split())
+                c._collect_text(parts)
 
     def own_text(self) -> str:
         return " ".join(

@@ -26,10 +26,24 @@ NEG_SCORE_MIN_NODES = 15
 
 def score_nodes(root: Node, lang: str = "en") -> Node | None:
     """Score parents/grandparents of stopword-rich candidates; return the
-    top node (None when the page has no scorable content)."""
+    top node (None when the page has no scorable content).
+
+    A per-call stats memo avoids recomputing word_stats/text() for the
+    same node across the candidate filter, boost probing, and upscoring
+    (pure caching — identical results, ~2x less allocation in the hot
+    UDF path)."""
+    memo: dict[int, tuple[int, int]] = {}
+
+    def stats(n: Node) -> tuple[int, int]:
+        k = id(n)
+        s = memo.get(k)
+        if s is None:
+            s = memo[k] = word_stats(n.text(), lang)
+        return s
+
     candidates = [
         n for n in root.find_all(*CANDIDATE_TAGS)
-        if _is_candidate(n, lang)
+        if stats(n)[1] > MIN_STOPWORDS and not link_density_high(n, lang)
     ]
     n_cand = len(candidates)
     bottom_neg = n_cand * NEG_SCORE_PORTION
@@ -38,7 +52,7 @@ def score_nodes(root: Node, lang: str = "en") -> Node | None:
 
     for i, node in enumerate(candidates):
         boost = 0.0
-        if _is_boostable(node, lang):
+        if _is_boostable(node, lang, stats):
             boost = (1.0 / starting_boost) * BOOST_SCORE
             starting_boost += 1.0
         if n_cand > NEG_SCORE_MIN_NODES and (n_cand - i) <= bottom_neg:
@@ -46,8 +60,7 @@ def score_nodes(root: Node, lang: str = "en") -> Node | None:
             boost = -(booster * booster)
             if abs(boost) > 40.0:
                 boost = 5.0
-        _, stop_count = word_stats(node.text(), lang)
-        upscore = float(stop_count) + boost
+        upscore = float(stats(node)[1]) + boost
 
         parent = node.parent
         if parent is not None:
@@ -71,12 +84,7 @@ def score_nodes(root: Node, lang: str = "en") -> Node | None:
     return top
 
 
-def _is_candidate(node: Node, lang: str) -> bool:
-    _, stop_count = word_stats(node.text(), lang)
-    return stop_count > MIN_STOPWORDS and not link_density_high(node, lang)
-
-
-def _is_boostable(node: Node, lang: str) -> bool:
+def _is_boostable(node: Node, lang: str, stats) -> bool:
     """A paragraph whose nearby previous sibling paragraphs are stopword-rich
     gets boosted (leading-paragraph pattern) [R: is_boostable]."""
     steps = 0
@@ -85,8 +93,7 @@ def _is_boostable(node: Node, lang: str) -> bool:
             continue
         if steps >= BOOST_MAX_STEPS:
             return False
-        _, stop_count = word_stats(sib.text(), lang)
-        if stop_count > BOOST_STOPWORDS:
+        if stats(sib)[1] > BOOST_STOPWORDS:
             return True
         steps += 1
     return False

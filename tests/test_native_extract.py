@@ -1,0 +1,53 @@
+"""Worker-native extraction job: results match the JVM-path extraction and
+the oracle; file-granular resume skips completed shards."""
+
+from __future__ import annotations
+
+from crawspark.corpus import make_doc
+from crawspark.operators.native_extract import (
+    native_extract_job,
+    run_native_checkpointed,
+)
+from crawspark.oracle import extract_document
+from crawspark.schema import DOCUMENTS_INTERLEAVED
+
+
+def _write_input(spark, path, n=40):
+    docs = [make_doc(42, i) for i in range(n)]
+    df = spark.createDataFrame(
+        [(d["doc_id"], d["spans"]) for d in docs], schema=DOCUMENTS_INTERLEAVED)
+    df.repartition(4).write.mode("overwrite").parquet(path)
+    return docs
+
+
+def test_native_matches_oracle(spark, tmp_path):
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    docs = _write_input(spark, inp)
+    metrics = native_extract_job(spark, inp, out).collect()
+    assert sum(m["docs_out"] for m in metrics) == 40
+    got = {r["doc_id"]: r.asDict(recursive=True)
+           for r in spark.read.parquet(out).collect()}
+    for d in docs:
+        exp = extract_document(d["doc_id"], d["spans"])
+        g = got[d["doc_id"]]
+        assert [(s["kind"], s["text"], s["media_ref"]) for s in g["spans"]] \
+            == [(s["kind"], s["text"], s["media_ref"]) for s in exp["spans"]]
+        assert g["lang"] == exp["lang"]
+
+
+def test_native_checkpoint_resume(spark, tmp_path):
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    _write_input(spark, inp)
+    r1 = run_native_checkpointed(spark, inp, out, ck, "r1",
+                                 "2026-01-01 00:00:00")
+    assert r1["files_processed"] == 4 and r1["docs_out"] == 40
+    # Re-run: everything skipped, output unchanged.
+    before = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    r2 = run_native_checkpointed(spark, inp, out, ck, "r1",
+                                 "2026-01-01 01:00:00")
+    assert r2["files_processed"] == 0 and r2["files_skipped"] == 4
+    after = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert before == after and len(before) == 40
