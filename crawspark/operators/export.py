@@ -1,0 +1,87 @@
+"""Corpus export sinks [R: export.py; report.py] and content-type routing.
+
+The reference exports MongoDB collections to CSV/JSON; here the extracted
+span table flattens (spans → to_json / exploded rows) and writes through
+the standard DataFrame writers, so Catalyst owns the format encoding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from crawspark.registry import register
+from crawspark.sources import read_testdata
+
+
+def export_json(extracted: DataFrame, path: str) -> None:
+    """One JSON object per document; spans nested (lossless export)."""
+    extracted.write.mode("overwrite").json(path)
+
+
+def export_csv(extracted: DataFrame, path: str) -> None:
+    """CSV needs flat columns: spans serialize to a JSON string column
+    [R: export.py CSV field flattening]."""
+    (extracted
+     .withColumn("spans_json", F.to_json("spans"))
+     .drop("spans")
+     .write.mode("overwrite").option("header", True).csv(path))
+
+
+def export_flat_spans(extracted: DataFrame, path: str) -> None:
+    """Analysis-friendly export: one row per span (doc_id, kind, text,
+    media_ref, offset) — the layout column stores scan best at 100 TB."""
+    (extracted.select("doc_id", "lang", F.explode("spans").alias("s"))
+     .select("doc_id", "lang", "s.kind", "s.text", "s.media_ref", "s.offset")
+     .write.mode("overwrite").parquet(path))
+
+
+# ---------------------------------------------------------------------------
+# Registry queries
+# ---------------------------------------------------------------------------
+
+@register("filter_content_type", sql="""
+    SELECT CASE WHEN doc_id % 10 < 8 THEN 'html'
+                WHEN doc_id % 10 < 9 THEN 'pdf'
+                ELSE 'text' END AS kind,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents GROUP BY kind
+""")
+def filter_content_type(spark, sf_dir):
+    # Content-type routing [R: url.py extension whitelist; page.py
+    # content-type check]: the testdata proxy assigns kinds by the same
+    # deterministic rule the interleave wrapper would use.
+    kind = (F.when(F.col("doc_id") % 10 < 8, "html")
+            .when(F.col("doc_id") % 10 < 9, "pdf")
+            .otherwise("text"))
+    return (read_testdata(spark, sf_dir, "documents")
+            .groupBy(kind.alias("kind"))
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_chars").cast("long").alias("total_chars")))
+
+
+@register("extract_outlinks")  # rows-only: outlinks come from the extractor
+def extract_outlinks_q(spark, sf_dir):
+    # Outlink surface [R: page.py outlinks]: per-doc distinct absolutized
+    # hrefs from the content sequence; aggregated count for stability.
+    from crawspark.operators.extract import interleave_documents
+
+    import pyarrow as pa
+
+    def links(batches):
+        from crawspark.oracle import extract_document
+        for b in batches:
+            rows = b.to_pylist()
+            ids, counts = [], []
+            for r in rows:
+                res = extract_document(r["doc_id"], r["spans"] or [])
+                ids.append(r["doc_id"])
+                counts.append(len(res["outlinks"]))
+            yield pa.RecordBatch.from_pydict(
+                {"doc_id": ids, "n_outlinks": counts})
+
+    docs = interleave_documents(read_testdata(spark, sf_dir, "documents"))
+    per_doc = docs.mapInArrow(links, "doc_id string, n_outlinks long")
+    return (per_doc.agg(F.count("*").alias("n_docs"),
+                        F.sum("n_outlinks").cast("long")
+                        .alias("total_outlinks")))

@@ -359,6 +359,74 @@ def q_orders_by_year(spark, sf_dir):
                  F.round(F.sum("o_totalprice"), 2).alias("sum_total")))
 
 
+@register("q3_shipping_priority", sql="""
+    SELECT o.o_orderkey,
+           CAST(round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)
+                AS DOUBLE) AS revenue,
+           CAST(o.o_orderdate AS DATE) AS orderdate
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+    GROUP BY o.o_orderkey, orderdate
+    ORDER BY revenue DESC, o.o_orderkey LIMIT 10
+""")
+def q3_shipping_priority(spark, sf_dir):
+    # TPC-H Q3 shape: selective filters pushed to all three scans, then
+    # join + agg + top-k (TakeOrderedAndProject, no total sort).
+    c = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1995-03-15 00:00:00").cast("timestamp"))
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15 00:00:00").cast("timestamp"))
+    return (c.join(o, c.c_custkey == o.o_custkey)
+            .join(li, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderkey", F.to_date("o_orderdate").alias("orderdate"))
+            .agg(F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 2)
+                 .alias("revenue"))
+            .select("o_orderkey", "revenue", "orderdate")
+            .orderBy(F.col("revenue").desc(), "o_orderkey").limit(10))
+
+
+@register("q5_supplier_volume", sql="""
+    SELECT n.n_name AS nation,
+           CAST(round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)
+                AS DOUBLE) AS revenue
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN lineitem l ON l.l_suppkey = s.s_suppkey
+    GROUP BY nation
+""")
+def q5_supplier_volume(spark, sf_dir):
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    li = _t(spark, sf_dir, "lineitem")
+    return (s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+            .join(li, li.l_suppkey == s.s_suppkey)
+            .groupBy(F.col("n_name").alias("nation"))
+            .agg(F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 2)
+                 .alias("revenue")))
+
+
+@register("part_type_stats", sql="""
+    SELECT p_type, count(*) AS n_parts,
+           CAST(round(avg(p_retailprice), 2) AS DOUBLE) AS avg_price,
+           max(p_size) AS max_size
+    FROM part GROUP BY p_type
+""")
+def part_type_stats(spark, sf_dir):
+    return (_t(spark, sf_dir, "part")
+            .groupBy("p_type")
+            .agg(F.count("*").alias("n_parts"),
+                 F.round(F.avg("p_retailprice"), 2).alias("avg_price"),
+                 F.max("p_size").alias("max_size")))
+
+
 @register("events_json_extract", sql="""
     SELECT CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS INT) % 10 AS k_mod,
            count(*) AS n_events,

@@ -35,6 +35,7 @@ def load_all() -> dict[str, QuerySpec]:
     """Import all operator modules so their @register calls run."""
     from crawspark.operators import (  # noqa: F401
         dedup,
+        export,
         extraction_queries,
         relational,
         similarity,

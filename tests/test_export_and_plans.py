@@ -1,0 +1,74 @@
+"""Export sinks + physical-plan quality gates.
+
+The plan tests pin the optimizer behaviors the 100 TB design depends on
+(SURVEY.md §4.2): filter/column pushdown into the parquet scan, broadcast
+joins for small dims, TakeOrderedAndProject for top-k — so a regression
+that silently de-optimizes a plan fails CI, not a cluster run."""
+
+from __future__ import annotations
+
+import glob
+
+from pyspark.sql import functions as F
+
+from crawspark.corpus import make_doc
+from crawspark.operators.export import export_csv, export_flat_spans, export_json
+from crawspark.operators.extract import extract_documents
+from crawspark.schema import DOCUMENTS_INTERLEAVED
+from crawspark.sources import read_testdata
+
+
+def _extracted(spark, n=12):
+    docs = [make_doc(42, i) for i in range(n)]
+    df = spark.createDataFrame(
+        [(d["doc_id"], d["spans"]) for d in docs], schema=DOCUMENTS_INTERLEAVED)
+    return extract_documents(df)
+
+
+def test_export_sinks(spark, tmp_path):
+    ext = _extracted(spark).cache()
+    export_json(ext, str(tmp_path / "j"))
+    export_csv(ext, str(tmp_path / "c"))
+    export_flat_spans(ext, str(tmp_path / "f"))
+    assert spark.read.json(str(tmp_path / "j")).count() == 12
+    csv = spark.read.option("header", True).csv(str(tmp_path / "c"))
+    assert csv.count() == 12 and "spans_json" in csv.columns
+    flat = spark.read.parquet(str(tmp_path / "f"))
+    assert flat.count() == ext.select(F.sum("n_spans")).collect()[0][0]
+    assert glob.glob(str(tmp_path / "c") + "/*.csv")
+    ext.unpersist()
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    df = (read_testdata(spark, sf_dir, "documents")
+          .filter(F.col("n_chars") > 100).select("doc_id", "n_chars"))
+    plan = _plan(df)
+    assert "PushedFilters: [IsNotNull(n_chars), GreaterThan(n_chars,100)]" in plan
+    # column pruning: text column must NOT be read
+    assert "ReadSchema" in plan and "text" not in plan.split("ReadSchema")[1]
+
+
+def test_small_dim_join_broadcasts(spark, sf_dir):
+    c = read_testdata(spark, sf_dir, "customer")
+    n = read_testdata(spark, sf_dir, "nation")
+    df = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+    assert "BroadcastHashJoin" in _plan(df)
+
+
+def test_topk_avoids_total_sort(spark, sf_dir):
+    df = (read_testdata(spark, sf_dir, "documents")
+          .orderBy(F.col("n_chars").desc()).limit(5))
+    assert "TakeOrderedAndProject" in _plan(df)
+
+
+def test_q1_partial_aggregation(spark, sf_dir):
+    from crawspark.registry import load_all
+    df = load_all()["q1_pricing_summary"].spark(spark, sf_dir)
+    plan = _plan(df)
+    # map-side partial agg before the exchange (two HashAggregate levels)
+    assert plan.count("HashAggregate") >= 2
+    assert "PushedFilters" in plan and "LessThanOrEqual(l_shipdate" in plan

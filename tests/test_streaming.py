@@ -1,0 +1,41 @@
+"""AvailableNow streaming extraction: drains current input, exactly-once
+across re-invocations, matches the batch extractor's results."""
+
+from __future__ import annotations
+
+from crawspark.corpus import make_doc
+from crawspark.oracle import extract_document
+from crawspark.schema import DOCUMENTS_INTERLEAVED
+from crawspark.streaming.extract_stream import run_available_now
+
+
+def _write(spark, docs, path, mode):
+    df = spark.createDataFrame(
+        [(d["doc_id"], d["spans"]) for d in docs], schema=DOCUMENTS_INTERLEAVED)
+    df.coalesce(2).write.mode(mode).parquet(path)
+
+
+def test_available_now_incremental(spark, tmp_path):
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    first = [make_doc(42, i) for i in range(20)]
+    _write(spark, first, inp, "overwrite")
+    assert run_available_now(spark, inp, out, ck)
+    got = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert got == {d["doc_id"] for d in first}
+
+    # New files land; second drain processes ONLY them (no duplicates).
+    second = [make_doc(43, i) for i in range(10)]
+    _write(spark, second, inp, "append")
+    assert run_available_now(spark, inp, out, ck)
+    rows = spark.read.parquet(out).collect()
+    ids = [r["doc_id"] for r in rows]
+    assert len(ids) == 30 and len(set(ids)) == 30
+
+    # Value parity with the batch/oracle path.
+    by_id = {r["doc_id"]: r.asDict(recursive=True) for r in rows}
+    d = first[0]
+    exp = extract_document(d["doc_id"], d["spans"])
+    assert [(s["kind"], s["text"]) for s in by_id[d["doc_id"]]["spans"]] == \
+        [(s["kind"], s["text"]) for s in exp["spans"]]
