@@ -85,6 +85,24 @@ def filter_query_relevance(spark, sf_dir):
             .select("doc_id", "lang"))
 
 
+from crawspark.functions.boolquery import compile_query, query_to_duckdb_sql
+
+# The reference evaluates a project's boolean query per page
+# [R: query.py::Query.match]; here the SAME query string compiles to a
+# Spark Column and to the DuckDB oracle predicate.
+_BOOL_QUERY = '(data AND query) OR "stream" NOT spam'
+
+
+@register("filter_query_boolean", sql=f"""
+    SELECT doc_id, lang FROM documents
+    WHERE {query_to_duckdb_sql(_BOOL_QUERY)}
+""")
+def filter_query_boolean(spark, sf_dir):
+    return (_t(spark, sf_dir, "documents")
+            .filter(compile_query(_BOOL_QUERY))
+            .select("doc_id", "lang"))
+
+
 # ---------------------------------------------------------------------------
 # Aggregations / windows / sorts / set ops (§2.5)
 # ---------------------------------------------------------------------------

@@ -126,6 +126,50 @@ def handcrafted() -> dict[str, list[dict]]:
     cases["text_only"] = [
         {"kind": "text", "text": "  plain   text payload\n with spaces ",
          "media_ref": None, "offset": 0}]
+
+    # --- torture cases (markup recovery) ---
+    html_case("torture_nested_table",
+              "<html><head><title>Tbl</title></head><body>"
+              "<div id='content' class='article-body'>" + para
+              + "<table><tr><td>" + LOREM_EN + "</td><td><table><tr><td>"
+              "inner cell</td></tr></table></td></tr></table>"
+              "</div></body></html>")
+    html_case("torture_unclosed_tags",
+              "<html><head><title>Unclosed</title></head><body>"
+              "<div id='content' class='article-body'><p>" + LOREM_EN
+              + "<p>" + LOREM_EN + "<div>" + LOREM_EN * 2
+              + "</body></html>")
+    html_case("torture_attr_quoting",
+              "<html><head><title>Attrs</title></head><body>"
+              "<div id='content' class='article-body'>"
+              '<p data-x="a\'b" data-y=unquoted data-z>' + LOREM_EN + "</p>"
+              "<img src='we ird name.jpg' width='640' height=\"480\">"
+              "</div></body></html>")
+    html_case("torture_unicode",
+              "<html><head><title>Ünïcodé — Tïtle</title></head><body>"
+              "<div id='content' class='article-body'><p>the café and the "
+              "naïve résumé of the œuvre were all of the things that they "
+              "had in the little village for the winter.</p>"
+              "<p>数据 données データ the data of the world was all there "
+              "for them in the system of the archive they all shared.</p>"
+              "</div></body></html>")
+    html_case("torture_deep_nesting",
+              "<html><head><title>Deep</title></head><body>"
+              "<div id='content' class='article-body'>"
+              + "<div>" * 30 + "<p>" + LOREM_EN + "</p>" + "</div>" * 30
+              + para + "</div></body></html>")
+    html_case("torture_entities",
+              "<html><head><title>A &amp; B</title></head><body>"
+              "<div id='content' class='article-body'><p>the &quot;data&quot;"
+              " &lt;tag&gt; was &amp; is all of the things for the people "
+              "of the village in the winter of the year.</p></div>"
+              "</body></html>")
+    html_case("torture_script_style_noise",
+              "<html><head><title>Noise</title><style>p{color:red}</style>"
+              "<script>var x = '<p>fake</p>';</script></head><body>"
+              "<div id='content' class='article-body'>" + para
+              + "<script>document.write('<div>junk</div>')</script>"
+              + para + "</div></body></html>")
     return cases
 
 
