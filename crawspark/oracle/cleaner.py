@@ -23,22 +23,23 @@ from crawspark.rules import (
 
 
 def clean_document(root: Node) -> Node:
-    _remove_tags(root)
-    _drop_bad_attr_nodes(root)
+    _remove_bad_nodes(root)
     _unwrap_inline(root)
     _divs_to_paragraphs(root)
     return root
 
 
-def _remove_tags(root: Node) -> None:
-    for node in list(root.iter()):
-        if node.tag in REMOVE_TAGS and node.parent is not None:
+def _remove_bad_nodes(root: Node) -> None:
+    # Single snapshot pass evaluating both drop rules (tag blacklist, then
+    # bad-id/class regex with article rescue) — same outcome as two passes:
+    # nodes inside an already-removed subtree are detached no-ops either way.
+    for node in root.iter():
+        if node.parent is None:
+            continue
+        if node.tag in REMOVE_TAGS:
             node.parent.remove_child(node)
-
-
-def _drop_bad_attr_nodes(root: Node) -> None:
-    for node in list(root.iter()):
-        if node.parent is None or node.tag in ("html", "body", "#root"):
+            continue
+        if node.tag in ("html", "body", "#root"):
             continue
         ic = node.id_class()
         if ic and RE_BAD_ATTR.search(ic) and not RE_GOOD_ATTR.search(ic):

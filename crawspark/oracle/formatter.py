@@ -72,12 +72,13 @@ def _walk(node: Node, lang: str, base_url: str, out: list[Span],
 
 def _emit_block(node: Node, lang: str, base_url: str, out: list[Span],
                 seen: set[int]) -> None:
-    for d in node.iter():
+    descendants = list(node.iter())  # one traversal: seen-marking + media
+    for d in descendants:
         seen.add(id(d))
     if node.score < 0:
         return
     media: list[Span] = []
-    for d in node.iter():
+    for d in descendants:
         if d is node:
             continue
         if d.tag == "img" and image_ok(d):

@@ -22,7 +22,7 @@ def word_stats(text: str, lang: str = "en") -> tuple[int, int]:
     """(word_count, stopword_count) for ``text`` under ``lang`` stopwords."""
     words = tokenize(text)
     sw = STOPWORDS.get(lang, STOPWORDS_EN)
-    return len(words), sum(1 for w in words if w in sw)
+    return len(words), sum(map(sw.__contains__, words))
 
 
 def link_density_high(node, lang: str = "en") -> bool:
