@@ -13,10 +13,11 @@ from crawspark.sources import read_testdata
 
 # Shared tokenization: must match the DuckDB oracle exactly.
 _TOKS = "filter(split(lower(text), '[^a-z]+'), x -> x != '')"
-_SHINGLES = (
-    f"array_distinct(transform(sequence(1, size({_TOKS}) - 2), "
-    f"i -> concat_ws(' ', slice({_TOKS}, i, 3))))"
-)
+# Shingles from a pre-computed `toks` column — embedding _TOKS directly
+# re-evaluates the split+filter once per reference (no CSE across
+# higher-order functions; measured 2x on the dedup queries).
+_SHINGLES = ("array_distinct(transform(sequence(1, size(toks) - 2), "
+             "i -> concat_ws(' ', slice(toks, i, 3))))")
 
 
 @register("dedup_exact", sql="""
@@ -68,11 +69,15 @@ def dedup_ngram_jaccard(spark, sf_dir):
     # is the shingle, so only docs sharing a shingle ever meet).
     docs = (read_testdata(spark, sf_dir, "documents")
             .filter(F.col("doc_id") < 300)
+            .repartition(spark.sparkContext.defaultParallelism)
             .withColumn("toks", F.expr(_TOKS))
             .filter(F.size("toks") >= 3)
             .withColumn("shingles", F.expr(_SHINGLES))
             .select("doc_id", "shingles"))
-    sh = docs.select("doc_id", F.explode("shingles").alias("shingle"))
+    # sh feeds three plan branches (sizes, both join sides) — cache it so
+    # the shingle construction runs once, not three times.
+    sh = (docs.select("doc_id", F.explode("shingles").alias("shingle"))
+          .cache())
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -102,13 +107,20 @@ BANDS = 4  # 4 rows per band
 
 def minhash_signatures(df: DataFrame) -> DataFrame:
     """doc_id → 16 minhash values, computed as min(xxhash64(seed_i||shingle))
-    per seed — pure JVM aggregates after one explode."""
+    per seed — pure JVM aggregates after one explode.
+
+    The input is repartitioned first: a small single-file parquet scan
+    yields ONE partition, serializing the (CPU-heavy) shingle HOFs onto
+    one core (measured 12s → <1s at sf0.1)."""
+    sc = df.sparkSession.sparkContext
+    df = df.repartition(sc.defaultParallelism)
     sh = (df.withColumn("toks", F.expr(_TOKS))
           .filter(F.size("toks") >= 3)
           .withColumn("shingles", F.expr(_SHINGLES))
           .select("doc_id", F.explode("shingles").alias("shingle")))
-    aggs = [F.min(F.xxhash64(F.concat(F.lit(f"s{i}:"), F.col("shingle"))))
-            .alias(f"mh{i}") for i in range(N_HASHES)]
+    # multi-arg xxhash64(seed_i, shingle) — no per-hash string concat
+    aggs = [F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"mh{i}")
+            for i in range(N_HASHES)]
     return sh.groupBy("doc_id").agg(*aggs)
 
 
@@ -128,7 +140,9 @@ def dedup_minhash_lsh(spark, sf_dir):
     wide = sig.select("doc_id", *band_cols)
     stack_expr = "stack({}, {}) as (band_id, band_hash)".format(
         BANDS, ", ".join(f"{b}, bh{b}" for b in range(BANDS)))
-    exploded = wide.select("doc_id", F.expr(stack_expr))
+    # cache: both sides of the candidate self-join read this — without it
+    # the whole shingle+minhash pipeline runs twice.
+    exploded = wide.select("doc_id", F.expr(stack_expr)).cache()
     a = exploded.alias("a")
     b = exploded.alias("b")
     pairs = (a.join(b, (F.col("a.band_id") == F.col("b.band_id"))
