@@ -148,6 +148,41 @@ def ann_lsh_buckets(spark, sf_dir):
                  F.sum("n_vectors").cast("long").alias("n_total")))
 
 
+@register("ann_ivf_buckets")  # rows-only (centroid assignment is engine-specific)
+def ann_ivf_buckets(spark, sf_dir):
+    # IVF-style coarse quantization, deterministic and model-free: the
+    # "centroids" are the first K corpus vectors (stand-in for a trained
+    # codebook — the Spark plumbing is the point); every vector is
+    # assigned to its nearest centroid by cosine. At scale the assignment
+    # is one broadcast of K*dim floats + a numpy matmul per batch, and
+    # search probes only the query's cell (+n neighbors).
+    import numpy as np
+    import pandas as pd
+
+    emb = read_testdata(spark, sf_dir, "embeddings")
+    cent = (emb.filter(F.col("vec_id") < 16)
+            .select("vec_id", "embedding").toPandas())
+    C = np.array(list(cent["embedding"]), dtype=np.float64)
+    C = C / np.linalg.norm(C, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast(C)
+
+    def assign(batches):
+        M = bc.value
+        for pdf in batches:
+            v = np.array(list(pdf["embedding"]), dtype=np.float64)
+            v = v / np.linalg.norm(v, axis=1, keepdims=True)
+            cells = np.argmax(v @ M.T, axis=1)
+            yield pd.DataFrame({"vec_id": pdf["vec_id"], "cell": cells})
+
+    n_parts = max(spark.sparkContext.defaultParallelism, 8)
+    assigned = (emb.select("vec_id", "embedding").repartition(n_parts)
+                .mapInPandas(assign, "vec_id long, cell int"))
+    return (assigned.groupBy("cell").agg(F.count("*").alias("n_vectors"))
+            .agg(F.count("*").alias("n_cells"),
+                 F.max("n_vectors").alias("max_cell"),
+                 F.sum("n_vectors").cast("long").alias("n_total")))
+
+
 def ann_search_lsh(spark, sf_dir, query_ids: list[int], k: int = 5) -> DataFrame:
     """LSH-pruned top-k: exact rerank within the query's bucket. Falls back
     to nothing when a bucket is sparse — callers widen probes as needed.
