@@ -169,7 +169,15 @@ class _TreeBuilder(HTMLParser):
 
     def handle_data(self, data: str) -> None:
         if data:
-            self.stack[-1].append(data)
+            # Merge adjacent text chunks: chunk boundaries are a parser
+            # artifact (html.parser splits at '<' and charrefs), not
+            # document structure — and Node.text() joins chunks with a
+            # space, so unmerged chunks would leak phantom whitespace.
+            ch = self.stack[-1].children
+            if ch and isinstance(ch[-1], str):
+                ch[-1] += data
+            else:
+                ch.append(data)
 
     # Comments, PIs, declarations are dropped at parse time — observably the
     # same as the reference cleaner's remove-comments step

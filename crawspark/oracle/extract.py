@@ -26,7 +26,9 @@ from __future__ import annotations
 import re
 
 from crawspark.oracle.cleaner import clean_document
-from crawspark.oracle.dom import parse_html
+# parse_html_fast builds the identical tree (differential-tested against
+# the stdlib path in tests/test_fastparse.py) at ~2x throughput.
+from crawspark.oracle.fastparse import parse_html_fast as parse_html
 from crawspark.oracle.formatter import extract_outlinks, format_content
 from crawspark.oracle.media import media_kind_for_ref
 from crawspark.oracle.meta import detect_lang, extract_meta, extract_title
