@@ -29,11 +29,13 @@ _SCAN = re.compile(
     r"<!--.*?-->"                             # well-formed comment
     r"|<![^>]*>"                              # doctype / decl
     r"|<\?[^>]*>"                             # processing instruction
-    # The unquoted-char class excludes quotes so backtracking can never
-    # close a tag at a '>' INSIDE a quoted attribute value (html.parser
-    # treats such input as an incomplete tag → data).
-    rf"|</(?P<end>{_NAME})(?:\"[^\"]*\"|'[^']*'|[^>\"'])*>"
-    r"|</(?:\"[^\"]*\"|'[^']*'|[^>\"'])*>"    # bogus end tag → dropped
+    # End tags are QUOTE-BLIND in html.parser (name parsed, then skip to
+    # the first '>'); bogus '</'+junk consumes to '>' as a dropped comment.
+    rf"|</(?P<end>{_NAME})[^>]*>"
+    r"|</[^>]*>"                              # bogus end tag → dropped
+    # Start tags ARE quote-aware: the unquoted-char class excludes quotes
+    # so backtracking can never close a tag at a '>' INSIDE a quoted
+    # attribute value (html.parser treats such input as incomplete → data).
     rf"|<(?P<start>{_NAME})(?P<attrs>(?:\"[^\"]*\"|'[^']*'|[^>\"'])*)>",
     re.DOTALL)
 

@@ -39,8 +39,16 @@ def test_export_sinks(spark, tmp_path):
     ext.unpersist()
 
 
-def _plan(df) -> str:
-    return df._jdf.queryExecution().executedPlan().toString()
+from crawspark.plans import executed_plan as _plan
+from crawspark.plans import plan_summary, pushed_filters
+
+
+def test_plan_summary_and_pushed_filters(spark, sf_dir):
+    df = (read_testdata(spark, sf_dir, "documents")
+          .filter(F.col("lang") == "en").select("doc_id"))
+    assert "EqualTo(lang,en)" in pushed_filters(df)
+    s = plan_summary(df)
+    assert s["scans"] == 1 and s["exchanges"] == 0
 
 
 def test_filter_pushdown_reaches_scan(spark, sf_dir):
