@@ -99,13 +99,11 @@ class CheckpointedExtraction:
         extracted = with_partition_key(extracted, self.n_parts).cache()
 
         # Idempotent per-partition replace (parquet: dynamic overwrite;
-        # Iceberg backend: overwritePartitions).
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        (extracted.select("partition_key", "doc_id", "spans", "lang", "n_spans")
-         .write.mode("overwrite").partitionBy("partition_key")
-         .parquet(self.backend._path(self.results_table))  # type: ignore[attr-defined]
-         ) if hasattr(self.backend, "_path") else self.backend.append(
-            extracted, self.results_table)
+        # Iceberg backend: atomic overwritePartitions).
+        self.backend.overwrite_partitions(
+            extracted.select("partition_key", "doc_id", "spans", "lang",
+                             "n_spans"),
+            self.results_table, "partition_key")
 
         # Collect per-partition metrics to the driver BEFORE touching the
         # checkpoint table: appending to it invalidates (recacheByPath)

@@ -47,6 +47,12 @@ class TableBackend:
     def overwrite(self, df: DataFrame, name: str) -> None:
         raise NotImplementedError
 
+    def overwrite_partitions(self, df: DataFrame, name: str,
+                             partition_col: str) -> None:
+        """Replace exactly the partitions present in ``df`` (idempotent
+        re-processing unit for resumable runs)."""
+        raise NotImplementedError
+
     def exists(self, spark: SparkSession, name: str) -> bool:
         raise NotImplementedError
 
@@ -66,6 +72,15 @@ class ParquetBackend(TableBackend):
 
     def overwrite(self, df: DataFrame, name: str) -> None:
         df.write.mode("overwrite").parquet(self._path(name))
+
+    def overwrite_partitions(self, df: DataFrame, name: str,
+                             partition_col: str) -> None:
+        # Dynamic partition overwrite: only directories for partition
+        # values present in df are replaced.
+        df.sparkSession.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", "dynamic")
+        (df.write.mode("overwrite").partitionBy(partition_col)
+         .parquet(self._path(name)))
 
     def exists(self, spark: SparkSession, name: str) -> bool:
         return os.path.exists(self._path(name))
@@ -89,6 +104,11 @@ class IcebergBackend(TableBackend):
 
     def overwrite(self, df: DataFrame, name: str) -> None:
         df.writeTo(self._tbl(name)).createOrReplace()
+
+    def overwrite_partitions(self, df: DataFrame, name: str,
+                             partition_col: str) -> None:
+        # Iceberg's dynamic overwrite is an atomic snapshot commit.
+        df.writeTo(self._tbl(name)).overwritePartitions()
 
     def exists(self, spark: SparkSession, name: str) -> bool:
         return spark.catalog.tableExists(self._tbl(name))
