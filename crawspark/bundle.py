@@ -21,7 +21,10 @@ _SHIPPED_APPS: set[str] = set()
 def build_zip(dest: str | None = None) -> str:
     """Zip the crawspark package (source only, deterministic order)."""
     pkg_root = pathlib.Path(__file__).resolve().parent
-    dest = dest or os.path.join(tempfile.gettempdir(), "crawspark-bundle.zip")
+    # pid-scoped default: concurrent driver processes must not clobber
+    # each other's bundle mid-upload
+    dest = dest or os.path.join(tempfile.gettempdir(),
+                                f"crawspark-bundle-{os.getpid()}.zip")
     with zipfile.ZipFile(dest, "w", zipfile.ZIP_DEFLATED) as zf:
         for py in sorted(pkg_root.rglob("*.py")):
             zf.write(py, arcname=str(py.relative_to(pkg_root.parent)))
