@@ -87,10 +87,14 @@ def extract_document(doc_id: str, spans: list[InSpan]) -> dict:
         lang = detect_lang(meta["lang"], body.text())
         base_url = meta["base_href"] or meta["canonical"]
         clean_document(root)
-        top = score_nodes(root, lang)
+        # one stats memo for the whole post-clean pipeline (tree is
+        # structurally frozen from here; scorer only writes .score)
+        from crawspark.oracle.stats import NodeStats
+        memo = NodeStats(lang)
+        top = score_nodes(root, lang, memo)
         if top is not None:
-            roots = merge_siblings(top, lang)
-            out.extend(format_content(roots, lang, base_url))
+            roots = merge_siblings(top, lang, memo)
+            out.extend(format_content(roots, lang, base_url, memo))
             outlinks = extract_outlinks(roots, base_url)
 
     for payload in pdf_payloads:

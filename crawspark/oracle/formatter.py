@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from crawspark.oracle.dom import Node
 from crawspark.oracle.media import absolutize, image_ok, video_src
-from crawspark.oracle.stats import link_density_high, word_stats
+from crawspark.oracle.stats import NodeStats
 
 LEAF_BLOCK_TAGS = frozenset({"p", "pre", "td", "h2", "h3", "h4", "h5", "h6"})
 MIN_BLOCK_STOPWORDS = 3  # [R: remove_fewwords_paragraphs]
@@ -30,15 +30,17 @@ MIN_BLOCK_STOPWORDS = 3  # [R: remove_fewwords_paragraphs]
 Span = tuple[str, str, str]  # (kind, text, media_ref)
 
 
-def format_content(roots: list[Node], lang: str, base_url: str) -> list[Span]:
+def format_content(roots: list[Node], lang: str, base_url: str,
+                   memo: NodeStats | None = None) -> list[Span]:
+    memo = memo or NodeStats(lang)
     spans: list[Span] = []
     seen: set[int] = set()
     for root in roots:
-        _walk(root, lang, base_url, spans, seen, is_root=True)
+        _walk(root, memo, base_url, spans, seen, is_root=True)
     return spans
 
 
-def _walk(node: Node, lang: str, base_url: str, out: list[Span],
+def _walk(node: Node, memo: NodeStats, base_url: str, out: list[Span],
           seen: set[int], is_root: bool = False) -> None:
     if id(node) in seen:
         return
@@ -56,21 +58,21 @@ def _walk(node: Node, lang: str, base_url: str, out: list[Span],
                         absolutize(src, base_url)))
         return
     if node.tag in LEAF_BLOCK_TAGS:
-        _emit_block(node, lang, base_url, out, seen)
+        _emit_block(node, memo, base_url, out, seen)
         return
 
     # Container: apply post-cleanup rules, then recurse in document order.
     if not is_root:
         if node.score < 0:
             return
-        if node.tag != "p" and link_density_high(node, lang):
+        if node.tag != "p" and memo.link_density_high(node):
             return
     for child in node.children:
         if isinstance(child, Node):
-            _walk(child, lang, base_url, out, seen)
+            _walk(child, memo, base_url, out, seen)
 
 
-def _emit_block(node: Node, lang: str, base_url: str, out: list[Span],
+def _emit_block(node: Node, memo: NodeStats, base_url: str, out: list[Span],
                 seen: set[int]) -> None:
     descendants = list(node.iter())  # one traversal: seen-marking + media
     for d in descendants:
@@ -89,12 +91,12 @@ def _emit_block(node: Node, lang: str, base_url: str, out: list[Span],
             if src:
                 media.append(("video", d.attr("title").strip(),
                               absolutize(src, base_url)))
-    text = node.text()
-    _, stop_count = word_stats(text, lang)
+    text = memo.text(node)
+    stop_count = memo.word_stats(node)[1]
     keep_text = bool(text) and (
         stop_count >= MIN_BLOCK_STOPWORDS or node.tag == "pre" or bool(media)
     )
-    if keep_text and not link_density_high(node, lang):
+    if keep_text and not memo.link_density_high(node):
         out.append(("text", text, ""))
     out.extend(media)
 

@@ -8,12 +8,15 @@ Determinism contract (SURVEY.md §7 hard part #1): candidate iteration is
 strict document order; the top node is the FIRST maximal-score node in
 document order; sibling merge prepends previous siblings nearest-last so
 final output remains in document order.
+
+All text/stat lookups go through a shared per-document ``NodeStats`` memo
+(pure caching — identical results, no re-tokenization across stages).
 """
 
 from __future__ import annotations
 
 from crawspark.oracle.dom import Node
-from crawspark.oracle.stats import link_density_high, word_stats
+from crawspark.oracle.stats import NodeStats
 
 CANDIDATE_TAGS = ("p", "pre", "td")
 MIN_STOPWORDS = 2          # candidate threshold [R: calculate_best_node]
@@ -24,26 +27,16 @@ NEG_SCORE_PORTION = 0.25   # bottom 25% of a long candidate list get negative
 NEG_SCORE_MIN_NODES = 15
 
 
-def score_nodes(root: Node, lang: str = "en") -> Node | None:
+def score_nodes(root: Node, lang: str = "en",
+                memo: NodeStats | None = None) -> Node | None:
     """Score parents/grandparents of stopword-rich candidates; return the
-    top node (None when the page has no scorable content).
-
-    A per-call stats memo avoids recomputing word_stats/text() for the
-    same node across the candidate filter, boost probing, and upscoring
-    (pure caching — identical results, ~2x less allocation in the hot
-    UDF path)."""
-    memo: dict[int, tuple[int, int]] = {}
-
-    def stats(n: Node) -> tuple[int, int]:
-        k = id(n)
-        s = memo.get(k)
-        if s is None:
-            s = memo[k] = word_stats(n.text(), lang)
-        return s
+    top node (None when the page has no scorable content)."""
+    memo = memo or NodeStats(lang)
 
     candidates = [
         n for n in root.find_all(*CANDIDATE_TAGS)
-        if stats(n)[1] > MIN_STOPWORDS and not link_density_high(n, lang)
+        if memo.word_stats(n)[1] > MIN_STOPWORDS
+        and not memo.link_density_high(n)
     ]
     n_cand = len(candidates)
     bottom_neg = n_cand * NEG_SCORE_PORTION
@@ -52,7 +45,7 @@ def score_nodes(root: Node, lang: str = "en") -> Node | None:
 
     for i, node in enumerate(candidates):
         boost = 0.0
-        if _is_boostable(node, lang, stats):
+        if _is_boostable(node, memo):
             boost = (1.0 / starting_boost) * BOOST_SCORE
             starting_boost += 1.0
         if n_cand > NEG_SCORE_MIN_NODES and (n_cand - i) <= bottom_neg:
@@ -60,7 +53,7 @@ def score_nodes(root: Node, lang: str = "en") -> Node | None:
             boost = -(booster * booster)
             if abs(boost) > 40.0:
                 boost = 5.0
-        upscore = float(stats(node)[1]) + boost
+        upscore = float(memo.word_stats(node)[1]) + boost
 
         parent = node.parent
         if parent is not None:
@@ -84,7 +77,7 @@ def score_nodes(root: Node, lang: str = "en") -> Node | None:
     return top
 
 
-def _is_boostable(node: Node, lang: str, stats) -> bool:
+def _is_boostable(node: Node, memo: NodeStats) -> bool:
     """A paragraph whose nearby previous sibling paragraphs are stopword-rich
     gets boosted (leading-paragraph pattern) [R: is_boostable]."""
     steps = 0
@@ -93,47 +86,47 @@ def _is_boostable(node: Node, lang: str, stats) -> bool:
             continue
         if steps >= BOOST_MAX_STEPS:
             return False
-        if stats(sib)[1] > BOOST_STOPWORDS:
+        if memo.word_stats(sib)[1] > BOOST_STOPWORDS:
             return True
         steps += 1
     return False
 
 
-def merge_siblings(top: Node, lang: str = "en") -> list[Node]:
+def merge_siblings(top: Node, lang: str = "en",
+                   memo: NodeStats | None = None) -> list[Node]:
     """Qualifying previous siblings of the top node, in document order,
     followed by the top node itself [R: get_siblings_content]. Returned as a
     list (the content sequence root set); the DOM is not mutated."""
-    threshold = _sibling_threshold(top, lang)
+    memo = memo or NodeStats(lang)
+    threshold = _sibling_threshold(top, memo)
     keep: list[Node] = []
     for sib in reversed(top.prev_siblings()):  # document order
         if sib.tag == "p":
-            if _sibling_para_ok(sib, threshold, lang):
+            if _sibling_para_ok(sib, threshold, memo):
                 keep.append(sib)
         else:
             for p in sib.find_all("p"):
-                if _sibling_para_ok(p, threshold, lang):
+                if _sibling_para_ok(p, threshold, memo):
                     keep.append(p)
     keep.append(top)
     return keep
 
 
-def _sibling_threshold(top: Node, lang: str) -> float:
+def _sibling_threshold(top: Node, memo: NodeStats) -> float:
     """max(10, 30% of the mean candidate-para score inside the top node)
     [R: get_siblings_score_threshold]."""
     base = 100000.0
     paras = 0
     total = 0.0
     for p in top.find_all("p"):
-        _, sc = word_stats(p.text(), lang)
-        total += float(sc)
+        total += float(memo.word_stats(p)[1])
         paras += 1
     if paras:
         base = total / paras
     return max(10.0, base * 0.30)
 
 
-def _sibling_para_ok(p: Node, threshold: float, lang: str) -> bool:
-    if link_density_high(p, lang):
+def _sibling_para_ok(p: Node, threshold: float, memo: NodeStats) -> bool:
+    if memo.link_density_high(p):
         return False
-    _, stop_count = word_stats(p.text(), lang)
-    return float(stop_count) >= threshold
+    return float(memo.word_stats(p)[1]) >= threshold

@@ -38,3 +38,51 @@ def link_density_high(node, lang: str = "en") -> bool:
     link_words = sum(len(a.text().split()) for a in links)
     score = (float(link_words) / len(words)) * len(links)
     return score >= 1.0
+
+
+class NodeStats:
+    """Per-document memo for node text / word stats / link density.
+
+    Valid while the DOM is structurally frozen (i.e. AFTER clean_document;
+    the scorer only writes Node.score). Pure caching — byte-identical
+    results, shared across scorer, sibling merge, and formatter so the
+    same node is never re-tokenized per stage."""
+
+    __slots__ = ("lang", "_text", "_stats", "_dense")
+
+    def __init__(self, lang: str):
+        self.lang = lang
+        self._text: dict[int, str] = {}
+        self._stats: dict[int, tuple[int, int]] = {}
+        self._dense: dict[int, bool] = {}
+
+    def text(self, node) -> str:
+        k = id(node)
+        t = self._text.get(k)
+        if t is None:
+            t = self._text[k] = node.text()
+        return t
+
+    def word_stats(self, node) -> tuple[int, int]:
+        k = id(node)
+        s = self._stats.get(k)
+        if s is None:
+            s = self._stats[k] = word_stats(self.text(node), self.lang)
+        return s
+
+    def link_density_high(self, node) -> bool:
+        k = id(node)
+        d = self._dense.get(k)
+        if d is None:
+            words = self.text(node).split()
+            if not words:
+                d = True
+            else:
+                links = node.find_all("a")
+                if not links:
+                    d = False
+                else:
+                    link_words = sum(len(self.text(a).split()) for a in links)
+                    d = (float(link_words) / len(words)) * len(links) >= 1.0
+            self._dense[k] = d
+        return d
