@@ -267,6 +267,41 @@ def grouping_size_buckets(spark, sf_dir):
             .groupBy("bucket").agg(F.count("*").alias("n_docs")))
 
 
+@register("cube_lang_source", sql="""
+    SELECT lang, source, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents GROUP BY CUBE (lang, source)
+""")
+def cube_lang_source(spark, sf_dir):
+    return (_t(spark, sf_dir, "documents")
+            .cube("lang", "source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_chars").cast("long").alias("total_chars")))
+
+
+@register("string_funcs_showcase", sql="""
+    SELECT doc_id,
+           upper(substr(text, 1, 10)) AS head_upper,
+           length(trim(text)) AS trimmed_len,
+           replace(source, 'src', 'origin-') AS origin,
+           CAST(instr(text, 'data') AS BIGINT) AS data_pos,
+           reverse(lang) AS gnal,
+           lpad(CAST(doc_id AS VARCHAR), 8, '0') AS padded_id
+    FROM documents
+""")
+def string_funcs_showcase(spark, sf_dir):
+    # §2.6 scalar-function surface in one oracle-checked projection.
+    return (_t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.upper(F.substring("text", 1, 10)).alias("head_upper"),
+        F.length(F.trim("text")).cast("long").alias("trimmed_len"),
+        F.replace(F.col("source"), F.lit("src"), F.lit("origin-"))
+        .alias("origin"),
+        F.instr(F.col("text"), "data").cast("long").alias("data_pos"),
+        F.reverse("lang").alias("gnal"),
+        F.lpad(F.col("doc_id").cast("string"), 8, "0").alias("padded_id")))
+
+
 @register("rollup_lang_source", sql="""
     SELECT lang, source, count(*) AS n_docs
     FROM documents GROUP BY ROLLUP (lang, source)
