@@ -60,10 +60,15 @@ def filter_content_type(spark, sf_dir):
                  F.sum("n_chars").cast("long").alias("total_chars")))
 
 
-@register("extract_outlinks")  # rows-only: outlinks come from the extractor
+@register("extract_outlinks", sql="""
+    SELECT doc_id, n_outlinks
+    FROM read_parquet('/root/repo/tests/fixtures/extract_oracle/sf0_01.parquet')
+""")
 def extract_outlinks_q(spark, sf_dir):
     # Outlink surface [R: page.py outlinks]: per-doc distinct absolutized
-    # hrefs from the content sequence; aggregated count for stability.
+    # hrefs from the content sequence. Per-doc rows (not an aggregate) so
+    # the driver's value hash pins every document against the frozen
+    # oracle's materialized extraction (tools/gen_extract_oracle.py).
     from crawspark.operators.extract import interleave_documents
 
     import pyarrow as pa
@@ -81,7 +86,4 @@ def extract_outlinks_q(spark, sf_dir):
                 {"doc_id": ids, "n_outlinks": counts})
 
     docs = interleave_documents(read_testdata(spark, sf_dir, "documents"))
-    per_doc = docs.mapInArrow(links, "doc_id string, n_outlinks long")
-    return (per_doc.agg(F.count("*").alias("n_docs"),
-                        F.sum("n_outlinks").cast("long")
-                        .alias("total_outlinks")))
+    return docs.mapInArrow(links, "doc_id string, n_outlinks long")

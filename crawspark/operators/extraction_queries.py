@@ -2,9 +2,13 @@
 
 These run the real vectorized extraction (oracle core inside mapInArrow)
 over the driver `documents` testdata transformed into the interleaved
-shape (FIXTURES.md §3). They are non-SQL-expressible (the extractor is not
-SQL), so the driver records rows-only checks; full value correctness is
-pinned by the span-sequence fixtures in tests/ (`python -m pytest -x -q`).
+shape (FIXTURES.md §3). The extractor itself is not SQL — but it IS a
+deterministic pure function, so the frozen Python oracle's extraction of
+the sf0.01 table is materialized once to parquet
+(tools/gen_extract_oracle.py) and the DuckDB oracle reads that file: the
+driver's hash compare then pins the full Spark pipeline (interleave →
+Arrow batching → extraction → post-aggregation) against the frozen
+reference values, row by row.
 """
 
 from __future__ import annotations
@@ -18,13 +22,21 @@ from crawspark.operators.extract import extract_documents, interleave_documents
 from crawspark.registry import register
 from crawspark.sources import read_testdata
 
+# Frozen-oracle extraction of the sf0.01 documents table (the driver's
+# correctness SF). Regenerate with tools/gen_extract_oracle.py.
+ORACLE_PQ = ("read_parquet('/root/repo/tests/fixtures/extract_oracle/"
+             "sf0_01.parquet')")
+
 
 def _extracted(spark, sf_dir):
     docs = read_testdata(spark, sf_dir, "documents")
     return extract_documents(interleave_documents(docs))
 
 
-@register("extract_flagship")
+@register("extract_flagship", sql=f"""
+    SELECT doc_id, lang, n_spans, spans[1].kind AS first_kind
+    FROM {ORACLE_PQ}
+""")
 def extract_flagship(spark, sf_dir):
     # Full pipeline: scan → interleave → vectorized extract → per-doc stats.
     return (_extracted(spark, sf_dir)
@@ -32,7 +44,12 @@ def extract_flagship(spark, sf_dir):
                     F.element_at("spans", 1)["kind"].alias("first_kind")))
 
 
-@register("agg_span_stats")
+@register("agg_span_stats", sql=f"""
+    SELECT s.kind AS kind, count(*) AS n_spans,
+           CAST(round(avg(length(s.text)), 2) AS DOUBLE) AS avg_chars
+    FROM (SELECT unnest(spans) AS s FROM {ORACLE_PQ})
+    GROUP BY s.kind
+""")
 def agg_span_stats(spark, sf_dir):
     # Span-kind histogram + mean text length (explode → hash agg).
     return (_extracted(spark, sf_dir)
@@ -42,7 +59,12 @@ def agg_span_stats(spark, sf_dir):
                  F.round(F.avg(F.length("s.text")), 2).alias("avg_chars")))
 
 
-@register("classify_spans")
+@register("classify_spans", sql=f"""
+    SELECT lang, count(*) AS n_docs,
+           CAST(round(CAST(sum(content_chars) AS DOUBLE) / sum(raw_chars), 4)
+                AS DOUBLE) AS content_ratio
+    FROM {ORACLE_PQ} GROUP BY lang
+""")
 def classify_spans(spark, sf_dir):
     # Content-vs-boilerplate verdict surfaced as a ratio: extracted payload
     # chars vs raw payload chars per language (BASELINE.json:L6).
@@ -67,7 +89,14 @@ def classify_spans(spark, sf_dir):
                          / F.sum("raw_chars"), 4).alias("content_ratio")))
 
 
-@register("window_span_order")
+@register("window_span_order", sql=f"""
+    SELECT offsets_dense, count(*) AS n_docs FROM (
+      SELECT coalesce(list_aggregate(
+               list_transform(spans, (s, i) -> s."offset" = i - 1),
+               'bool_and'), TRUE) AS offsets_dense
+      FROM {ORACLE_PQ}
+    ) GROUP BY offsets_dense
+""")
 def window_span_order(spark, sf_dir):
     # Invariant check as a query: offsets must be dense 0..n-1 per doc.
     ext = _extracted(spark, sf_dir)
@@ -120,7 +149,21 @@ def _media_meta(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         })
 
 
-@register("multimodal_media_meta")
+@register("multimodal_media_meta", sql="""
+    SELECT media_kind, count(*) AS n_media,
+           CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+           max(width) AS max_width
+    FROM (
+      -- Closed form of the deterministic payload synthesis + stub decode:
+      -- payload = repeat('B' || doc_id, 10)  (so first byte is 'B' = 66,
+      -- width = 160 + (66 % 8) * 80 = 320 always).
+      SELECT CASE WHEN doc_id % 10 = 0 THEN 'video' ELSE 'image' END
+               AS media_kind,
+             10 * (1 + length(CAST(doc_id AS VARCHAR))) AS n_bytes,
+             320 AS width
+      FROM documents WHERE doc_id % 5 = 0
+    ) GROUP BY media_kind
+""")
 def multimodal_media_meta(spark, sf_dir):
     # Opaque binary media column (synthesized deterministically from doc_id)
     # + mapInPandas metadata extraction; aggregated so the check is stable.

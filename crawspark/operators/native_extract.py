@@ -28,6 +28,7 @@ gives you for free.
 
 from __future__ import annotations
 
+import hashlib
 import os
 from collections.abc import Iterator
 
@@ -42,6 +43,39 @@ def list_parquet_files(input_path: str) -> list[str]:
     return sorted(
         os.path.join(input_path, f) for f in os.listdir(input_path)
         if f.endswith(".parquet"))
+
+
+def _doc_hash64(doc_id) -> int:
+    """Stable (process/run/executor-independent) 64-bit doc hash.
+
+    Python's builtin ``hash()`` is salted per process (PYTHONHASHSEED), so
+    fingerprints built from it are not comparable across runs — blake2b is.
+    """
+    return int.from_bytes(
+        hashlib.blake2b(str(doc_id).encode(), digest_size=8).digest(), "big")
+
+
+def file_fingerprint(path: str) -> str:
+    """Order-independent content fingerprint: xor of per-doc 64-bit hashes.
+
+    Reads ONLY the doc_id column (columnar projection) — cheap relative to
+    re-extracting, which is the whole point of the resume drift check."""
+    import pyarrow.parquet as pq
+
+    fp = 0
+    for rb in pq.read_table(path, columns=["doc_id"]).to_batches():
+        for doc_id in rb.column("doc_id").to_pylist():
+            fp ^= _doc_hash64(doc_id)
+    return str(fp)
+
+
+def _fingerprint_worker(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+    for b in batches:
+        for path in b.column("path").to_pylist():
+            yield pa.RecordBatch.from_pydict({
+                "file": [os.path.basename(path)],
+                "input_fingerprint": [file_fingerprint(path)],
+            })
 
 
 def _make_worker(out_dir: str):
@@ -60,9 +94,9 @@ def _make_worker(out_dir: str):
                     rows = rb.to_pylist()
                     docs_in += len(rows)
                     for r in rows:
-                        # order-independent fingerprint (xor of 64-bit doc
-                        # hashes) — resume invalidates on input drift
-                        fp ^= hash(r["doc_id"]) & 0xFFFFFFFFFFFFFFFF
+                        # order-independent fingerprint (xor of stable 64-bit
+                        # doc hashes) — resume invalidates on input drift
+                        fp ^= _doc_hash64(r["doc_id"])
                     outs.append(_extract_rows(rows))
                 res = pa.Table.from_batches(outs)
                 name = os.path.basename(path)
@@ -100,14 +134,30 @@ def native_extract_job(spark: SparkSession, input_path: str, output_path: str,
 def run_native_checkpointed(spark: SparkSession, input_path: str,
                             output_path: str, checkpoint_path: str,
                             run_id: str, completed_ts: str) -> dict:
-    """Resumable wrapper: skip files already checkpointed for this run."""
+    """Resumable wrapper: skip files already checkpointed for this run.
+
+    A file is only skipped when its RECORDED fingerprint matches the file's
+    CURRENT fingerprint — drift (a rewritten input shard) forces re-extract.
+    The fingerprint re-check is itself distributed (doc_id-column-only scan
+    via mapInArrow) so the driver never reads payload bytes."""
     done: set[str] = set()
     if os.path.isdir(checkpoint_path) and os.listdir(checkpoint_path):
         ck = spark.read.parquet(checkpoint_path)
-        done = {r["file"] for r in
-                (ck.filter((F.col("run_id") == run_id)
-                           & (F.col("status") == "done"))
-                 .select("file").collect())}
+        recorded = {r["file"]: r["input_fingerprint"] for r in
+                    (ck.filter((F.col("run_id") == run_id)
+                               & (F.col("status") == "done"))
+                     .select("file", "input_fingerprint").collect())}
+        candidates = [f for f in list_parquet_files(input_path)
+                      if os.path.basename(f) in recorded]
+        if candidates:
+            cdf = (spark.createDataFrame([(f,) for f in candidates],
+                                         "path string")
+                   .repartition(len(candidates)))
+            current = cdf.mapInArrow(
+                _fingerprint_worker,
+                "file string, input_fingerprint string").collect()
+            done = {r["file"] for r in current
+                    if recorded.get(r["file"]) == r["input_fingerprint"]}
     metrics = native_extract_job(spark, input_path, output_path, done)
     rows = metrics.collect()
     if rows:

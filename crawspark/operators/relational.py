@@ -171,10 +171,22 @@ def approx_distinct_urls(spark, sf_dir):
                  F.count("*").alias("n_docs")))
 
 
-@register("approx_distinct_urls_hll")  # rows-only: HLL estimate is engine-specific
+@register("approx_distinct_urls_hll", sql="""
+    SELECT count(DISTINCT source) AS n_sources_exact,
+           TRUE AS hll_within_tol
+    FROM documents
+""")
 def approx_distinct_urls_hll(spark, sf_dir):
+    # HLL estimates are engine-specific, so the oracle-checkable form is the
+    # PROPERTY: the estimate must land within the configured error bound of
+    # the exact count (rsd=0.01 → 5% tolerance is >4 sigma).
     return (_t(spark, sf_dir, "documents")
-            .agg(F.approx_count_distinct("source").alias("approx_sources")))
+            .agg(F.countDistinct("source").alias("n_sources_exact"),
+                 F.approx_count_distinct("source", 0.01).alias("approx"))
+            .select("n_sources_exact",
+                    (F.abs(F.col("approx") - F.col("n_sources_exact"))
+                     <= 0.05 * F.col("n_sources_exact"))
+                    .alias("hll_within_tol")))
 
 
 @register("window_dedup_first", sql="""
@@ -248,10 +260,13 @@ def union_frontier(spark, sf_dir):
     SELECT o_custkey AS c_custkey FROM orders
 """)
 def except_done(spark, sf_dir):
-    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    # Set-EXCEPT semantics: distinct left, then anti-join — exceptAll()
+    # .distinct() diverges when a duplicated left key also appears on the
+    # right (EXCEPT drops it entirely; exceptAll keeps surplus copies).
+    c = _t(spark, sf_dir, "customer").select("c_custkey").distinct()
     o = _t(spark, sf_dir, "orders").select(
         F.col("o_custkey").alias("c_custkey"))
-    return c.exceptAll(o).distinct()
+    return c.join(o, "c_custkey", "left_anti")
 
 
 @register("grouping_size_buckets", sql="""
@@ -378,7 +393,7 @@ def join_media_docs(spark, sf_dir):
 @register("join_salted_skew", sql="""
     SELECT l_returnflag,
            CAST(round(sum(l_quantity), 2) AS DOUBLE) AS sum_qty,
-           sum(n) AS n_lines
+           CAST(sum(n) AS BIGINT) AS n_lines
     FROM (
       SELECT l_returnflag, sum(l_quantity) AS l_quantity, count(*) AS n
       FROM lineitem GROUP BY l_returnflag, l_orderkey % 16

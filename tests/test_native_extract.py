@@ -36,6 +36,32 @@ def test_native_matches_oracle(spark, tmp_path):
         assert g["lang"] == exp["lang"]
 
 
+def test_native_resume_invalidates_on_drift(spark, tmp_path):
+    # A checkpointed shard whose input file is rewritten must be
+    # re-extracted on resume (fingerprint mismatch), while untouched
+    # shards stay skipped.
+    import os
+
+    import pyarrow.parquet as pq
+
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    _write_input(spark, inp)
+    r1 = run_native_checkpointed(spark, inp, out, ck, "r1",
+                                 "2026-01-01 00:00:00")
+    assert r1["files_processed"] == 4
+    target = sorted(f for f in os.listdir(inp) if f.endswith(".parquet"))[0]
+    path = os.path.join(inp, target)
+    tbl = pq.read_table(path)
+    pq.write_table(tbl.slice(0, tbl.num_rows - 1), path)  # drop one doc
+    r2 = run_native_checkpointed(spark, inp, out, ck, "r1",
+                                 "2026-01-01 01:00:00")
+    assert r2["files_processed"] == 1 and r2["files_skipped"] == 3
+    n_docs = spark.read.parquet(out).count()
+    assert n_docs == 39  # drifted shard re-extracted with one fewer doc
+
+
 def test_native_checkpoint_resume(spark, tmp_path):
     inp = str(tmp_path / "in")
     out = str(tmp_path / "out")
