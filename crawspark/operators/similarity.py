@@ -41,42 +41,63 @@ def _cosine(a: str, b: str):
                                  b.embedding::DOUBLE[]) >= 0.35
 """)
 def embedding_cosine_pairs(spark, sf_dir):
-    # Embedding near-dup: all-pairs cosine >= 0.35, Arrow-vectorized:
-    # the corpus matrix is broadcast (small relative to pair count) and
-    # each partition computes its block of the gram matrix with one numpy
-    # matmul — a row-pair theta-join with per-pair array expressions is
-    # ~50x slower (measured: 35s vs <1s at 2k vectors). At corpus sizes
-    # where the matrix no longer broadcasts, the scale path is
-    # ann_lsh_buckets (bucketed block joins), not a bigger matmul.
+    # Embedding near-dup: all-pairs cosine >= 0.35 as a BLOCK-PAIR GRID —
+    # vectors hash into B blocks, the B*(B+1)/2 block pairs become one task
+    # each, and every task matmuls its two blocks with numpy. Nothing is
+    # ever gathered to the driver (the r1 design broadcast the full corpus
+    # matrix from the driver — a driver OOM at 100x scale); the per-task
+    # working set is 2 blocks = O(N/B * dim), so B scales with the corpus
+    # while tasks stay memory-bounded. A row-pair theta-join with per-pair
+    # array expressions is ~50x slower (measured: 35s vs <1s at 2k
+    # vectors). The pruned alternative at extreme scale is
+    # ann_lsh_buckets (bucketed joins skip far pairs entirely).
     import numpy as np
     import pandas as pd
 
+    n_blocks = 8
     emb = read_testdata(spark, sf_dir, "embeddings")
-    # Arrow-path gather of the broadcast side (plain .collect() deserializes
-    # array cells row-at-a-time through Pyrolite — 10x slower, measured).
-    pdf0 = emb.select("vec_id", "embedding").toPandas()
-    ids = pdf0["vec_id"].to_numpy(dtype=np.int64)
-    mat = np.array(list(pdf0["embedding"]), dtype=np.float64)
-    norms = np.sqrt((mat * mat).sum(axis=1))
-    bc = spark.sparkContext.broadcast((ids, mat, norms))
+    blocks = (emb.select("vec_id", "embedding",
+                         F.pmod(F.col("vec_id"), F.lit(n_blocks))
+                         .alias("blk"))
+              .groupBy("blk")
+              .agg(F.collect_list(F.struct("vec_id", "embedding"))
+                   .alias("vecs")))
+    ba = blocks.select(F.col("blk").alias("blk_a"),
+                       F.col("vecs").alias("vecs_a"))
+    bb = blocks.select(F.col("blk").alias("blk_b"),
+                       F.col("vecs").alias("vecs_b"))
+    grid = (ba.join(bb, F.col("blk_a") <= F.col("blk_b"))
+            .repartition(n_blocks * (n_blocks + 1) // 2, "blk_a", "blk_b"))
 
-    out_schema = "vec_a long, vec_b long, cos_sim double"
+    def _mat(cell):
+        ids = np.array([v["vec_id"] for v in cell], dtype=np.int64)
+        m = np.array([np.asarray(v["embedding"], dtype=np.float64)
+                      for v in cell])
+        return ids, m, np.sqrt((m * m).sum(axis=1))
 
-    def block(batches):
-        b_ids, b_mat, b_norms = bc.value
+    def block_pair(batches):
         for pdf in batches:
-            v = np.array(list(pdf["embedding"]), dtype=np.float64)
-            a_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-            a_norms = np.sqrt((v * v).sum(axis=1))
-            sims = (v @ b_mat.T) / np.outer(a_norms, b_norms)
-            ai, bj = np.nonzero((a_ids[:, None] < b_ids[None, :])
-                                & (sims >= 0.35))
-            yield pd.DataFrame({"vec_a": a_ids[ai], "vec_b": b_ids[bj],
-                                "cos_sim": np.round(sims[ai, bj], 4)})
+            for blk_a, blk_b, vecs_a, vecs_b in zip(
+                    pdf["blk_a"], pdf["blk_b"], pdf["vecs_a"], pdf["vecs_b"]):
+                a_ids, a_mat, a_n = _mat(vecs_a)
+                b_ids, b_mat, b_n = _mat(vecs_b)
+                sims = (a_mat @ b_mat.T) / np.outer(a_n, b_n)
+                # Each unordered pair {i, j} occurs in exactly one block
+                # pair. Same block: keep the upper triangle (a < b). Cross
+                # block: every matrix cell is a distinct pair — normalize
+                # orientation to (min_id, max_id).
+                if blk_a == blk_b:
+                    mask = a_ids[:, None] < b_ids[None, :]
+                else:
+                    mask = a_ids[:, None] != b_ids[None, :]
+                lo = np.minimum(a_ids[:, None], b_ids[None, :])
+                hi = np.maximum(a_ids[:, None], b_ids[None, :])
+                ai, bj = np.nonzero(mask & (sims >= 0.35))
+                yield pd.DataFrame({"vec_a": lo[ai, bj], "vec_b": hi[ai, bj],
+                                    "cos_sim": np.round(sims[ai, bj], 4)})
 
-    n_parts = max(spark.sparkContext.defaultParallelism, 8)
-    return (emb.select("vec_id", "embedding").repartition(n_parts)
-            .mapInPandas(block, out_schema))
+    return grid.mapInPandas(block_pair,
+                            "vec_a long, vec_b long, cos_sim double")
 
 
 @register("ann_cosine_topk", sql="""
@@ -139,65 +160,148 @@ def _lsh_signature(emb_col: str) -> F.Column:
 @register("ann_lsh_buckets")  # rows-only: Spark-hash-derived planes
 def ann_lsh_buckets(spark, sf_dir):
     # Scale path: bucket vectors by hyperplane signature; ANN search then
-    # joins query buckets (+neighboring probes) instead of the full corpus.
+    # joins query buckets (+multi-probe neighbors) instead of the full
+    # corpus. Emits the bucket-size histogram (a banding bug that empties
+    # or collapses buckets shifts these rows, unlike a single aggregate).
     emb = read_testdata(spark, sf_dir, "embeddings")
     sig = emb.select("vec_id", _lsh_signature("embedding").alias("bucket"))
-    return (sig.groupBy("bucket").agg(F.count("*").alias("n_vectors"))
-            .agg(F.count("*").alias("n_buckets"),
-                 F.max("n_vectors").alias("max_bucket"),
-                 F.sum("n_vectors").cast("long").alias("n_total")))
+    sizes = sig.groupBy("bucket").agg(F.count("*").alias("n_vectors"))
+    return (sizes.groupBy("n_vectors").agg(F.count("*").alias("n_buckets"))
+            .orderBy("n_vectors"))
 
 
-@register("ann_ivf_buckets")  # rows-only (centroid assignment is engine-specific)
-def ann_ivf_buckets(spark, sf_dir):
-    # IVF-style coarse quantization, deterministic and model-free: the
-    # "centroids" are the first K corpus vectors (stand-in for a trained
-    # codebook — the Spark plumbing is the point); every vector is
-    # assigned to its nearest centroid by cosine. At scale the assignment
-    # is one broadcast of K*dim floats + a numpy matmul per batch, and
-    # search probes only the query's cell (+n neighbors).
+N_CELLS = 16
+
+
+def _centroids(spark, sf_dir):
+    """Deterministic model-free codebook: the first N_CELLS corpus vectors,
+    L2-normalized. A trained k-means codebook drops in here unchanged —
+    the Spark plumbing (broadcast K*dim floats, matmul per batch) is
+    identical. Driver-side gather is K rows, not the corpus."""
+    import numpy as np
+
+    emb = read_testdata(spark, sf_dir, "embeddings")
+    cent = (emb.filter(F.col("vec_id") < N_CELLS)
+            .select("vec_id", "embedding").toPandas())
+    C = np.array(list(cent["embedding"]), dtype=np.float64)
+    return C / np.linalg.norm(C, axis=1, keepdims=True)
+
+
+def ivf_assign(spark, sf_dir, with_embedding: bool = False) -> DataFrame:
+    """(vec_id, cell[, embedding]): nearest-centroid cell per vector —
+    one broadcast + one numpy matmul per Arrow batch, no shuffle."""
     import numpy as np
     import pandas as pd
 
     emb = read_testdata(spark, sf_dir, "embeddings")
-    cent = (emb.filter(F.col("vec_id") < 16)
-            .select("vec_id", "embedding").toPandas())
-    C = np.array(list(cent["embedding"]), dtype=np.float64)
-    C = C / np.linalg.norm(C, axis=1, keepdims=True)
-    bc = spark.sparkContext.broadcast(C)
+    bc = spark.sparkContext.broadcast(_centroids(spark, sf_dir))
 
     def assign(batches):
         M = bc.value
         for pdf in batches:
             v = np.array(list(pdf["embedding"]), dtype=np.float64)
             v = v / np.linalg.norm(v, axis=1, keepdims=True)
-            cells = np.argmax(v @ M.T, axis=1)
-            yield pd.DataFrame({"vec_id": pdf["vec_id"], "cell": cells})
+            cells = np.argmax(v @ M.T, axis=1).astype("int32")
+            out = {"vec_id": pdf["vec_id"], "cell": cells}
+            if with_embedding:
+                out["embedding"] = pdf["embedding"]
+            yield pd.DataFrame(out)
 
+    schema = ("vec_id long, cell int, embedding array<float>"
+              if with_embedding else "vec_id long, cell int")
     n_parts = max(spark.sparkContext.defaultParallelism, 8)
-    assigned = (emb.select("vec_id", "embedding").repartition(n_parts)
-                .mapInPandas(assign, "vec_id long, cell int"))
+    return (emb.select("vec_id", "embedding").repartition(n_parts)
+            .mapInPandas(assign, schema))
+
+
+@register("ann_ivf_buckets")  # rows-only (centroid assignment is engine-specific)
+def ann_ivf_buckets(spark, sf_dir):
+    # Per-cell occupancy (one row per cell — richer than one aggregate).
+    assigned = ivf_assign(spark, sf_dir)
     return (assigned.groupBy("cell").agg(F.count("*").alias("n_vectors"))
-            .agg(F.count("*").alias("n_cells"),
-                 F.max("n_vectors").alias("max_cell"),
-                 F.sum("n_vectors").cast("long").alias("n_total")))
+            .orderBy("cell"))
 
 
-def ann_search_lsh(spark, sf_dir, query_ids: list[int], k: int = 5) -> DataFrame:
-    """LSH-pruned top-k: exact rerank within the query's bucket. Falls back
-    to nothing when a bucket is sparse — callers widen probes as needed.
-    (Library surface; benched in bench.py, not oracle-checked.)"""
+@register("ann_search_ivf")  # rows-only; recall pinned by tests/test_recall.py
+def ann_search_ivf_q(spark, sf_dir):
+    return ann_search_ivf(spark, sf_dir, query_ids=[0, 1, 2, 3, 4], k=5)
+
+
+def ann_search_ivf(spark, sf_dir, query_ids: list[int], k: int = 5,
+                   nprobe: int = 2) -> DataFrame:
+    """IVF-pruned top-k: each query probes its `nprobe` closest cells and
+    exact-reranks only those cells' members. THE pruned ANN path here:
+    measured on the sf0.001 embeddings (near-isotropic — the hard case),
+    recall@5 is 0.88 scanning 6% of the corpus at nprobe=1 and 0.92 at
+    12% with nprobe=2, vs 0.48 at 13% for multi-probe hyperplane LSH
+    (tests/test_recall.py pins these floors)."""
+    import numpy as np
+
+    C = _centroids(spark, sf_dir)
+    assigned = ivf_assign(spark, sf_dir, with_embedding=True)
+    # Query side is K rows by definition — driver gather is bounded by the
+    # query count, never the corpus.
+    emb = read_testdata(spark, sf_dir, "embeddings")
+    qrows = (emb.filter(F.col("vec_id").isin([int(q) for q in query_ids]))
+             .select("vec_id", "embedding").collect())
+    probes = []
+    for r in qrows:
+        v = np.asarray(r["embedding"], dtype=np.float64)
+        v = v / np.linalg.norm(v)
+        for c in np.argsort(-(C @ v))[:nprobe]:
+            probes.append((int(r["vec_id"]), int(c), list(r["embedding"])))
+    qdf = spark.createDataFrame(
+        probes, "query_id long, cell int, q_emb array<float>")
+    sim = F.round(_cosine("q_emb", "embedding"), 6)
+    w = (Window.partitionBy("query_id")
+         .orderBy(F.col("sim").desc(), F.col("neighbor_id")))
+    return (assigned.join(F.broadcast(qdf),
+                          (qdf.cell == assigned.cell)
+                          & (F.col("query_id") != F.col("vec_id")))
+            .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                    sim.alias("sim"))
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
+
+
+@register("ann_search_lsh")  # rows-only (buckets derive from Spark xxhash64);
+def ann_search_lsh_q(spark, sf_dir):
+    # recall vs brute-force ann_cosine_topk pinned by tests/test_recall.py.
+    return ann_search_lsh(spark, sf_dir, query_ids=[0, 1, 2, 3, 4], k=5)
+
+
+def _probe_masks(radius: int) -> list[int]:
+    """All XOR masks over N_PLANES bits with popcount <= radius."""
+    return [m for m in range(1 << N_PLANES) if bin(m).count("1") <= radius]
+
+
+def ann_search_lsh(spark, sf_dir, query_ids: list[int], k: int = 5,
+                   radius: int = 2) -> DataFrame:
+    """Multi-probe LSH top-k: each query probes every bucket within Hamming
+    distance `radius` of its own signature, then exact-reranks the probed
+    members. radius=0 is classic single-bucket LSH (recall ~0 on
+    near-isotropic embeddings — measured); radius trades scan fraction
+    for recall (tests/test_recall.py pins the measured curve). On this
+    corpus IVF dominates — see ann_search_ivf — but multi-probe is the
+    right LSH shape when signatures are precomputed and cells are skewed."""
     emb = read_testdata(spark, sf_dir, "embeddings")
     sig = emb.withColumn("bucket", _lsh_signature("embedding"))
-    q = sig.filter(F.col("vec_id").isin(query_ids)).alias("q")
+    masks = F.array(*[F.lit(m) for m in _probe_masks(radius)])
+    # Probe buckets are distinct per query (distinct XOR masks), so the
+    # bucket join cannot produce duplicate (query, neighbor) rows.
+    q = (sig.filter(F.col("vec_id").isin([int(x) for x in query_ids]))
+         .withColumn("mask", F.explode(masks))
+         .withColumn("probe", F.expr("int(bucket) ^ mask").cast("int"))
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("q_emb"), "probe"))
     n = sig.alias("n")
-    sim = F.round(_cosine("q.embedding", "n.embedding"), 6)
+    sim = F.round(_cosine("q_emb", "n.embedding"), 6)
     w = (Window.partitionBy("query_id")
          .orderBy(F.col("sim").desc(), F.col("neighbor_id")))
     return (n.join(F.broadcast(q),
-                   (F.col("q.bucket") == F.col("n.bucket"))
-                   & (F.col("q.vec_id") != F.col("n.vec_id")))
-            .select(F.col("q.vec_id").alias("query_id"),
+                   (F.col("probe") == F.col("n.bucket"))
+                   & (F.col("query_id") != F.col("n.vec_id")))
+            .select("query_id",
                     F.col("n.vec_id").alias("neighbor_id"), sim.alias("sim"))
             .withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k))
