@@ -56,6 +56,23 @@ def fix_mojibake(text: str, declared_charset: str) -> str:
     return text
 
 
+def _html_chunk(s: InSpan) -> str:
+    """Text of an html-bearing input span. ``html`` spans are pre-decoded
+    strings; ``html_b64`` spans carry RAW PAYLOAD BYTES (base64 in the
+    text field, transport-declared charset — if any — in media_ref) and go
+    through the full byte-level decode chain (oracle/encoding.py)."""
+    if s.get("kind") == "html":
+        return s.get("text") or ""
+    import base64
+
+    from crawspark.oracle.encoding import decode_bytes
+    try:
+        raw = base64.b64decode(s.get("text") or "", validate=False)
+    except (ValueError, TypeError):
+        return ""
+    return decode_bytes(raw, s.get("media_ref") or "")
+
+
 def extract_document(doc_id: str, spans: list[InSpan]) -> dict:
     """Extract one interleaved document. Returns
     ``{doc_id, spans: [OutSpan], lang, n_spans, title, outlinks}``.
@@ -64,7 +81,7 @@ def extract_document(doc_id: str, spans: list[InSpan]) -> dict:
     garbage payloads (emits an empty span list instead)."""
     ordered = sorted(spans, key=lambda s: s.get("offset") or 0)
     html_payload = "".join(
-        s.get("text") or "" for s in ordered if s.get("kind") == "html"
+        _html_chunk(s) for s in ordered if s.get("kind") in ("html", "html_b64")
     )
     pdf_payloads = [s.get("text") or "" for s in ordered if s.get("kind") == "pdf"]
     text_payloads = [s.get("text") or "" for s in ordered if s.get("kind") == "text"]

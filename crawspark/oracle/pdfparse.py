@@ -4,11 +4,16 @@ The reference does NOT parse PDFs (they are filtered by URL extension
 [R: url.py extension blacklist]); this route is mandated by the north rule
 "PDF/layout parse" (BASELINE.json:L14, SURVEY.md §2.3 ``parse_pdf``).
 
-Scope: the deterministic synthetic PDFs produced by crawspark.corpus —
-xref-free sequential object scan, ``FlateDecode`` streams via zlib, text
-from ``Tj`` / ``TJ`` operators with ``Td/TD/Tm`` positioning. Layout rule:
-within a page, text chunks sort by (-y, x) (top-to-bottom, left-to-right);
-one output text block per page, lines joined with ``\\n``.
+Scope: xref-free sequential object scan, ``FlateDecode`` streams via
+zlib, text from ``Tj`` / ``TJ`` / ``'`` / ``"`` show operators with
+``Td/TD/Tm/TL/T*`` positioning (PDF 32000-1 §9.4 semantics: TD sets
+leading, ``'``/``"`` imply T*, BT resets text state), and ``/Contents``
+given as either one stream ref or an array of refs (streams concatenate;
+token state persists across them). Layout rule: within a page, text
+chunks sort by (-y, x) (top-to-bottom, left-to-right); one output text
+block per page, lines joined with ``\\n``. Not handled: xref/object
+streams (PDF 1.5+ compressed xref), non-Flate filters, font encodings
+beyond latin-1 — real-corpus gaps documented in SURVEY.md §2.3.
 
 Input transport: raw PDF bytes arrive latin-1-mapped into the ``text``
 field of a ``kind='pdf'`` span (FIXTURES.md §1.1) — lossless bytes 0-255.
@@ -21,14 +26,24 @@ import zlib
 
 _RE_OBJ = re.compile(rb"(\d+)\s+0\s+obj(.*?)endobj", re.DOTALL)
 _RE_STREAM = re.compile(rb"stream\r?\n(.*?)\r?\nendstream", re.DOTALL)
+_RE_CONTENTS_ARR = re.compile(rb"/Contents\s*\[(.*?)\]", re.DOTALL)
 _RE_CONTENTS = re.compile(rb"/Contents\s+(\d+)\s+0\s+R")
 _RE_KIDS = re.compile(rb"/Kids\s*\[(.*?)\]", re.DOTALL)
 _RE_REF = re.compile(rb"(\d+)\s+0\s+R")
-# Positioning + show-text operators inside a content stream.
+# Positioning + show-text operators inside a content stream (PDF 32000-1
+# §9.4): Td/TD/Tm/TL/T* move the line; Tj/TJ/'/" show text.
+_NUM = rb"-?\d+(?:\.\d+)?"
+_STR = rb"(?:[^()\\]|\\.)*"
 _RE_TOKEN = re.compile(
-    rb"(?P<num>-?\d+(?:\.\d+)?)\s+(?P<num2>-?\d+(?:\.\d+)?)\s+(?P<op>Td|TD)"
-    rb"|(?P<tm>(?:-?\d+(?:\.\d+)?\s+){6})Tm"
-    rb"|\((?P<str>(?:[^()\\]|\\.)*)\)\s*Tj"
+    rb"(?P<num>" + _NUM + rb")\s+(?P<num2>" + _NUM + rb")\s+(?P<op>Td|TD)"
+    rb"|(?P<tm>(?:" + _NUM + rb"\s+){6})Tm"
+    rb"|(?P<tl>" + _NUM + rb")\s+TL"
+    rb"|(?P<tstar>T\*)"
+    rb"|(?P<bt>BT)"
+    rb"|\((?P<str>" + _STR + rb")\)\s*Tj"
+    rb"|\((?P<qstr>" + _STR + rb")\)\s*'"
+    rb"|(?P<aw>" + _NUM + rb")\s+(?P<ac>" + _NUM + rb")\s+"
+    rb"\((?P<qqstr>" + _STR + rb")\)\s*\""
     rb"|\[(?P<arr>(?:[^\[\]\\]|\\.)*)\]\s*TJ",
     re.DOTALL,
 )
@@ -93,30 +108,58 @@ def extract_pdf_text(payload: str) -> list[str]:
     pages: list[str] = []
     for pid in page_ids:
         body = objs.get(pid, b"")
-        cm = _RE_CONTENTS.search(body)
-        if not cm:
-            continue
-        stream_obj = objs.get(int(cm.group(1)), b"")
-        sm = _RE_STREAM.search(stream_obj)
-        if not sm:
-            continue
-        content = sm.group(1)
-        if b"/FlateDecode" in stream_obj:
-            try:
-                content = zlib.decompress(content)
-            except zlib.error:
+        # /Contents may be one stream ref or an ARRAY of refs (PDF splits
+        # long pages across streams; token state persists across them, so
+        # decode each and concatenate before tokenizing).
+        am = _RE_CONTENTS_ARR.search(body)
+        if am:
+            refs = [int(r.group(1)) for r in _RE_REF.finditer(am.group(1))]
+        else:
+            cm = _RE_CONTENTS.search(body)
+            if not cm:
                 continue
+            refs = [int(cm.group(1))]
+        parts: list[bytes] = []
+        for ref in refs:
+            stream_obj = objs.get(ref, b"")
+            sm = _RE_STREAM.search(stream_obj)
+            if not sm:
+                continue
+            chunk = sm.group(1)
+            if b"/FlateDecode" in stream_obj:
+                try:
+                    chunk = zlib.decompress(chunk)
+                except zlib.error:
+                    continue
+            parts.append(chunk)
+        if not parts:
+            continue
+        content = b"\n".join(parts)
         chunks: list[tuple[float, float, str]] = []  # (y, x, text)
-        x = y = 0.0
+        x = y = leading = 0.0
         for tok in _RE_TOKEN.finditer(content):
             if tok.group("op"):
                 dx, dy = float(tok.group("num")), float(tok.group("num2"))
                 x, y = x + dx, y + dy
+                if tok.group("op") == b"TD":  # TD also sets leading = -ty
+                    leading = -dy
             elif tok.group("tm"):
-                parts = tok.group("tm").split()
-                x, y = float(parts[4]), float(parts[5])
+                parts6 = tok.group("tm").split()
+                x, y = float(parts6[4]), float(parts6[5])
+            elif tok.group("tl"):
+                leading = float(tok.group("tl"))
+            elif tok.group("tstar"):
+                y -= leading
+            elif tok.group("bt"):
+                x = y = leading = 0.0  # BT resets the text matrices
             elif tok.group("str") is not None:
                 chunks.append((y, x, _unescape(tok.group("str"))))
+            elif tok.group("qstr") is not None:  # ' = T* + show
+                y -= leading
+                chunks.append((y, x, _unescape(tok.group("qstr"))))
+            elif tok.group("qqstr") is not None:  # " = spacing + T* + show
+                y -= leading
+                chunks.append((y, x, _unescape(tok.group("qqstr"))))
             elif tok.group("arr") is not None:
                 text = "".join(_unescape(s.group("s"))
                                for s in _RE_ARR_STR.finditer(tok.group("arr")))

@@ -1,0 +1,97 @@
+"""Byte-level charset decode chain (oracle/encoding.py) — BOMs, meta
+sniffing, lying declarations, garbage resilience, and the html_b64
+integration into extract_document."""
+
+from __future__ import annotations
+
+import base64
+
+from crawspark.oracle import extract_document
+from crawspark.oracle.encoding import decode_bytes, sniff_meta_charset
+
+ACCENTED = "march\xe9 r\xe9sum\xe9 na\xefve \xb5"
+
+
+def test_utf8_plain():
+    assert decode_bytes(ACCENTED.encode("utf-8")) == ACCENTED
+
+
+def test_utf8_bom_stripped():
+    data = b"\xef\xbb\xbf" + ACCENTED.encode("utf-8")
+    assert decode_bytes(data) == ACCENTED
+
+
+def test_utf16_le_bom():
+    assert decode_bytes(ACCENTED.encode("utf-16")) == ACCENTED
+
+
+def test_utf16_be_bom():
+    data = b"\xfe\xff" + ACCENTED.encode("utf-16-be")
+    assert decode_bytes(data) == ACCENTED
+
+
+def test_utf32_le_bom():
+    assert decode_bytes(ACCENTED.encode("utf-32")) == ACCENTED
+
+
+def test_latin1_undeclared_detected():
+    # No BOM, no meta, no declaration: statistical detection must land on
+    # a latin-1-compatible codec for western text.
+    text = "the market report was ready " * 4 + ACCENTED
+    assert decode_bytes(text.encode("latin-1")) == text
+
+
+def test_meta_charset_beats_wrong_declaration():
+    html = f'<html><head><meta charset="iso-8859-1"></head><body><p>{ACCENTED}</p></body></html>'
+    data = html.encode("latin-1")
+    assert sniff_meta_charset(data) == "iso-8859-1"
+    # transport header lies utf-16; meta sniff must win
+    assert decode_bytes(data, "utf-16") == html
+
+
+def test_meta_http_equiv_form():
+    html = ('<head><meta http-equiv="Content-Type" '
+            'content="text/html; charset=ISO-8859-1"></head>' + ACCENTED)
+    assert decode_bytes(html.encode("latin-1")) == html
+
+
+def test_lying_utf8_declaration_falls_through():
+    # Declared utf-8 over latin-1 bytes: strict decode fails, the chain
+    # must NOT mangle with replacement chars but recover via detection.
+    text = "and the winter garden story " * 4 + ACCENTED
+    assert decode_bytes(text.encode("latin-1"), "utf-8") == text
+
+
+def test_valid_declaration_honored():
+    data = ACCENTED.encode("cp1252")
+    assert decode_bytes(data, "cp1252") == ACCENTED
+
+
+def test_unknown_declared_charset_ignored():
+    assert decode_bytes(b"plain ascii", "klingon-8") == "plain ascii"
+
+
+def test_empty_and_garbage_never_raise():
+    assert decode_bytes(b"") == ""
+    garbage = bytes(range(256)) * 3
+    out = decode_bytes(garbage)
+    assert isinstance(out, str) and len(out) > 0
+
+
+def test_extract_document_html_b64_equals_predecoded():
+    html = ("<html><head><title>March\xe9 Report</title></head><body>"
+            "<p>the market of the village was in the garden and it had "
+            "a report for all of the winter there caf\xe9</p>"
+            "<p>the story of the animal was in the history and it had "
+            "a message for all of the people there r\xe9sum\xe9</p>"
+            "</body></html>")
+    plain = extract_document("d1", [
+        {"kind": "html", "text": html, "media_ref": None, "offset": 0}])
+    for enc, declared in (("utf-8", ""), ("utf-16", ""), ("latin-1", "latin-1")):
+        b64 = base64.b64encode(html.encode(enc)).decode("ascii")
+        got = extract_document("d1", [
+            {"kind": "html_b64", "text": b64,
+             "media_ref": declared or None, "offset": 0}])
+        assert got["spans"] == plain["spans"], f"mismatch for {enc}"
+        assert got["lang"] == plain["lang"]
+    assert plain["n_spans"] >= 2  # sanity: the page actually extracted
