@@ -1,0 +1,101 @@
+"""Flagship corpus-curation composite: the end-to-end query a
+training-data pipeline actually runs — exact dedup, fuzzy (MinHash)
+dedup resolution, language gate, quality gates, token accounting — as ONE
+declarative chain, oracle-checked end to end.
+
+Pipeline (each stage reuses the already-verified operator):
+1. exact dedup   — keep min(doc_id) per normalized-text fingerprint
+2. fuzzy dedup   — drop non-keepers from dedup_minhash_resolve
+3. language gate — labeled lang in (en, fr)
+4. quality gates — text_len >= 200, space_ratio in [0.08, 0.35]
+5. accounting    — BPE-ish token count per surviving doc
+
+Everything JVM-side except what dedup_minhash_resolve already runs; the
+only shuffles are the dedup keys and two broadcastable anti-joins (the
+drop lists are tiny relative to the corpus — near-dup fractions are
+single-digit percent in real crawls)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from crawspark.operators.dedup import _DDB_TOK_CTES, dedup_minhash_resolve
+from crawspark.registry import register
+from crawspark.sources import read_testdata
+
+_TOKEN_RE = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+
+MIN_LEN = 200
+SPACE_LO, SPACE_HI = 0.08, 0.35
+
+
+@register("curate_corpus", sql=f"""
+    WITH RECURSIVE {_DDB_TOK_CTES}, sizes AS (
+      SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+    ), overlap AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM sh a JOIN sh b USING (shingle)
+      WHERE a.doc_id < b.doc_id GROUP BY doc_a, doc_b
+    ), verified AS (
+      SELECT doc_a, doc_b FROM overlap
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.8
+    ), edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM verified
+      UNION ALL SELECT doc_b, doc_a FROM verified
+    ), reach(node, label) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
+    ), fuzzy_drop AS (
+      SELECT node AS doc_id FROM reach GROUP BY node
+      HAVING node <> min(label)
+    ), exact_keep AS (
+      SELECT doc_id FROM (
+        SELECT doc_id, row_number() OVER (
+          PARTITION BY md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+          ORDER BY doc_id) AS rn
+        FROM documents
+      ) WHERE rn = 1
+    )
+    SELECT d.doc_id, d.lang,
+           CAST(len(regexp_extract_all(d.text, '{_TOKEN_RE}')) AS BIGINT)
+             AS n_tokens
+    FROM documents d
+    JOIN exact_keep USING (doc_id)
+    ANTI JOIN fuzzy_drop USING (doc_id)
+    WHERE d.lang IN ('en', 'fr')
+      AND length(d.text) >= {MIN_LEN}
+      AND CAST(length(d.text) - length(replace(d.text, ' ', '')) AS DOUBLE)
+          / greatest(length(d.text), 1) BETWEEN {SPACE_LO} AND {SPACE_HI}
+""")
+def curate_corpus(spark, sf_dir):
+    docs = read_testdata(spark, sf_dir, "documents")
+    # 1. exact dedup on the normalized-text fingerprint (window keeper —
+    #    same shape as window_dedup_first; shuffle key is a 32-byte md5).
+    norm = F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
+    w = Window.partitionBy(F.md5(norm)).orderBy("doc_id")
+    exact_kept = (docs.withColumn("rn", F.row_number().over(w))
+                  .filter(F.col("rn") == 1).drop("rn"))
+    # 2. fuzzy dedup: anti-join the resolve output's non-keepers (tiny —
+    #    broadcast side is |dup clusters|, not the corpus).
+    resolved = dedup_minhash_resolve(spark, sf_dir)
+    fuzzy_drop = (resolved.filter(F.col("doc_id") != F.col("keep_id"))
+                  .select("doc_id"))
+    survivors = exact_kept.join(F.broadcast(fuzzy_drop), "doc_id",
+                                "left_anti")
+    # 3-5. gates + token accounting, all pushed-down JVM expressions.
+    t = F.col("text")
+    tl = F.greatest(F.length(t), F.lit(1))
+    space_ratio = ((F.length(t)
+                    - F.length(F.replace(t, F.lit(" "), F.lit(""))))
+                   .cast("double") / tl)
+    return (survivors
+            .filter(F.col("lang").isin("en", "fr"))
+            .filter(F.length(t) >= MIN_LEN)
+            .filter(space_ratio.between(SPACE_LO, SPACE_HI))
+            .select("doc_id", "lang",
+                    F.size(F.regexp_extract_all("text", F.lit(_TOKEN_RE), 0))
+                    .cast("long").alias("n_tokens")))

@@ -70,6 +70,7 @@ def file_fingerprint(path: str) -> str:
 
 
 def _fingerprint_worker(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+    pa.set_cpu_count(1)  # see read_extract_write
     for b in batches:
         for path in b.column("path").to_pylist():
             yield pa.RecordBatch.from_pydict({
@@ -83,6 +84,13 @@ def _make_worker(out_dir: str):
         import pyarrow.parquet as pq
 
         from crawspark.operators.extract import _extract_rows
+
+        # One worker per core: pyarrow's INTERNAL pool defaults to
+        # os.cpu_count() threads PER WORKER (32 workers x 32 arrow threads
+        # thrash the scheduler — measured 6574 -> ~11500 docs/s at
+        # local[32] on 32 pinned cores once capped).
+        pa.set_cpu_count(1)
+        pa.set_io_thread_count(2)
 
         for b in batches:
             for path in b.column("path").to_pylist():

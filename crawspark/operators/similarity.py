@@ -201,7 +201,10 @@ def ivf_assign(spark, sf_dir, with_embedding: bool = False) -> DataFrame:
         for pdf in batches:
             v = np.array(list(pdf["embedding"]), dtype=np.float64)
             v = v / np.linalg.norm(v, axis=1, keepdims=True)
-            cells = np.argmax(v @ M.T, axis=1).astype("int32")
+            # round to 6dp before argmax: makes the winning cell (and the
+            # lowest-cid-on-tie rule, argmax takes the first max) exactly
+            # reproducible in the DuckDB oracle's window ranking.
+            cells = np.argmax(np.round(v @ M.T, 6), axis=1).astype("int32")
             out = {"vec_id": pdf["vec_id"], "cell": cells}
             if with_embedding:
                 out["embedding"] = pdf["embedding"]
@@ -222,8 +225,47 @@ def ann_ivf_buckets(spark, sf_dir):
             .orderBy("cell"))
 
 
-@register("ann_search_ivf")  # rows-only; recall pinned by tests/test_recall.py
+@register("ann_search_ivf", sql=f"""
+    WITH cent AS (
+      SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec
+      FROM embeddings WHERE vec_id < {N_CELLS}
+    ), assign AS (
+      SELECT vec_id, cell FROM (
+        SELECT e.vec_id, c.cid AS cell,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 round(list_cosine_similarity(e.embedding::DOUBLE[], c.cvec),
+                       6) DESC, c.cid) AS rn
+        FROM embeddings e CROSS JOIN cent c
+      ) WHERE rn = 1
+    ), probes AS (
+      SELECT vec_id AS query_id, cell FROM (
+        SELECT e.vec_id, c.cid AS cell,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 round(list_cosine_similarity(e.embedding::DOUBLE[], c.cvec),
+                       6) DESC, c.cid) AS rn
+        FROM embeddings e CROSS JOIN cent c WHERE e.vec_id < 5
+      ) WHERE rn <= 2
+    )
+    SELECT query_id, neighbor_id, sim, rank FROM (
+      SELECT p.query_id, a.vec_id AS neighbor_id,
+             CAST(round(list_cosine_similarity(qe.embedding::DOUBLE[],
+                                               ne.embedding::DOUBLE[]), 6)
+                  AS DOUBLE) AS sim,
+             row_number() OVER (PARTITION BY p.query_id ORDER BY
+               round(list_cosine_similarity(qe.embedding::DOUBLE[],
+                                            ne.embedding::DOUBLE[]), 6) DESC,
+               a.vec_id) AS rank
+      FROM probes p
+      JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.query_id
+      JOIN embeddings ne ON ne.vec_id = a.vec_id
+      JOIN embeddings qe ON qe.vec_id = p.query_id
+    ) WHERE rank <= 5
+""")
 def ann_search_ivf_q(spark, sf_dir):
+    # Oracle-checked: the model-free codebook (first N_CELLS vectors),
+    # round-6 similarity ordering, and lowest-id tiebreaks make the whole
+    # pruned search SQL-reproducible — assignment, probe choice, and
+    # rerank are all pinned, not just the row count.
     return ann_search_ivf(spark, sf_dir, query_ids=[0, 1, 2, 3, 4], k=5)
 
 
@@ -248,7 +290,9 @@ def ann_search_ivf(spark, sf_dir, query_ids: list[int], k: int = 5,
     for r in qrows:
         v = np.asarray(r["embedding"], dtype=np.float64)
         v = v / np.linalg.norm(v)
-        for c in np.argsort(-(C @ v))[:nprobe]:
+        sims = np.round(C @ v, 6)
+        ranked = sorted(range(len(sims)), key=lambda i: (-sims[i], i))
+        for c in ranked[:nprobe]:
             probes.append((int(r["vec_id"]), int(c), list(r["embedding"])))
     qdf = spark.createDataFrame(
         probes, "query_id long, cell int, q_emb array<float>")

@@ -34,6 +34,7 @@ def register(name: str, sql: str | None = None):
 def load_all() -> dict[str, QuerySpec]:
     """Import all operator modules so their @register calls run."""
     from crawspark.operators import (  # noqa: F401
+        curate,
         decode,
         dedup,
         export,

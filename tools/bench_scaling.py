@@ -11,18 +11,24 @@ Two efficiencies are reported:
 - end_to_end: (spark_rate_4N / spark_rate_N) / 4 — includes this box's
   shared-memory-bandwidth ceiling (a single socket serves all 32 cores;
   on a real cluster each executor owns its memory bus).
-- spark_layer: spark_rate / raw-multiprocessing substrate rate at the SAME
-  cpu count — isolates what the distributed layer costs. This is the
-  number that transfers to a real cluster: it shows the job itself adds
-  no serialization, shuffle hotspot, or scheduling bottleneck.
+- spark_layer: spark_rate / substrate rate at the SAME cpu count. The
+  substrate control is LIKE-FOR-LIKE: a raw multiprocessing.Pool running
+  the identical pyarrow read shard → extract → pyarrow write shard task
+  over the SAME input files — zero framework, same I/O, same compute. The
+  ratio therefore isolates exactly what Spark's scheduling/JVM layer
+  costs, and is the number that transfers to a real cluster (where each
+  executor owns its memory bus and the substrate curve is flat).
 
-Usage: python tools/bench_scaling.py [--docs 30000] [--out BENCH/scaling.json]
+Usage: python tools/bench_scaling.py [--docs 60000] [--sizes 8,32]
+                                     [--out BENCH/scaling.json]
 """
 
 from __future__ import annotations
 
 import argparse
 import json
+import multiprocessing as mp
+import os
 import pathlib
 import subprocess
 import sys
@@ -30,12 +36,45 @@ import tempfile
 
 REPO = pathlib.Path(__file__).resolve().parent.parent
 
-_CHILD = r"""
+N_FILES = 128
+
+
+def _gen_shard(args: tuple[str, int, int, int]) -> str:
+    out_dir, shard, lo, hi = args
+    sys.path.insert(0, str(REPO))
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from crawspark.corpus import make_doc
+    from crawspark.operators.extract import _INTER_SCHEMA
+
+    docs = [make_doc(42, i, heavy_tail=True, min_paras=15, max_paras=45)
+            for i in range(lo, hi)]
+    tbl = pa.Table.from_pydict(
+        {"doc_id": [d["doc_id"] for d in docs],
+         "spans": [d["spans"] for d in docs]}, schema=_INTER_SCHEMA)
+    path = os.path.join(out_dir, f"part-{shard:05d}.parquet")
+    pq.write_table(tbl, path, compression="snappy")
+    return path
+
+
+def materialize_input(out_dir: str, n_docs: int) -> None:
+    """Deterministic heavy-tail corpus (15-45 paragraphs ~= 10-40 KB docs:
+    realistic web-page weight), written once, identical for every child.
+    Generation is parallel but NOT timed."""
+    per = n_docs // N_FILES
+    bounds = [(out_dir, s, s * per,
+               (s + 1) * per if s < N_FILES - 1 else n_docs)
+              for s in range(N_FILES)]
+    with mp.Pool(min(32, mp.cpu_count())) as p:
+        p.map(_gen_shard, bounds)
+
+
+_SPARK_CHILD = r"""
 import json, sys, time
 sys.path.insert(0, {repo!r})
 from crawspark.session import get_spark
 from crawspark.bundle import ensure_shipped
-from crawspark.operators.extract import synthetic_corpus
 from crawspark.operators.native_extract import native_extract_job
 
 cpus = {cpus}
@@ -44,24 +83,17 @@ spark = get_spark(master=f"local[{{cpus}}]", app=f"scaling-{{cpus}}",
                   shuffle_partitions=cpus * 2)
 ensure_shipped(spark)
 
-# Identical deterministic heavy-tail input at both sizes (NOT timed).
-# 15-45 paragraphs ~= 10-40 KB docs: realistic web-page weight.
-inp_path = {out_dir!r} + "/input"
-(synthetic_corpus(spark, n_docs, seed=42, heavy_tail=True,
-                  partitions=128, min_paras=15, max_paras=45)
- .write.mode("overwrite").parquet(inp_path))
-
 def job(tag):
-    m = native_extract_job(spark, inp_path, {out_dir!r} + "/out-" + tag)
+    m = native_extract_job(spark, {inp!r}, {out_dir!r} + "/spark-" + tag)
     total = m.groupBy().sum("docs_out").collect()[0][0]
     assert total == n_docs, total
 
 # Warmup (JIT, python workers) — the north metric is steady-state
-# docs/sec over a 10^12-doc corpus, not cold-start. Timed = best of 3
+# docs/sec over a 10^12-doc corpus, not cold-start. Timed = best of 5
 # (sandbox shows external interference spikes; capability = unimpeded run).
 job("warm")
 times = []
-for i in range(3):
+for i in range(5):
     t0 = time.perf_counter()
     job(f"timed{{i}}")
     times.append(time.perf_counter() - t0)
@@ -72,28 +104,48 @@ print(json.dumps({{"cpus": cpus, "docs": n_docs, "seconds": round(dt, 2),
 spark.stop()
 """
 
-_SUBSTRATE = r"""
-import json, multiprocessing as mp, sys, time
+_SUBSTRATE_CHILD = r"""
+import json, multiprocessing as mp, os, sys, time
 sys.path.insert(0, {repo!r})
-from crawspark.corpus import make_doc
 
-def work(docs):
-    from crawspark.oracle import extract_document
-    for d in docs:
-        extract_document(d["doc_id"], d["spans"])
-    return len(docs)
+def shard_work(args):
+    path, out_dir = args
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from crawspark.operators.extract import _extract_rows
+    # mirror the Spark worker's arrow-thread cap (one worker per core);
+    # without it every Pool worker spawns os.cpu_count() arrow threads.
+    pa.set_cpu_count(1)
+    pa.set_io_thread_count(2)
+    tbl = pq.read_table(path)
+    outs = [_extract_rows(rb.to_pylist())
+            for rb in tbl.to_batches(max_chunksize=1000)]
+    res = pa.Table.from_batches(outs)
+    pq.write_table(res, os.path.join(out_dir, os.path.basename(path)),
+                   compression="snappy")
+    return res.num_rows
 
 if __name__ == "__main__":
     cpus = {cpus}
-    docs = [make_doc(7, i, min_paras=15, max_paras=45) for i in range(400)]
-    best = 0.0
-    for _ in range(2):
+    inp = {inp!r}
+    files = sorted(os.path.join(inp, f) for f in os.listdir(inp)
+                   if f.endswith(".parquet"))
+    def run(tag):
+        od = {out_dir!r} + "/sub-" + tag
+        os.makedirs(od, exist_ok=True)
         with mp.Pool(cpus) as p:
             t0 = time.perf_counter()
-            p.map(work, [docs] * cpus)
-            rate = cpus * len(docs) / (time.perf_counter() - t0)
-        best = max(best, rate)
-    print(json.dumps({{"cpus": cpus, "docs_per_sec": round(best, 1)}}))
+            total = sum(p.map(shard_work, [(f, od) for f in files]))
+        return total, time.perf_counter() - t0
+    total, _ = run("warm")
+    times = []
+    for i in range(5):
+        total, dt = run(f"timed{{i}}")
+        times.append(dt)
+    dt = min(times)
+    print(json.dumps({{"cpus": cpus, "docs": total, "seconds": round(dt, 2),
+                       "all_seconds": [round(t, 2) for t in times],
+                       "docs_per_sec": round(total / dt, 1)}}))
 """
 
 
@@ -105,44 +157,55 @@ def _pinned(cpus: int, code: str) -> dict:
     return json.loads(proc.stdout.strip().splitlines()[-1])
 
 
-def run_one(cpus: int, n_docs: int) -> dict:
-    with tempfile.TemporaryDirectory() as td:
-        return _pinned(cpus, _CHILD.format(repo=str(REPO), cpus=cpus,
-                                           n_docs=n_docs, out_dir=td))
-
-
-def substrate(cpus: int) -> dict:
-    return _pinned(cpus, _SUBSTRATE.format(repo=str(REPO), cpus=cpus))
-
-
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--docs", type=int, default=30000)
+    ap.add_argument("--docs", type=int, default=60000)
+    ap.add_argument("--sizes", default="8,32",
+                    help="comma list: N,4N cpu counts")
     ap.add_argument("--out", default=str(REPO / "BENCH" / "scaling.json"))
     args = ap.parse_args()
+    n_small, n_big = (int(x) for x in args.sizes.split(","))
+    assert n_big == 4 * n_small, "north rule compares N vs 4N"
 
-    s8 = substrate(8)
-    s32 = substrate(32)
-    print("substrate:", s8, s32, flush=True)
-    r8 = run_one(8, args.docs)
-    print("local[8]:", r8, flush=True)
-    r32 = run_one(32, args.docs)
-    print("local[32]:", r32, flush=True)
+    with tempfile.TemporaryDirectory() as td:
+        inp = os.path.join(td, "input")
+        os.makedirs(inp)
+        materialize_input(inp, args.docs)
+
+        def spark_at(cpus: int) -> dict:
+            return _pinned(cpus, _SPARK_CHILD.format(
+                repo=str(REPO), cpus=cpus, n_docs=args.docs, inp=inp,
+                out_dir=td))
+
+        def substrate_at(cpus: int) -> dict:
+            return _pinned(cpus, _SUBSTRATE_CHILD.format(
+                repo=str(REPO), cpus=cpus, inp=inp, out_dir=td))
+
+        s_small = substrate_at(n_small)
+        print(f"substrate[{n_small}]:", s_small, flush=True)
+        s_big = substrate_at(n_big)
+        print(f"substrate[{n_big}]:", s_big, flush=True)
+        r_small = spark_at(n_small)
+        print(f"local[{n_small}]:", r_small, flush=True)
+        r_big = spark_at(n_big)
+        print(f"local[{n_big}]:", r_big, flush=True)
 
     result = {
-        "n": r8, "n4": r32,
-        "substrate_n": s8, "substrate_n4": s32,
+        "sizes": [n_small, n_big],
+        "n": r_small, "n4": r_big,
+        "substrate_n": s_small, "substrate_n4": s_big,
         "end_to_end_efficiency": round(
-            (r32["docs_per_sec"] / r8["docs_per_sec"]) / 4, 3),
+            (r_big["docs_per_sec"] / r_small["docs_per_sec"]) / 4, 3),
         "substrate_efficiency": round(
-            (s32["docs_per_sec"] / s8["docs_per_sec"]) / 4, 3),
+            (s_big["docs_per_sec"] / s_small["docs_per_sec"]) / 4, 3),
         "spark_layer_efficiency_n": round(
-            r8["docs_per_sec"] / s8["docs_per_sec"], 3),
+            r_small["docs_per_sec"] / s_small["docs_per_sec"], 3),
         "spark_layer_efficiency_n4": round(
-            r32["docs_per_sec"] / s32["docs_per_sec"], 3),
-        "rule": ("end_to_end = (rate_local32/rate_local8)/4, target >=0.8; "
-                 "spark_layer = spark/raw-multiprocessing at same cpus "
-                 "(what transfers to a real cluster)"),
+            r_big["docs_per_sec"] / s_big["docs_per_sec"], 3),
+        "rule": ("end_to_end = (rate_4N/rate_N)/4, target >=0.8; "
+                 "spark_layer = spark/like-for-like-multiprocessing at the "
+                 "same cpus over the same files (what transfers to a real "
+                 "cluster)"),
     }
     pathlib.Path(args.out).parent.mkdir(parents=True, exist_ok=True)
     pathlib.Path(args.out).write_text(json.dumps(result, indent=1))
