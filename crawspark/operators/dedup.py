@@ -16,8 +16,15 @@ _TOKS = "filter(split(lower(text), '[^a-z]+'), x -> x != '')"
 # Shingles from a pre-computed `toks` column — embedding _TOKS directly
 # re-evaluates the split+filter once per reference (no CSE across
 # higher-order functions; measured 2x on the dedup queries).
-_SHINGLES = ("array_distinct(transform(sequence(1, size(toks) - 2), "
-             "i -> concat_ws(' ', slice(toks, i, 3))))")
+# Construction is zip_with over three shifted slices rather than
+# transform(sequence, i -> concat_ws(slice(...))): the per-index
+# slice+concat_ws pair is interpreted per shingle and measured 6x slower
+# (3.9s -> 0.67s for the sf0.1 explode). Output strings are identical.
+_SHINGLES_RAW = (
+    "zip_with(slice(toks, 1, size(toks) - 2), "
+    "zip_with(slice(toks, 2, size(toks) - 2), slice(toks, 3, size(toks) - 2), "
+    "(b, c) -> concat(b, ' ', c)), (a, bc) -> concat(a, ' ', bc))")
+_SHINGLES = f"array_distinct({_SHINGLES_RAW})"
 
 # Hot-shingle document-frequency cap: a shingle appearing in more than this
 # many documents is boilerplate (cookie banners, nav text) and would create
@@ -152,10 +159,7 @@ def minhash_signatures(df: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
     # hashes (ANSI-safe: no overflowing arithmetic).
     sh = (df.withColumn("toks", F.expr(_TOKS))
           .filter(F.size("toks") >= 3)
-          .withColumn(
-              "sh_raw",
-              F.expr("transform(sequence(1, size(toks) - 2), "
-                     "i -> concat_ws(' ', slice(toks, i, 3)))"))
+          .withColumn("sh_raw", F.expr(_SHINGLES_RAW))
           .select("doc_id", F.explode("sh_raw").alias("shingle"))
           .withColumn("h", F.xxhash64("shingle")))
     aggs = [F.min(F.xxhash64(F.col("h"), F.lit(i))).alias(f"mh{i}")
@@ -218,15 +222,42 @@ def dedup_minhash_lsh(spark, sf_dir):
             .orderBy("band_id"))
 
 
-def connected_components(edges: DataFrame) -> DataFrame:
-    """Undirected connected components via iterative min-label propagation:
-    (node, label=min reachable node). Shuffles only (long, long) pairs.
+def connected_components(edges: DataFrame,
+                         max_driver_edges: int = 100_000) -> DataFrame:
+    """Undirected connected components: (node, label=min reachable node).
 
-    Converges in O(component diameter) rounds — near-dup clusters are
-    shallow (dupes of dupes), so 2-4 rounds in practice. At 10^12 docs the
-    same loop runs with the edge table bucketed by src; the
+    Hybrid strategy: verified near-dup edge sets are usually tiny relative
+    to the corpus (single-digit-percent dup rates), so when the edge count
+    is at most ``max_driver_edges`` a driver-side union-find answers in one
+    collect — the iterative path costs 2-4 blocking Spark jobs that
+    dominate small inputs. Above the threshold, distributed min-label
+    propagation runs: shuffles only (long, long) pairs, converges in
+    O(component diameter) rounds (near-dup clusters are shallow). At 10^12
+    docs the same loop runs with the edge table bucketed by src; the
     large-star/small-star variant (Kiveris et al.) halves rounds but this
     shape is already all-JVM and skew-safe (labels are longs)."""
+    n_edges = edges.count()
+    if n_edges <= max_driver_edges:
+        pairs = edges.collect()
+        parent: dict = {}
+
+        def find(x):
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]  # path halving
+                x = parent[x]
+            return x
+
+        for r in pairs:
+            a, b = find(r[0]), find(r[1])
+            if a != b:
+                # union by min so the root IS the min label
+                lo, hi = (a, b) if a < b else (b, a)
+                parent[hi] = lo
+        rows = [(n, find(n)) for n in parent]
+        spark = edges.sparkSession
+        if not rows:
+            return spark.createDataFrame([], "node long, label long")
+        return spark.createDataFrame(rows, "node long, label long")
     sym = (edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
            .union(edges.select(F.col("doc_b"), F.col("doc_a"))))
     sym = sym.localCheckpoint(eager=True)  # cut lineage; reused every round

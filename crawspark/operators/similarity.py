@@ -187,14 +187,17 @@ def _centroids(spark, sf_dir):
     return C / np.linalg.norm(C, axis=1, keepdims=True)
 
 
-def ivf_assign(spark, sf_dir, with_embedding: bool = False) -> DataFrame:
+def ivf_assign(spark, sf_dir, with_embedding: bool = False,
+               centroids=None) -> DataFrame:
     """(vec_id, cell[, embedding]): nearest-centroid cell per vector —
     one broadcast + one numpy matmul per Arrow batch, no shuffle."""
     import numpy as np
     import pandas as pd
 
     emb = read_testdata(spark, sf_dir, "embeddings")
-    bc = spark.sparkContext.broadcast(_centroids(spark, sf_dir))
+    if centroids is None:
+        centroids = _centroids(spark, sf_dir)
+    bc = spark.sparkContext.broadcast(centroids)
 
     def assign(batches):
         M = bc.value
@@ -280,7 +283,7 @@ def ann_search_ivf(spark, sf_dir, query_ids: list[int], k: int = 5,
     import numpy as np
 
     C = _centroids(spark, sf_dir)
-    assigned = ivf_assign(spark, sf_dir, with_embedding=True)
+    assigned = ivf_assign(spark, sf_dir, with_embedding=True, centroids=C)
     # Query side is K rows by definition — driver gather is bounded by the
     # query count, never the corpus.
     emb = read_testdata(spark, sf_dir, "embeddings")
