@@ -3,9 +3,13 @@
 ``entry(spark)`` — flagship extraction pipeline over sf0.001.
 ``queries()`` — every implemented operator (SURVEY.md §2 + training-data
 ops), from the crawspark registry.
-``oracle_sql()`` — DuckDB-equivalent SQL for the SQL-expressible subset;
-extraction/minhash/simhash/LSH entries are rows-only by design (the
-extractor is pinned by span-sequence fixtures instead — tests/).
+``oracle_sql()`` — DuckDB-equivalent SQL for 51 of the 56 entries.
+Extraction-pipeline queries are hash-checked against the frozen Python
+oracle's MATERIALIZED extraction of the sf0.01 table
+(tools/gen_extract_oracle.py — deterministic by construction, so the
+parquet IS the oracle). The 5 remaining rows-only entries
+(minhash/simhash/LSH bucket structures) derive from Spark's xxhash64 and
+are pinned by recall floors in tests/test_recall.py instead.
 """
 
 from __future__ import annotations

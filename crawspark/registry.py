@@ -43,4 +43,5 @@ def load_all() -> dict[str, QuerySpec]:
         similarity,
         textops,
     )
+    from crawspark.streaming import queries as _streaming_queries  # noqa: F401
     return REGISTRY
