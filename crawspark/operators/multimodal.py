@@ -1,0 +1,189 @@
+"""Multimodal column operators: treat image/audio/video as opaque binary
+columns with typed metadata; decode / resize / frame-sample /
+feature-extract run as Arrow-batched mapInPandas stages.
+
+The DECODE ITSELF IS A STUB — this container ships no PIL/ffmpeg/soundfile
+(`_REAL_DECODE` stays False and the real branch raises
+NotImplementedError exactly where a deployment drops its codec in). What
+IS real, and tested: the Spark-side plumbing — binary column schema,
+deterministic payload synthesis, batch shapes, UDF signatures, explode
+fanout for frames, and the aggregation contracts. Frame sampling and
+resize arithmetic are pure functions of the payload metadata, so those
+registry queries carry closed-form DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from crawspark.registry import register
+from crawspark.sources import read_testdata
+
+try:  # pragma: no cover - not present in this container
+    import PIL.Image  # noqa: F401
+    _REAL_DECODE = True
+except ImportError:
+    _REAL_DECODE = False
+
+FPS = 25  # stub video clock: 40 ms per frame
+N_FRAMES = 4
+MAX_W, MAX_H = 256, 192
+
+
+def media_table(spark, sf_dir) -> DataFrame:
+    """Synthesized media corpus: every 5th document carries one media
+    object — video (doc_id%10==0), audio (%10==5 via %3 split), else
+    image. payload = utf-8 of repeat('B'||doc_id, 10) (closed form the
+    oracles reuse)."""
+    docs = read_testdata(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 5 == 0)
+    kind = (F.when(F.col("doc_id") % 10 == 0, "video")
+            .when(F.col("doc_id") % 3 == 0, "audio")
+            .otherwise("image"))
+    ext = (F.when(kind == "video", ".mp4")
+           .when(kind == "audio", ".wav").otherwise(".jpg"))
+    return docs.select(
+        F.concat(F.lit("media://doc/"), F.col("doc_id").cast("string"), ext)
+        .alias("media_ref"),
+        kind.alias("media_kind"),
+        F.encode(F.repeat(F.concat(F.lit("B"), F.col("doc_id").cast("string")),
+                          10), "utf-8").alias("payload"))
+
+
+def _stub_dims(payload: bytes) -> tuple[int, int]:
+    if not payload:
+        return 0, 0
+    return 160 + (payload[0] % 8) * 80, 120 + (payload[-1] % 8) * 60
+
+
+def decode_media(df: DataFrame) -> DataFrame:
+    """payload → typed metadata (width/height for visual media, a 40 ms
+    frame clock for video). Real decode would replace _stub_dims."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if _REAL_DECODE:  # pragma: no cover
+            raise NotImplementedError(
+                "real decode path: plug PIL/ffmpeg here; the stub below is "
+                "the deterministic stand-in for codec-less containers")
+        for pdf in batches:
+            dims = [_stub_dims(p) for p in pdf["payload"]]
+            n_bytes = [len(p or b"") for p in pdf["payload"]]
+            yield pd.DataFrame({
+                "media_ref": pdf["media_ref"],
+                "media_kind": pdf["media_kind"],
+                "n_bytes": n_bytes,
+                "width": [d[0] for d in dims],
+                "height": [d[1] for d in dims],
+                "duration_ms": [b * (1000 // FPS) if k == "video" else 0
+                                for b, k in zip(n_bytes, pdf["media_kind"])],
+            })
+
+    return df.mapInPandas(
+        run, "media_ref string, media_kind string, n_bytes long, "
+             "width int, height int, duration_ms long")
+
+
+@register("multimodal_resize_plan", sql=f"""
+    SELECT media_kind, count(*) AS n_media,
+           CAST(sum(CASE WHEN width > {MAX_W} OR height > {MAX_H}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_resized,
+           max(out_w) AS max_out_w, max(out_h) AS max_out_h
+    FROM (
+      SELECT media_kind, width, height,
+             CAST(floor(width * scale) AS INT) AS out_w,
+             CAST(floor(height * scale) AS INT) AS out_h
+      FROM (
+        SELECT media_kind, width, height,
+               least(1.0, CAST({MAX_W} AS DOUBLE) / greatest(width, 1),
+                     CAST({MAX_H} AS DOUBLE) / greatest(height, 1)) AS scale
+        FROM (
+          -- closed form of media_table + stub decode: payload starts 'B'
+          -- (width = 160 + (66%8)*80 = 320) and ends with doc_id's last
+          -- digit (height = 120 + ((48 + doc_id%10) % 8) * 60).
+          SELECT CASE WHEN doc_id % 10 = 0 THEN 'video'
+                      WHEN doc_id % 3 = 0 THEN 'audio'
+                      ELSE 'image' END AS media_kind,
+                 320 AS width,
+                 120 + ((48 + doc_id % 10) % 8) * 60 AS height
+          FROM documents WHERE doc_id % 5 = 0
+        )
+      )
+    ) GROUP BY media_kind
+""")
+def multimodal_resize_plan(spark, sf_dir):
+    # Aspect-preserving downscale plan to fit MAX_W x MAX_H: the scale
+    # factor and output dims are pure metadata arithmetic (JVM-side);
+    # only the pixel resample itself would live in the decode stub.
+    meta = decode_media(media_table(spark, sf_dir))
+    scale = F.least(F.lit(1.0),
+                    F.lit(float(MAX_W)) / F.greatest("width", F.lit(1)),
+                    F.lit(float(MAX_H)) / F.greatest("height", F.lit(1)))
+    planned = meta.select(
+        "media_kind", "width", "height",
+        F.floor(F.col("width") * scale).cast("int").alias("out_w"),
+        F.floor(F.col("height") * scale).cast("int").alias("out_h"))
+    return (planned.groupBy("media_kind")
+            .agg(F.count("*").alias("n_media"),
+                 F.sum(((F.col("width") > MAX_W)
+                        | (F.col("height") > MAX_H)).cast("int"))
+                 .cast("long").alias("n_resized"),
+                 F.max("out_w").alias("max_out_w"),
+                 F.max("out_h").alias("max_out_h")))
+
+
+@register("multimodal_frame_sample", sql=f"""
+    SELECT media_ref, CAST(idx AS INT) AS frame_idx,
+           CAST(floor(duration_ms * (idx + 0.5) / {N_FRAMES}) AS BIGINT)
+             AS frame_ms
+    FROM (
+      SELECT 'media://doc/' || doc_id || '.mp4' AS media_ref,
+             10 * (1 + length(CAST(doc_id AS VARCHAR))) * (1000 / {FPS})
+               AS duration_ms
+      FROM documents WHERE doc_id % 10 = 0
+    ) CROSS JOIN (SELECT unnest(range({N_FRAMES})) AS idx)
+""")
+def multimodal_frame_sample(spark, sf_dir):
+    # Evenly-spaced frame sampling for videos: one row per (video, frame),
+    # timestamps at bucket midpoints — the explode fanout a real
+    # frame-extraction stage feeds to its decoder. Closed-form oracle
+    # (duration derives from the synthesized payload length).
+    meta = (decode_media(media_table(spark, sf_dir))
+            .filter(F.col("media_kind") == "video"))
+    return (meta.select(
+        "media_ref", "duration_ms",
+        F.explode(F.sequence(F.lit(0), F.lit(N_FRAMES - 1))).alias("frame_idx"))
+        .select("media_ref", "frame_idx",
+                F.floor(F.col("duration_ms") * (F.col("frame_idx") + 0.5)
+                        / N_FRAMES).cast("long").alias("frame_ms")))
+
+
+def extract_media_features(df: DataFrame, dim: int = 16) -> DataFrame:
+    """Deterministic stand-in feature extractor: dim-length float vector
+    from a rolling byte hash (a real deployment swaps in a vision/audio
+    encoder; batch shape — binary in, fixed-dim float array out — is what
+    the downstream ANN ops consume). Unit-tested for determinism."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import zlib
+        for pdf in batches:
+            feats = []
+            for p in pdf["payload"]:
+                p = p or b""
+                feats.append([
+                    (zlib.crc32(p, i) % 1000) / 1000.0 for i in range(dim)])
+            yield pd.DataFrame({"media_ref": pdf["media_ref"],
+                                "features": feats})
+
+    return df.mapInPandas(run, "media_ref string, features array<float>")
+
+
+@register("multimodal_feature_stats")  # rows-only: rolling-hash features
+def multimodal_feature_stats(spark, sf_dir):
+    feats = extract_media_features(media_table(spark, sf_dir))
+    return (feats.select(F.size("features").alias("dim"),
+                         F.round(F.expr(
+                             "aggregate(features, cast(0.0 as double), "
+                             "(a, x) -> a + x)"), 4).alias("f_sum"))
+            .groupBy("dim").agg(F.count("*").alias("n_media"),
+                                F.round(F.avg("f_sum"), 4).alias("avg_sum")))

@@ -34,11 +34,13 @@ def register(name: str, sql: str | None = None):
 def load_all() -> dict[str, QuerySpec]:
     """Import all operator modules so their @register calls run."""
     from crawspark.operators import (  # noqa: F401
+        analytics,
         curate,
         decode,
         dedup,
         export,
         extraction_queries,
+        multimodal,
         relational,
         similarity,
         textops,
