@@ -80,3 +80,30 @@ def test_q1_partial_aggregation(spark, sf_dir):
     # map-side partial agg before the exchange (two HashAggregate levels)
     assert plan.count("HashAggregate") >= 2
     assert "PushedFilters" in plan and "LessThanOrEqual(l_shipdate" in plan
+
+
+def test_curate_fuzzy_drop_broadcasts(spark, sf_dir):
+    # The fuzzy-dedup drop list must join as a broadcast anti-join — the
+    # corpus side never shuffles for it (the drop list is |dup clusters|).
+    from crawspark.registry import load_all
+    df = load_all()["curate_corpus"].spark(spark, sf_dir)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_quantile_scan_prunes_text(spark, sf_dir):
+    # percentile over n_chars must not drag the text column off disk.
+    from crawspark.registry import load_all
+    df = load_all()["quantile_doc_sizes"].spark(spark, sf_dir)
+    plan = _plan(df)
+    read_schema = plan.split("ReadSchema")[1].splitlines()[0]
+    assert "n_chars" in read_schema and "text" not in read_schema
+
+
+def test_sessionize_single_exchange(spark, sf_dir):
+    # Both windows and the final aggregate share the user_id hash
+    # partitioning — exactly ONE shuffle of the events table.
+    from crawspark.plans import plan_summary
+    from crawspark.registry import load_all
+    df = load_all()["sessionize_events"].spark(spark, sf_dir)
+    assert plan_summary(df)["exchanges"] == 1
