@@ -1,0 +1,60 @@
+"""spark-submit job: end-to-end training-data curation over a documents
+table — exact dedup → fuzzy (MinHash+LSH, verified, connected-components)
+dedup → language/quality gates → token accounting — writing the curated
+corpus and printing one JSON stats line.
+
+Usage:
+  spark-submit --py-files $(python -c 'from crawspark.bundle import build_zip; print(build_zip())') \\
+      jobs/curate.py --sf-dir /root/testdata/sf0.1 --out /tmp/curated
+
+The pipeline is the same oracle-checked chain as the `curate_corpus`
+registry query (crawspark/operators/curate.py); this wrapper adds the
+sink and the survivor-rate accounting a pipeline operator watches.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", required=True,
+                    help="dir containing documents.parquet")
+    ap.add_argument("--out", required=True, help="curated output parquet dir")
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from crawspark.bundle import ensure_shipped
+    from crawspark.operators.curate import curate_corpus
+    from crawspark.session import get_spark
+    from crawspark.sources import read_testdata
+
+    spark = get_spark(master=args.master, app="crawspark-curate")
+    ensure_shipped(spark)
+    n_in = read_testdata(spark, args.sf_dir, "documents").count()
+    curated = curate_corpus(spark, args.sf_dir)
+    curated.write.mode("overwrite").parquet(args.out)
+    back = spark.read.parquet(args.out)
+    stats = back.agg(
+        F.count("*").alias("n_out"),
+        F.sum("n_tokens").cast("long").alias("total_tokens")).collect()[0]
+    print(json.dumps({
+        "docs_in": n_in,
+        "docs_out": stats["n_out"],
+        "survival_rate": round(stats["n_out"] / max(n_in, 1), 4),
+        "total_tokens": int(stats["total_tokens"] or 0),
+        "out": args.out,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
