@@ -31,9 +31,12 @@ def decode_payloads(df: DataFrame, payload_col: str = "payload",
                     out_col: str = "text") -> DataFrame:
     """Add ``out_col``: decoded text of the binary ``payload_col`` via the
     BOM → meta → declared → charset_normalizer → latin-1 chain."""
-    from pyspark.sql.types import StringType, StructField
+    from pyspark.sql.types import StringType, StructField, StructType
 
-    schema = df.schema.add(StructField(out_col, StringType()))
+    # fresh StructType: StructType.add mutates the shared schema object of
+    # the input DataFrame, which breaks mapInPandas analysis in Spark 4.
+    schema = StructType(list(df.schema.fields)
+                        + [StructField(out_col, StringType())])
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from crawspark.oracle.encoding import decode_bytes

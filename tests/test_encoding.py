@@ -78,6 +78,25 @@ def test_empty_and_garbage_never_raise():
     assert isinstance(out, str) and len(out) > 0
 
 
+def test_decode_payloads_operator(spark):
+    # Spark surface: binary payload column + optional declared-charset
+    # column through the Arrow-batched chain.
+    rows = [
+        ("a", ACCENTED.encode("utf-8"), None),
+        ("b", ACCENTED.encode("utf-16"), None),
+        ("c", ACCENTED.encode("latin-1"), "latin-1"),
+        ("d", ACCENTED.encode("latin-1"), "utf-8"),  # lying declaration
+        ("e", b"", None),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id string, payload binary, charset string")
+    from crawspark.operators.decode import decode_payloads
+    got = {r["doc_id"]: r["text"] for r in
+           decode_payloads(df, charset_col="charset").collect()}
+    assert got == {"a": ACCENTED, "b": ACCENTED, "c": ACCENTED,
+                   "d": ACCENTED, "e": ""}
+
+
 def test_extract_document_html_b64_equals_predecoded():
     html = ("<html><head><title>March\xe9 Report</title></head><body>"
             "<p>the market of the village was in the garden and it had "
