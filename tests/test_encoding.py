@@ -97,6 +97,58 @@ def test_decode_payloads_operator(spark):
                    "d": ACCENTED, "e": ""}
 
 
+def test_decode_never_raises_fuzz():
+    # decode_bytes must be total: arbitrary bytes x arbitrary declared
+    # charset never raise, and utf-8 inputs always round-trip.
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.binary(max_size=400),
+           st.sampled_from(["", "utf-8", "latin-1", "utf-16", "klingon-8",
+                            "UTF-8", "ascii"]))
+    def run(data, declared):
+        out = decode_bytes(data, declared)
+        assert isinstance(out, str)
+
+    run()
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.text(max_size=200))
+    def roundtrip(text):
+        # no BOM-prefix texts: a leading U+FEFF is indistinguishable from
+        # a transport BOM by design
+        if text.startswith("﻿"):
+            return
+        assert decode_bytes(text.encode("utf-8"), "utf-8") == text
+
+    roundtrip()
+
+
+def test_spark_extract_html_b64_spans(spark):
+    # Spark-level: html_b64 spans flow through the Arrow extraction hop.
+    import base64
+
+    from crawspark.operators.extract import extract_documents
+    from crawspark.schema import DOCUMENTS_INTERLEAVED
+
+    html = ("<html><head><title>March\xe9 Report</title></head><body>"
+            "<p>the market of the village was in the garden and it had "
+            "a report for all of the winter there caf\xe9</p></body></html>")
+    b64 = base64.b64encode(html.encode("latin-1")).decode("ascii")
+    df = spark.createDataFrame(
+        [("d1", [{"kind": "html_b64", "text": b64,
+                  "media_ref": "latin-1", "offset": 0}]),
+         ("d2", [{"kind": "html", "text": html,
+                  "media_ref": None, "offset": 0}])],
+        schema=DOCUMENTS_INTERLEAVED)
+    rows = {r["doc_id"]: r.asDict(recursive=True)
+            for r in extract_documents(df).collect()}
+    assert rows["d1"]["spans"] == rows["d2"]["spans"]
+    assert rows["d1"]["n_spans"] >= 1
+    assert rows["d1"]["spans"][0]["text"] == "March\xe9 Report"
+
+
 def test_extract_document_html_b64_equals_predecoded():
     html = ("<html><head><title>March\xe9 Report</title></head><body>"
             "<p>the market of the village was in the garden and it had "
