@@ -109,6 +109,41 @@ def window_span_order(spark, sf_dir):
             .groupBy("offsets_dense").agg(F.count("*").alias("n_docs")))
 
 
+@register("extract_metrics_summary", sql=f"""
+    SELECT CAST(4 AS BIGINT) AS n_files,
+           count(*) AS docs_in,
+           count(*) AS docs_out,
+           CAST(sum(n_spans) AS BIGINT) AS spans_out
+    FROM {ORACLE_PQ}
+""")
+def extract_metrics_summary(spark, sf_dir):
+    # Drives the WORKER-NATIVE job (pyarrow read/write in executors,
+    # file-granular metrics — operators/native_extract.py) end to end and
+    # returns its checkpoint-metrics aggregate; the oracle pins
+    # docs_in/docs_out/spans_out against the frozen extraction. This makes
+    # the §2.5 agg_extraction_metrics / §2.1 sink_checkpoint surface
+    # driver-verified, not just unit-tested.
+    import os
+    import shutil
+    import tempfile
+
+    from crawspark.operators.native_extract import native_extract_job
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "crawspark_native_" + os.path.basename(sf_dir.rstrip("/")))
+    inp, out = os.path.join(base, "in"), os.path.join(base, "out")
+    shutil.rmtree(out, ignore_errors=True)
+    (interleave_documents(read_testdata(spark, sf_dir, "documents"))
+     .repartition(4)  # fixed shard count -> deterministic n_files
+     .write.mode("overwrite").parquet(inp))
+    metrics = native_extract_job(spark, inp, out)
+    return metrics.agg(F.count("*").alias("n_files"),
+                       F.sum("docs_in").cast("long").alias("docs_in"),
+                       F.sum("docs_out").cast("long").alias("docs_out"),
+                       F.sum("spans_out").cast("long").alias("spans_out"))
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing: binary media columns + typed metadata. Decode is a
 # deterministic STUB (no image/audio libs in this container) — the Spark
