@@ -3,13 +3,15 @@
 ``entry(spark)`` — flagship extraction pipeline over sf0.001.
 ``queries()`` — every implemented operator (SURVEY.md §2 + training-data
 ops), from the crawspark registry.
-``oracle_sql()`` — DuckDB-equivalent SQL for 58 of the 63 entries.
+``oracle_sql()`` — DuckDB-equivalent SQL for 57 of the 63 entries.
 Extraction-pipeline queries are hash-checked against the frozen Python
 oracle's MATERIALIZED extraction of the sf0.01 table
 (tools/gen_extract_oracle.py — deterministic by construction, so the
-parquet IS the oracle). The 5 remaining rows-only entries
-(minhash/simhash/LSH bucket structures) derive from Spark's xxhash64 and
-are pinned by recall floors in tests/test_recall.py instead.
+parquet IS the oracle). The 6 remaining rows-only entries
+(minhash/simhash/LSH bucket structures and the rolling-hash media
+features) derive from executor-side hashes and are pinned by recall
+floors (tests/test_recall.py) and determinism tests
+(tests/test_multimodal.py) instead.
 """
 
 from __future__ import annotations

@@ -17,13 +17,14 @@ SESSION_GAP_MIN = 30
 
 @register("sessionize_events", sql=f"""
     WITH ordered AS (
-      SELECT user_id, ts, value,
+      SELECT user_id, event_id, ts, value,
              CASE WHEN ts - lag(ts) OVER w <= INTERVAL {SESSION_GAP_MIN} MINUTE
                   THEN 0 ELSE 1 END AS new_session
       FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), tagged AS (
       SELECT user_id, ts, value,
-             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+             sum(new_session) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id
                                     ROWS UNBOUNDED PRECEDING) AS session_id
       FROM ordered
     )
@@ -43,7 +44,10 @@ def sessionize_events(spark, sf_dir):
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     sec = F.unix_timestamp("ts")  # NTZ -> epoch secs (session tz = UTC)
     gap_ok = sec - F.lag(sec).over(w) <= SESSION_GAP_MIN * 60
-    wrun = (Window.partitionBy("user_id").orderBy("ts")
+    # tie-break on event_id in BOTH windows — with ties ordered by ts
+    # alone, session assignment at a duplicate timestamp would be
+    # partition-order-dependent (nondeterministic vs the oracle).
+    wrun = (Window.partitionBy("user_id").orderBy("ts", "event_id")
             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     return (read_testdata(spark, sf_dir, "events")
             .withColumn("new_session",

@@ -106,8 +106,12 @@ def dedup_ngram_jaccard(spark, sf_dir):
     # shingles, self-join on the shingle (the classic inverted-index pair
     # generation — shuffle key is the shingle, so only docs sharing a
     # shingle ever meet; DF_CAP bounds any posting list's pair fanout).
-    spark.catalog.clearCache()  # drop leftovers from prior registry runs
-    sh = _shingle_table(spark, sf_dir).cache()
+    # Eager localCheckpoint, not cache(): three plan branches (sizes +
+    # both join sides) read the shingle table, it materializes exactly
+    # once, and ContextCleaner reclaims the blocks when the DataFrame is
+    # unreferenced — cache() leaks executor storage until an explicit
+    # unpersist no caller can issue.
+    sh = _shingle_table(spark, sf_dir).localCheckpoint(eager=True)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -187,8 +191,12 @@ def lsh_band_table(df: DataFrame, n_hashes: int = N_HASHES,
 
 def lsh_candidates(df: DataFrame, n_hashes: int = N_HASHES,
                    bands: int = BANDS) -> DataFrame:
-    """Distinct candidate pairs (doc_a < doc_b) from the band join."""
-    exploded = lsh_band_table(df, n_hashes, bands)
+    """Distinct candidate pairs (doc_a < doc_b) from the band join.
+
+    The band table feeds BOTH sides of the self-join — materialize it
+    once (eager localCheckpoint) or the whole shingle+minhash pipeline
+    executes twice inside the one job."""
+    exploded = lsh_band_table(df, n_hashes, bands).localCheckpoint(eager=True)
     a = exploded.alias("a")
     b = exploded.alias("b")
     return (a.join(b, (F.col("a.band_id") == F.col("b.band_id"))
@@ -203,11 +211,11 @@ def lsh_candidates(df: DataFrame, n_hashes: int = N_HASHES,
 def dedup_minhash_lsh(spark, sf_dir):
     # Per-band candidate-pair counts (richer than one global aggregate: a
     # banding bug that collapses or empties a band is visible per row).
-    # cache: both sides of the candidate self-join read the band table —
-    # without it the whole shingle+minhash pipeline runs twice.
-    spark.catalog.clearCache()
+    # Eager localCheckpoint: both sides of the candidate self-join read
+    # the band table — without it the whole shingle+minhash pipeline runs
+    # twice (and blocks are GC-reclaimed, unlike cache()).
     docs = read_testdata(spark, sf_dir, "documents")
-    exploded = lsh_band_table(docs).cache()
+    exploded = lsh_band_table(docs).localCheckpoint(eager=True)
     a = exploded.alias("a")
     b = exploded.alias("b")
     pairs = (a.join(b, (F.col("a.band_id") == F.col("b.band_id"))
@@ -311,12 +319,12 @@ def dedup_minhash_resolve(spark, sf_dir):
     # every jaccard>=0.8 pair (see RESOLVE_* constants), so the verified
     # edge set — and hence the components — equal the exact all-pairs
     # oracle the DuckDB side computes.
-    spark.catalog.clearCache()
     docs = read_testdata(spark, sf_dir, "documents")
     cands = lsh_candidates(docs, RESOLVE_N_HASHES, RESOLVE_BANDS)
     # Exact verify on candidates only: join each side to its (small,
     # hot-capped) distinct-shingle array and intersect in-memory — the
-    # heavy inverted-index self-join never runs here.
+    # heavy inverted-index self-join never runs here. Materialized once:
+    # sa and sb are two branches of the same table.
     sets = (docs.repartition(spark.sparkContext.defaultParallelism)
             .withColumn("toks", F.expr(_TOKS))
             .filter(F.size("toks") >= 3)
@@ -327,16 +335,20 @@ def dedup_minhash_resolve(spark, sf_dir):
                F.collect_list("shingle").alias("hot_list")))
     sets = (sets.crossJoin(F.broadcast(hot))
             .select("doc_id", F.array_except("shingles", "hot_list")
-                    .alias("shingles")))
+                    .alias("shingles"))
+            .localCheckpoint(eager=True))
     sa = sets.select(F.col("doc_id").alias("doc_a"),
                      F.col("shingles").alias("sh_a"))
     sb = sets.select(F.col("doc_id").alias("doc_b"),
                      F.col("shingles").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
+    # verified is consumed twice downstream (count + collect/propagate) —
+    # materialize the tiny edge list so the verify join runs once.
     verified = (cands.join(sa, "doc_a").join(sb, "doc_b")
                 .filter(inter.cast("double") / union >= 0.8)
-                .select("doc_a", "doc_b"))
+                .select("doc_a", "doc_b")
+                .localCheckpoint(eager=True))
     comp = connected_components(verified)
     return comp.select(F.col("node").alias("doc_id"),
                        F.col("label").alias("keep_id"))

@@ -91,15 +91,24 @@ def decode_bytes(data: bytes, declared_charset: str = "") -> str:
         best = matches.best()
         if best is not None:
             # Single-byte codecs are statistically near-indistinguishable
-            # (cp1250 vs cp1252 tie on western text). Apply a western
-            # prior [R: goose defaults to western charsets]: if a
-            # latin-1-family codec is among the plausible matches, take
-            # it over an equally-ranked central/eastern sibling.
+            # for western text (cp1250/cp1252/cp1257 land within ~0.06
+            # chaos of each other on short pages). Apply a western prior —
+            # the WHATWG encoding standard mandates windows-1252 as THE
+            # default fallback for undeclared content, and the reference
+            # is a western-corpus crawler [R: goose defaults] — but only
+            # among PLAUSIBLE matches: a latin-1-family codec wins when
+            # its chaos/coherence are within a band of the best match. A
+            # genuinely central/eastern page is safe: its cp1252 decode
+            # fails charset_normalizer's chaos filter outright and never
+            # appears in `matches` at all (measured: Czech cp1250 text,
+            # long or short, lists NO western codec).
             chosen = best.encoding
             western = {"cp1252", "latin_1", "iso8859_1", "iso8859_15"}
             if chosen not in western:
                 for m in matches:
-                    if m.encoding in western:
+                    if (m.encoding in western
+                            and m.chaos <= best.chaos + 0.1
+                            and m.coherence >= best.coherence - 0.15):
                         chosen = m.encoding
                         break
             try:

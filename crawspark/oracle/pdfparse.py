@@ -151,7 +151,10 @@ def extract_pdf_text(payload: str) -> list[str]:
             elif tok.group("tstar"):
                 y -= leading
             elif tok.group("bt"):
-                x = y = leading = 0.0  # BT resets the text matrices
+                # BT resets the text/line MATRICES; TL is a text-STATE
+                # parameter and persists across text objects (PDF 32000-1
+                # §9.3.1) — do not zero the leading here.
+                x = y = 0.0
             elif tok.group("str") is not None:
                 chunks.append((y, x, _unescape(tok.group("str"))))
             elif tok.group("qstr") is not None:  # ' = T* + show

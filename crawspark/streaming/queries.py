@@ -15,6 +15,7 @@ from __future__ import annotations
 import os
 import shutil
 import tempfile
+import zlib
 
 from pyspark.sql import functions as F
 
@@ -32,9 +33,11 @@ def stream_extract_incremental(spark, sf_dir):
     from crawspark.sources import read_testdata
     from crawspark.streaming.extract_stream import run_available_now
 
+    # crc32, not builtin hash(): the latter is salted per process, so
+    # every run would mint a fresh /tmp dir instead of reusing one.
     base = os.path.join(
         tempfile.gettempdir(),
-        f"crawspark_stream_{abs(hash(sf_dir)) % 10**8:08d}")
+        f"crawspark_stream_{zlib.crc32(sf_dir.encode()):08x}")
     inp, out, ck = (os.path.join(base, d) for d in ("in", "out", "ck"))
     # fresh drain per invocation: clear sink + stream checkpoint, rewrite
     # the input snapshot (a second invocation with the checkpoint kept
@@ -45,7 +48,8 @@ def stream_extract_incremental(spark, sf_dir):
         shutil.rmtree(d, ignore_errors=True)
     (interleave_documents(read_testdata(spark, sf_dir, "documents"))
      .write.mode("overwrite").parquet(inp))
-    assert run_available_now(spark, inp, out, ck, timeout_sec=600)
+    if not run_available_now(spark, inp, out, ck, timeout_sec=600):
+        raise RuntimeError("stream drain did not complete within timeout")
     return (spark.read.parquet(out)
             .groupBy("lang")
             .agg(F.count("*").alias("n_docs"),

@@ -78,6 +78,18 @@ def test_empty_and_garbage_never_raise():
     assert isinstance(out, str) and len(out) > 0
 
 
+def test_czech_cp1250_not_overridden_by_western_prior():
+    # The western prior applies only among plausible matches; genuinely
+    # central/eastern bytes exclude cp1252 from the match list entirely,
+    # so the diacritics survive (review finding r2).
+    czech = ("p\u0159\xedli\u0161 \u017elu\u0165ou\u010dk\xfd k\u016f\u0148 "
+             "\xfap\u011bl \u010f\xe1belsk\xe9 \xf3dy " * 6
+             + "\u010de\u0161tina \u0159e\u010d \u0161\u0165astn\xfd")
+    assert decode_bytes(czech.encode("cp1250")) == czech
+    short = "p\u0159\xedli\u0161 \u017elu\u0165ou\u010dk\xfd k\u016f\u0148 \u010de\u0161tina"
+    assert decode_bytes(short.encode("cp1250")) == short
+
+
 def test_decode_payloads_operator(spark):
     # Spark surface: binary payload column + optional declared-charset
     # column through the Arrow-batched chain.
