@@ -109,6 +109,30 @@ def window_span_order(spark, sf_dir):
             .groupBy("offsets_dense").agg(F.count("*").alias("n_docs")))
 
 
+@register("extract_span_hashes", sql=f"""
+    SELECT doc_id,
+           md5(array_to_string(list_transform(spans, s ->
+             s.kind || chr(31) || coalesce(s.text, '') || chr(31) ||
+             coalesce(s.media_ref, '') || chr(31) ||
+             CAST(s."offset" AS VARCHAR) || chr(30)), '')) AS span_hash
+    FROM {ORACLE_PQ}
+""")
+def extract_span_hashes(spark, sf_dir):
+    # THE strongest driver-visible extraction check: one md5 per document
+    # over the canonical serialization of its FULL span sequence
+    # (kind/text/media_ref/offset in order, 0x1f/0x1e separators). Any
+    # single-character or ordering deviation from the frozen oracle
+    # flips the row's hash — per-document span-sequence equality enforced
+    # by the driver's value compare, not just by local fixtures.
+    canon = F.expr(
+        "aggregate(spans, cast('' as string), (acc, s) -> concat(acc, "
+        "s.kind, char(31), coalesce(s.text, ''), char(31), "
+        "coalesce(s.media_ref, ''), char(31), cast(s.offset as string), "
+        "char(30)))")
+    return (_extracted(spark, sf_dir)
+            .select("doc_id", F.md5(canon).alias("span_hash")))
+
+
 @register("extract_metrics_summary", sql=f"""
     SELECT CAST(4 AS BIGINT) AS n_files,
            count(*) AS docs_in,
