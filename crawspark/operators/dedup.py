@@ -343,10 +343,14 @@ def dedup_minhash_resolve(spark, sf_dir):
                      F.col("shingles").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
+    # when() guards the ANSI division: a candidate pair whose post-cap
+    # shingle sets are BOTH empty (all-boilerplate docs — possible once
+    # DF_CAP fires) has union=0 and is not a verifiable dup.
+    jac = F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
     # verified is consumed twice downstream (count + collect/propagate) —
     # materialize the tiny edge list so the verify join runs once.
     verified = (cands.join(sa, "doc_a").join(sb, "doc_b")
-                .filter(inter.cast("double") / union >= 0.8)
+                .filter(jac >= 0.8)
                 .select("doc_a", "doc_b")
                 .localCheckpoint(eager=True))
     comp = connected_components(verified)

@@ -1,0 +1,86 @@
+"""Dedup semantics the driver testdata never exercises: the hot-shingle
+DF_CAP actually firing (max df on testdata is 7, far below the cap), and
+a hypothesis differential of the zip_with shingle construction against a
+plain-Python reference."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from crawspark.operators import dedup
+
+
+@pytest.fixture()
+def hot_corpus(spark, tmp_path, monkeypatch):
+    """122 docs sharing boilerplate phrases (df > cap) plus per-doc unique
+    tails; one planted near-dup pair. Cap lowered to 50 so it fires."""
+    monkeypatch.setattr(dedup, "DF_CAP", 50)
+    boiler = "subscribe to the newsletter for daily updates now"
+    rows = []
+    for i in range(120):
+        unique = (f"the story number {i} of the "
+                  f"{'winter' if i % 2 else 'garden'} village was long and "
+                  f"it had many details about topic {i}")
+        rows.append((i, f"{boiler} {unique}"))
+    dup = ("the report of the market was ready and the cluster had a "
+           "signal for all of the readers there")
+    rows.append((200, f"{boiler} {dup}"))
+    rows.append((201, f"{boiler} {dup} extra"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+def test_df_cap_fires_and_matches_oracle(spark, hot_corpus):
+    # Boilerplate/scaffold shingles exceed the (lowered) cap and are
+    # dropped identically on BOTH engines; the full pair list must still
+    # hash-match, and the planted near-dup must survive on post-cap
+    # (rare) shingles alone.
+    from crawspark.registry import load_all
+    spec = load_all()["dedup_ngram_jaccard"]
+    got = {(r.doc_a, r.doc_b): r.jaccard
+           for r in spec.spark(spark, hot_corpus).collect()}
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{hot_corpus}/documents.parquet/*.parquet')")
+    oracle_sql = spec.sql.replace("> 256", f"> {dedup.DF_CAP}")
+    assert "> 50" in oracle_sql
+    exp = {(a, b): j for a, b, j in con.execute(oracle_sql).fetchall()}
+    con.close()
+    assert got == exp
+    assert (200, 201) in got, "planted near-dup must survive the cap"
+    assert got[(200, 201)] == max(got.values())
+
+
+def test_df_cap_drops_hot_shingles_from_inverted_index(spark, hot_corpus):
+    sh = dedup._shingle_table(spark, hot_corpus)
+    max_df = (sh.groupBy("shingle").agg(F.count("*").alias("df"))
+              .agg(F.max("df")).collect()[0][0])
+    assert max_df <= dedup.DF_CAP, "posting lists must be capped"
+
+
+def test_resolve_keepers_with_cap_firing(spark, hot_corpus):
+    # End-to-end resolve on the hot corpus: exactly one dup cluster.
+    from crawspark.registry import load_all
+    got = {(r.doc_id, r.keep_id) for r in
+           load_all()["dedup_minhash_resolve"].spark(
+               spark, hot_corpus).collect()}
+    assert got == {(200, 200), (201, 200)}
+
+
+def _ref_shingles(toks: list[str]) -> list[str]:
+    return [" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)]
+
+
+@given(st.lists(st.text(alphabet="abcdef", min_size=1, max_size=5),
+                min_size=3, max_size=40))
+@settings(max_examples=50, deadline=None)
+def test_zipwith_shingles_differential(spark, toks):
+    df = spark.createDataFrame([(toks,)], "toks array<string>")
+    got = df.select(F.expr(dedup._SHINGLES_RAW).alias("s")).collect()[0]["s"]
+    assert got == _ref_shingles(toks)
