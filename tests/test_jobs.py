@@ -1,0 +1,42 @@
+"""spark-submit job mainlines, driven as subprocesses from a foreign cwd
+(the bundle/PYTHONPATH path a real `spark-submit --py-files` run takes)."""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+
+REPO = "/root/repo"
+
+
+def _run(args: list[str], cwd: str = "/tmp") -> str:
+    proc = subprocess.run([sys.executable] + args, cwd=cwd,
+                          capture_output=True, text=True, timeout=600)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    return proc.stdout.strip().splitlines()[-1]
+
+
+def test_curate_job_mainline(tmp_path):
+    out = _run([f"{REPO}/jobs/curate.py",
+                "--sf-dir", "/root/testdata/sf0.001",
+                "--out", str(tmp_path / "curated"),
+                "--master", "local[4]"])
+    stats = json.loads(out)
+    assert stats["docs_in"] == 500
+    assert 0 < stats["docs_out"] < 500
+    assert stats["total_tokens"] > 0
+    assert 0 < stats["survival_rate"] < 1
+
+
+def test_extract_job_mainline_synthetic(tmp_path):
+    out = _run([f"{REPO}/jobs/extract.py",
+                "--synthetic", "400",
+                "--data-root", str(tmp_path / "run"),
+                "--run-id", "smoke",
+                "--completed-ts", "2026-01-01 00:00:00",
+                "--n-parts", "8",
+                "--master", "local[4]"])
+    stats = json.loads(out)
+    assert stats["run_id"] == "smoke"
+    assert stats["docs_out"] == 400 and stats["spans_out"] > 0
