@@ -145,38 +145,44 @@ RESOLVE_N_HASHES = 32
 RESOLVE_BANDS = 16
 
 
-def minhash_signatures(df: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
-    """doc_id → n_hashes minhash values, computed as
-    min(xxhash64(seed_i||shingle)) per seed — pure JVM aggregates after one
-    explode.
+def _signatures_from_rows(sh_rows: DataFrame, n_hashes: int) -> DataFrame:
+    """(doc_id, shingle) rows → doc_id + n_hashes minhash columns.
 
-    The input is repartitioned first: a small single-file parquet scan
-    yields ONE partition, serializing the (CPU-heavy) shingle HOFs onto
-    one core (measured 12s → <1s at sf0.1)."""
-    sc = df.sparkSession.sparkContext
-    df = df.repartition(sc.defaultParallelism)
-    # No array_distinct: min() over a multiset equals min() over its set,
-    # so duplicate shingles cannot change a minhash (the O(n^2)
-    # interpreted distinct was the dominant cost). The shingle string is
-    # hashed ONCE; the hash functions re-hash that 8-byte value
-    # (xxhash64(h, i)) — long hashing in codegen instead of n string
-    # hashes (ANSI-safe: no overflowing arithmetic).
-    sh = (df.withColumn("toks", F.expr(_TOKS))
-          .filter(F.size("toks") >= 3)
-          .withColumn("sh_raw", F.expr(_SHINGLES_RAW))
-          .select("doc_id", F.explode("sh_raw").alias("shingle"))
-          .withColumn("h", F.xxhash64("shingle")))
+    The shingle string is hashed ONCE; the hash functions re-hash that
+    8-byte value (xxhash64(h, i)) — long hashing in codegen instead of n
+    string hashes (ANSI-safe: no overflowing arithmetic). min() over a
+    multiset equals min() over its set, so duplicate shingle rows cannot
+    change a minhash."""
+    h = sh_rows.withColumn("h", F.xxhash64("shingle"))
     aggs = [F.min(F.xxhash64(F.col("h"), F.lit(i))).alias(f"mh{i}")
             for i in range(n_hashes)]
-    return sh.groupBy("doc_id").agg(*aggs)
+    return h.groupBy("doc_id").agg(*aggs)
 
 
-def lsh_band_table(df: DataFrame, n_hashes: int = N_HASHES,
-                   bands: int = BANDS) -> DataFrame:
+def _raw_shingle_rows(df: DataFrame) -> DataFrame:
+    """(doc_id, shingle) from the raw (uncapped) shingle stream. The input
+    is repartitioned first: a small single-file parquet scan yields ONE
+    partition, serializing the (CPU-heavy) shingle HOFs onto one core
+    (measured 12s → <1s at sf0.1)."""
+    sc = df.sparkSession.sparkContext
+    return (df.repartition(sc.defaultParallelism)
+            .withColumn("toks", F.expr(_TOKS))
+            .filter(F.size("toks") >= 3)
+            .withColumn("sh_raw", F.expr(_SHINGLES_RAW))
+            .select("doc_id", F.explode("sh_raw").alias("shingle")))
+
+
+def minhash_signatures(df: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
+    """doc_id → n_hashes minhash values over the raw shingle stream."""
+    return _signatures_from_rows(_raw_shingle_rows(df), n_hashes)
+
+
+def band_table_from_rows(sh_rows: DataFrame, n_hashes: int,
+                         bands: int) -> DataFrame:
     """(doc_id, band_id, band_hash): one row per (doc, band). Docs agreeing
     on any full band hash become candidate pairs — the 100 TB near-dup
     candidate generation shuffles only these small derived keys."""
-    sig = minhash_signatures(df, n_hashes)
+    sig = _signatures_from_rows(sh_rows, n_hashes)
     rows_per_band = n_hashes // bands
     # One pass: band hashes as columns, then a single stack() explode —
     # a per-band union would recompute the signature aggregation B times.
@@ -189,14 +195,23 @@ def lsh_band_table(df: DataFrame, n_hashes: int = N_HASHES,
     return wide.select("doc_id", F.expr(stack_expr))
 
 
-def lsh_candidates(df: DataFrame, n_hashes: int = N_HASHES,
+def lsh_band_table(df: DataFrame, n_hashes: int = N_HASHES,
                    bands: int = BANDS) -> DataFrame:
+    return band_table_from_rows(_raw_shingle_rows(df), n_hashes, bands)
+
+
+def candidates_from_rows(sh_rows: DataFrame, n_hashes: int,
+                         bands: int) -> DataFrame:
     """Distinct candidate pairs (doc_a < doc_b) from the band join.
 
     The band table feeds BOTH sides of the self-join — materialize it
     once (eager localCheckpoint) or the whole shingle+minhash pipeline
-    executes twice inside the one job."""
-    exploded = lsh_band_table(df, n_hashes, bands).localCheckpoint(eager=True)
+    executes twice inside the one job. (Cluster note: localCheckpoint
+    blocks have no lineage; in a long multi-tenant cluster job prefer
+    persist + explicit unpersist, or a reliable checkpoint dir — here the
+    recompute-on-executor-loss concern doesn't apply to local mode.)"""
+    exploded = band_table_from_rows(
+        sh_rows, n_hashes, bands).localCheckpoint(eager=True)
     a = exploded.alias("a")
     b = exploded.alias("b")
     return (a.join(b, (F.col("a.band_id") == F.col("b.band_id"))
@@ -205,6 +220,11 @@ def lsh_candidates(df: DataFrame, n_hashes: int = N_HASHES,
             .select(F.col("a.doc_id").alias("doc_a"),
                     F.col("b.doc_id").alias("doc_b"))
             .distinct())
+
+
+def lsh_candidates(df: DataFrame, n_hashes: int = N_HASHES,
+                   bands: int = BANDS) -> DataFrame:
+    return candidates_from_rows(_raw_shingle_rows(df), n_hashes, bands)
 
 
 @register("dedup_minhash_lsh")  # rows-only (Spark-hash-specific banding)
@@ -315,27 +335,23 @@ def connected_components(edges: DataFrame,
 def dedup_minhash_resolve(spark, sf_dir):
     # End-to-end fuzzy dedup: LSH candidates → exact-Jaccard verify on the
     # candidate pairs ONLY → connected components → keeper assignment.
-    # Oracle-checked: with 16x2 banding the candidate set provably contains
-    # every jaccard>=0.8 pair (see RESOLVE_* constants), so the verified
-    # edge set — and hence the components — equal the exact all-pairs
-    # oracle the DuckDB side computes.
-    docs = read_testdata(spark, sf_dir, "documents")
-    cands = lsh_candidates(docs, RESOLVE_N_HASHES, RESOLVE_BANDS)
+    # Candidates, verify, and the DuckDB oracle all work over the SAME
+    # post-cap shingle universe (one _shingle_table pass feeds minhash
+    # signatures AND the verify sets): with raw-shingle minhashes, a pair
+    # whose similarity lives in its rare shingles but is diluted by
+    # boilerplate (hot) shingles would slip past the banding even though
+    # its post-cap jaccard is >= 0.8 (r2 review finding). With 16x2
+    # banding the candidate set provably contains every capped-jaccard
+    # >=0.8 pair (see RESOLVE_* constants), so the verified edge set —
+    # and hence the components — equal the exact all-pairs oracle.
+    sh = _shingle_table(spark, sf_dir).localCheckpoint(eager=True)
+    cands = candidates_from_rows(sh, RESOLVE_N_HASHES, RESOLVE_BANDS)
     # Exact verify on candidates only: join each side to its (small,
-    # hot-capped) distinct-shingle array and intersect in-memory — the
+    # post-cap) distinct-shingle array and intersect in-memory — the
     # heavy inverted-index self-join never runs here. Materialized once:
     # sa and sb are two branches of the same table.
-    sets = (docs.repartition(spark.sparkContext.defaultParallelism)
-            .withColumn("toks", F.expr(_TOKS))
-            .filter(F.size("toks") >= 3)
-            .select("doc_id", F.expr(_SHINGLES).alias("shingles")))
-    hot = (sets.select(F.explode("shingles").alias("shingle"))
-           .groupBy("shingle").agg(F.count("*").alias("df"))
-           .filter(F.col("df") > DF_CAP).select(
-               F.collect_list("shingle").alias("hot_list")))
-    sets = (sets.crossJoin(F.broadcast(hot))
-            .select("doc_id", F.array_except("shingles", "hot_list")
-                    .alias("shingles"))
+    sets = (sh.groupBy("doc_id")
+            .agg(F.collect_set("shingle").alias("shingles"))
             .localCheckpoint(eager=True))
     sa = sets.select(F.col("doc_id").alias("doc_a"),
                      F.col("shingles").alias("sh_a"))

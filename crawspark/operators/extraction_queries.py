@@ -153,9 +153,12 @@ def extract_metrics_summary(spark, sf_dir):
 
     from crawspark.operators.native_extract import native_extract_job
 
+    # pid-scoped (like crawspark/bundle.py): two concurrent processes
+    # running this query must not clobber each other's snapshot mid-job.
     base = os.path.join(
         tempfile.gettempdir(),
-        "crawspark_native_" + os.path.basename(sf_dir.rstrip("/")))
+        f"crawspark_native_{os.getpid()}_"
+        + os.path.basename(sf_dir.rstrip("/")))
     inp, out = os.path.join(base, "in"), os.path.join(base, "out")
     shutil.rmtree(out, ignore_errors=True)
     (interleave_documents(read_testdata(spark, sf_dir, "documents"))

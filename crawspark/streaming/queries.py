@@ -33,11 +33,13 @@ def stream_extract_incremental(spark, sf_dir):
     from crawspark.sources import read_testdata
     from crawspark.streaming.extract_stream import run_available_now
 
-    # crc32, not builtin hash(): the latter is salted per process, so
-    # every run would mint a fresh /tmp dir instead of reusing one.
+    # crc32, not builtin hash() (salted per process); pid-scoped so a
+    # concurrent driver + pytest pair cannot clobber each other's
+    # snapshot or streaming checkpoint mid-drain. Re-runs within one
+    # process still reuse (and clean) the same dir.
     base = os.path.join(
         tempfile.gettempdir(),
-        f"crawspark_stream_{zlib.crc32(sf_dir.encode()):08x}")
+        f"crawspark_stream_{os.getpid()}_{zlib.crc32(sf_dir.encode()):08x}")
     inp, out, ck = (os.path.join(base, d) for d in ("in", "out", "ck"))
     # fresh drain per invocation: clear sink + stream checkpoint, rewrite
     # the input snapshot (a second invocation with the checkpoint kept

@@ -30,6 +30,15 @@ def hot_corpus(spark, tmp_path, monkeypatch):
            "signal for all of the readers there")
     rows.append((200, f"{boiler} {dup}"))
     rows.append((201, f"{boiler} {dup} extra"))
+    # r2 review scenario: similarity lives ONLY in the rare tail — doc 300
+    # carries the boilerplate, doc 301 does not. Raw-shingle jaccard is
+    # diluted by the hot shingles; post-cap jaccard is ~0.9, so candidates
+    # generated from capped shingles MUST find this pair.
+    tail = ("the winter energy archive of the science leader was a long "
+            "message about the culture and history of the village people "
+            "with a policy for the growth of the market signal")
+    rows.append((300, f"{boiler} {tail}"))
+    rows.append((301, tail))
     df = spark.createDataFrame(rows, "doc_id long, text string")
     df.coalesce(1).write.mode("overwrite").parquet(
         str(tmp_path / "documents.parquet"))
@@ -54,7 +63,8 @@ def test_df_cap_fires_and_matches_oracle(spark, hot_corpus):
     con.close()
     assert got == exp
     assert (200, 201) in got, "planted near-dup must survive the cap"
-    assert got[(200, 201)] == max(got.values())
+    assert got[(200, 201)] >= 0.8
+    assert got[(300, 301)] >= 0.9  # boilerplate-diluted pair, post-cap
 
 
 def test_df_cap_drops_hot_shingles_from_inverted_index(spark, hot_corpus):
@@ -65,12 +75,15 @@ def test_df_cap_drops_hot_shingles_from_inverted_index(spark, hot_corpus):
 
 
 def test_resolve_keepers_with_cap_firing(spark, hot_corpus):
-    # End-to-end resolve on the hot corpus: exactly one dup cluster.
+    # End-to-end resolve on the hot corpus: the boiler-sharing pair AND
+    # the boilerplate-diluted pair (300/301 — candidates must come from
+    # POST-CAP shingles or this one is invisible to the banding) both
+    # resolve; nothing else clusters.
     from crawspark.registry import load_all
     got = {(r.doc_id, r.keep_id) for r in
            load_all()["dedup_minhash_resolve"].spark(
                spark, hot_corpus).collect()}
-    assert got == {(200, 200), (201, 200)}
+    assert got == {(200, 200), (201, 200), (300, 300), (301, 300)}
 
 
 def _ref_shingles(toks: list[str]) -> list[str]:

@@ -58,9 +58,12 @@ def exact_pairs():
 def test_lsh_resolve_banding_full_recall(spark, exact_pairs):
     # 16 bands x 2 rows: P(miss | j>=0.8) = (1-j^2)^16 <= 8e-8 — the
     # resolve pipeline's oracle equality depends on this being exactly 1.0.
-    docs = read_testdata(spark, SF, "documents")
+    # Exercises the SAME capped-shingle candidate path resolve uses.
+    from crawspark.operators.dedup import _shingle_table, candidates_from_rows
+    sh = _shingle_table(spark, SF)
     cands = {(r.doc_a, r.doc_b) for r in
-             lsh_candidates(docs, RESOLVE_N_HASHES, RESOLVE_BANDS).collect()}
+             candidates_from_rows(sh, RESOLVE_N_HASHES,
+                                  RESOLVE_BANDS).collect()}
     missed = set(exact_pairs) - cands
     assert not missed, f"resolve banding missed true pairs: {missed}"
 
