@@ -53,10 +53,13 @@ _END_AFTER_CDATA = re.compile(rf"</{_NAME}(?:\"[^\"]*\"|'[^']*'|[^>])*>",
 
 
 def _parse_attrs(raw: str) -> list[tuple[str, str | None]]:
+    body = raw.rstrip("/")
+    if not body or body.isspace():  # attr-less tag: skip the regex engine
+        return []
     attrs: list[tuple[str, str | None]] = []
     # html.parser scans attrs from offset k inside "<tag attrs>"; prefixing
     # a space reproduces the (?<=['"\s/]) lookbehind context it relies on.
-    for m in attrfind_tolerant.finditer(" " + raw.rstrip("/")):
+    for m in attrfind_tolerant.finditer(" " + body):
         name, rest, value = m.group(1, 2, 3)
         if not rest:
             attrs.append((name.lower(), None))

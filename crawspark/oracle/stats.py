@@ -12,10 +12,20 @@ from crawspark.rules import STOPWORDS, STOPWORDS_EN
 
 _RE_PUNCT = re.compile(r"[^\w\s]|_", re.UNICODE)
 
+# ASCII fast path: translate table built FROM the regex (equivalent by
+# construction — a char maps to space iff the regex would replace it).
+_ASCII_TBL = str.maketrans({
+    chr(c): " " for c in range(128) if _RE_PUNCT.fullmatch(chr(c))
+})
+
 
 def tokenize(text: str) -> list[str]:
-    """Lowercase, strip punctuation, split on whitespace. Deterministic."""
-    return _RE_PUNCT.sub(" ", text.lower()).split()
+    """Lowercase, strip punctuation, split on whitespace. Deterministic;
+    the ASCII path is table-driven (byte-identical to the regex there)."""
+    low = text.lower()
+    if low.isascii():
+        return low.translate(_ASCII_TBL).split()
+    return _RE_PUNCT.sub(" ", low).split()
 
 
 def word_stats(text: str, lang: str = "en") -> tuple[int, int]:
