@@ -51,11 +51,17 @@ def embedding_cosine_pairs(spark, sf_dir):
     # array expressions is ~50x slower (measured: 35s vs <1s at 2k
     # vectors). The pruned alternative at extreme scale is
     # ann_lsh_buckets (bucketed joins skip far pairs entirely).
+    import math
+
     import numpy as np
     import pandas as pd
 
-    n_blocks = 8
     emb = read_testdata(spark, sf_dir, "embeddings")
+    # Block count scales with the corpus so per-task working sets stay
+    # bounded (~TARGET_BLOCK vectors x dim doubles per side); the count()
+    # is parquet-footer metadata, not a scan.
+    TARGET_BLOCK = 4096
+    n_blocks = max(8, math.ceil(emb.count() / TARGET_BLOCK))
     blocks = (emb.select("vec_id", "embedding",
                          F.pmod(F.col("vec_id"), F.lit(n_blocks))
                          .alias("blk"))
