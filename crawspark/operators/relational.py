@@ -495,6 +495,39 @@ def part_type_stats(spark, sf_dir):
                  F.max("p_size").alias("max_size")))
 
 
+@register("datetime_funcs_showcase", sql="""
+    SELECT event_id,
+           CAST(year(ts) AS INT) AS y,
+           CAST(month(ts) AS INT) AS m,
+           CAST(day(ts) AS INT) AS d,
+           CAST(hour(ts) AS INT) AS h,
+           CAST(ts::DATE + INTERVAL 30 DAY AS DATE) AS plus_30d,
+           CAST(last_day(ts::DATE) AS DATE) AS month_end,
+           CAST(date_diff('day', DATE '2024-01-01', ts::DATE) AS INT)
+             AS days_since_2024,
+           CAST(date_trunc('week', ts) AS TIMESTAMP) AS week_start
+    FROM events WHERE event_id < 200
+""")
+def datetime_funcs_showcase(spark, sf_dir):
+    # §2.6 temporal scalar surface in one oracle-checked projection
+    # (year/month/day/hour, date arithmetic, last_day, datediff,
+    # week truncation — DuckDB date_trunc('week') and Spark both use
+    # Monday starts).
+    ts = F.col("ts")
+    return (_t(spark, sf_dir, "events")
+            .filter(F.col("event_id") < 200)
+            .select("event_id",
+                    F.year(ts).alias("y"),
+                    F.month(ts).alias("m"),
+                    F.dayofmonth(ts).alias("d"),
+                    F.hour(ts).alias("h"),
+                    F.date_add(F.to_date(ts), 30).alias("plus_30d"),
+                    F.last_day(F.to_date(ts)).alias("month_end"),
+                    F.datediff(F.to_date(ts), F.lit("2024-01-01").cast("date"))
+                    .alias("days_since_2024"),
+                    F.date_trunc("week", ts).alias("week_start")))
+
+
 @register("events_json_extract", sql="""
     SELECT CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS INT) % 10 AS k_mod,
            count(*) AS n_events,

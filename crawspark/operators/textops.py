@@ -99,3 +99,111 @@ def text_fingerprint(spark, sf_dir):
     return (read_testdata(spark, sf_dir, "documents")
             .select("doc_id",
                     F.substring(F.md5(norm), 1, 16).alias("fingerprint")))
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination: the GPT-3-style exact n-gram collision check —
+# a training document sharing any long word n-gram with an eval benchmark
+# is contaminated and must be dropped before training.
+# ---------------------------------------------------------------------------
+
+DECON_N = 8  # words per collision shingle
+# benchmark stand-in: the first docs of the corpus (a real pipeline points
+# this at its eval sets); mirrored in the oracle.
+DECON_BENCH_MAX_ID = 10
+
+_DECON_TOKS = "filter(split(lower(text), '[^a-z0-9]+'), x -> x != '')"
+_DECON_GRAMS = (
+    f"array_distinct(zip_with(slice(toks, 1, size(toks) - {DECON_N - 1}), "
+    + "".join(
+        f"zip_with(slice(toks, {i}, size(toks) - {DECON_N - 1}), "
+        for i in range(2, DECON_N))
+    + f"slice(toks, {DECON_N}, size(toks) - {DECON_N - 1})"
+    + ", (a, b) -> concat(a, ' ', b))" * (DECON_N - 1)
+    + ")")
+
+
+@register("decontaminate_against_benchmark", sql=f"""
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ), grams AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               range(1, len(toks) - {DECON_N - 2}),
+               i -> array_to_string(list_slice(toks, i, i + {DECON_N - 1}),
+                                    ' ')))) AS gram
+      FROM tok WHERE len(toks) >= {DECON_N}
+    ), bench AS (
+      SELECT DISTINCT gram FROM grams WHERE doc_id < {DECON_BENCH_MAX_ID}
+    )
+    SELECT g.doc_id, count(*) AS n_collisions
+    FROM grams g JOIN bench USING (gram)
+    WHERE g.doc_id >= {DECON_BENCH_MAX_ID}
+    GROUP BY g.doc_id
+""")
+def decontaminate_against_benchmark(spark, sf_dir):
+    # Exact {DECON_N}-gram collision against the benchmark set: benchmark
+    # grams are tiny → broadcast; the corpus side never self-joins. At
+    # 100 TB this is the cheapest dedup-shaped op in the pipeline (one
+    # scan + one broadcast hash join on a 8-word string key — at extreme
+    # benchmark sizes the key becomes xxhash64(gram)).
+    docs = (read_testdata(spark, sf_dir, "documents")
+            .repartition(spark.sparkContext.defaultParallelism)
+            .withColumn("toks", F.expr(_DECON_TOKS))
+            .filter(F.size("toks") >= DECON_N)
+            .select("doc_id", F.explode(F.expr(_DECON_GRAMS)).alias("gram")))
+    bench = (docs.filter(F.col("doc_id") < DECON_BENCH_MAX_ID)
+             .select("gram").distinct())
+    return (docs.filter(F.col("doc_id") >= DECON_BENCH_MAX_ID)
+            .join(F.broadcast(bench), "gram")
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_collisions")))
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing: regex redaction of emails / phone numbers / IPv4 — all
+# JVM-side regexp_replace, verified to the byte by md5 against the oracle.
+# ---------------------------------------------------------------------------
+
+_PII_EMAIL = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+_PII_PHONE = r"\+?[0-9]{1,3}[- ][0-9]{3}[- ][0-9]{4}"
+_PII_IP = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+# Deterministic PII synthesis so the redactor has something to find.
+_PII_SUFFIX_SPARK = (
+    "concat(' contact user', cast(doc_id as string), '@example.com or "
+    "+1 555 ', lpad(cast(doc_id % 10000 as string), 4, '0'), ' from "
+    "10.0.', cast(doc_id % 256 as string), '.7')")
+_PII_SUFFIX_SQL = (
+    "' contact user' || doc_id || '@example.com or +1 555 ' || "
+    "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' from 10.0.' || "
+    "CAST(doc_id % 256 AS VARCHAR) || '.7'")
+
+
+@register("redact_pii", sql=f"""
+    SELECT doc_id,
+           md5(regexp_replace(regexp_replace(regexp_replace(
+             text || {_PII_SUFFIX_SQL},
+             '{_PII_EMAIL}', '<EMAIL>', 'g'),
+             '{_PII_PHONE}', '<PHONE>', 'g'),
+             '{_PII_IP}', '<IP>', 'g')) AS redacted_hash,
+           CAST(len(regexp_extract_all(text || {_PII_SUFFIX_SQL},
+                                       '{_PII_EMAIL}')) AS INT) AS n_emails
+    FROM documents
+""")
+def redact_pii(spark, sf_dir):
+    # Per-doc md5 of the REDACTED text: the driver compare then pins every
+    # byte of the redaction output, not just match counts.
+    raw = F.expr(f"concat(text, {_PII_SUFFIX_SPARK})")
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(raw, _PII_EMAIL, "<EMAIL>"),
+            _PII_PHONE, "<PHONE>"),
+        _PII_IP, "<IP>")
+    return (read_testdata(spark, sf_dir, "documents")
+            .select("doc_id",
+                    F.md5(redacted).alias("redacted_hash"),
+                    F.size(F.regexp_extract_all(raw, F.lit(_PII_EMAIL), 0))
+                    .alias("n_emails")))
