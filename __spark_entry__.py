@@ -3,7 +3,7 @@
 ``entry(spark)`` — flagship extraction pipeline over sf0.001.
 ``queries()`` — every implemented operator (SURVEY.md §2 + training-data
 ops), from the crawspark registry.
-``oracle_sql()`` — DuckDB-equivalent SQL for 61 of the 67 entries.
+``oracle_sql()`` — DuckDB-equivalent SQL for 62 of the 68 entries.
 Extraction-pipeline queries are hash-checked against the frozen Python
 oracle's MATERIALIZED extraction of the sf0.01 table
 (tools/gen_extract_oracle.py — deterministic by construction, so the

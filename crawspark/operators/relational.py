@@ -414,6 +414,62 @@ def join_salted_skew(spark, sf_dir):
                  F.sum("n").cast("long").alias("n_lines")))
 
 
+_BFS_MAX_DEPTH = 3
+_BFS_SEEDS = 5
+
+
+@register("frontier_bfs", sql=f"""
+    WITH RECURSIVE n AS (
+      SELECT count(*) AS total FROM documents
+    ), edges AS (
+      -- deterministic synthetic link graph over the corpus (docs carry no
+      -- intra-corpus outlinks): doc -> (7*doc+3) mod N and (3*doc+1) mod N
+      SELECT doc_id AS src, (7 * doc_id + 3) % (SELECT total FROM n) AS dst
+      FROM documents
+      UNION ALL
+      SELECT doc_id, (3 * doc_id + 1) % (SELECT total FROM n)
+      FROM documents
+    ), reach(doc_id, depth) AS (
+      SELECT doc_id, 0 FROM documents WHERE doc_id < {_BFS_SEEDS}
+      UNION
+      SELECT e.dst, r.depth + 1
+      FROM reach r JOIN edges e ON e.src = r.doc_id
+      WHERE r.depth < {_BFS_MAX_DEPTH}
+    )
+    SELECT doc_id, CAST(min(depth) AS INT) AS depth
+    FROM reach GROUP BY doc_id
+""")
+def frontier_bfs(spark, sf_dir):
+    # The reference's crawl MAIN LOOP [R: crawtext.py frontier iteration]
+    # as declarative iterative joins: seeds → follow outlinks → dedup
+    # against visited → next depth. Each round shuffles only (id, depth)
+    # pairs; the frontier is anti-joined against the visited set exactly
+    # like anti_join_seen — at 10^12 docs this is the shape of an
+    # incremental crawl wave. The synthetic edge set mirrors the oracle's.
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    total = docs.count()
+    e1 = docs.select(F.col("doc_id").alias("src"),
+                     ((F.col("doc_id") * 7 + 3) % total).alias("dst"))
+    e2 = docs.select(F.col("doc_id").alias("src"),
+                     ((F.col("doc_id") * 3 + 1) % total).alias("dst"))
+    edges = e1.union(e2).localCheckpoint(eager=True)
+    visited = (docs.filter(F.col("doc_id") < _BFS_SEEDS)
+               .select("doc_id", F.lit(0).alias("depth")))
+    frontier = visited
+    for depth in range(1, _BFS_MAX_DEPTH + 1):
+        nxt = (frontier.join(edges, frontier.doc_id == edges.src)
+               .select(F.col("dst").alias("doc_id"))
+               .distinct()
+               .join(visited.select("doc_id"), "doc_id", "left_anti")
+               .withColumn("depth", F.lit(depth))
+               .localCheckpoint(eager=True))
+        if nxt.isEmpty():
+            break
+        visited = visited.union(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return visited.select("doc_id", F.col("depth").cast("int").alias("depth"))
+
+
 @register("q_orders_by_year", sql="""
     SELECT CAST(year(o_orderdate) AS INT) AS order_year,
            count(*) AS n_orders,
