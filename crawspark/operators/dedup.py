@@ -15,15 +15,12 @@ from crawspark.sources import read_testdata
 _TOKS = "filter(split(lower(text), '[^a-z]+'), x -> x != '')"
 # Shingles from a pre-computed `toks` column — embedding _TOKS directly
 # re-evaluates the split+filter once per reference (no CSE across
-# higher-order functions; measured 2x on the dedup queries).
-# Construction is zip_with over three shifted slices rather than
-# transform(sequence, i -> concat_ws(slice(...))): the per-index
-# slice+concat_ws pair is interpreted per shingle and measured 6x slower
-# (3.9s -> 0.67s for the sf0.1 explode). Output strings are identical.
-_SHINGLES_RAW = (
-    "zip_with(slice(toks, 1, size(toks) - 2), "
-    "zip_with(slice(toks, 2, size(toks) - 2), slice(toks, 3, size(toks) - 2), "
-    "(b, c) -> concat(b, ' ', c)), (a, bc) -> concat(a, ' ', bc))")
+# higher-order functions; measured 2x on the dedup queries). Construction
+# shared with decontamination: functions/ngrams.py (zip_with over shifted
+# slices; 6x over the transform+slice+concat_ws form).
+from crawspark.functions.ngrams import ngram_expr
+
+_SHINGLES_RAW = ngram_expr(3)
 _SHINGLES = f"array_distinct({_SHINGLES_RAW})"
 
 # Hot-shingle document-frequency cap: a shingle appearing in more than this

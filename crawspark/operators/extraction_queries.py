@@ -124,11 +124,15 @@ def extract_span_hashes(spark, sf_dir):
     # single-character or ordering deviation from the frozen oracle
     # flips the row's hash — per-document span-sequence equality enforced
     # by the driver's value compare, not just by local fixtures.
+    # array_join(transform(...)) is linear in total span bytes; an
+    # aggregate() fold recopies the growing accumulator per span (O(n^2)
+    # on big documents). Identical output to the DuckDB
+    # array_to_string(list_transform(...)).
     canon = F.expr(
-        "aggregate(spans, cast('' as string), (acc, s) -> concat(acc, "
+        "array_join(transform(spans, s -> concat("
         "s.kind, char(31), coalesce(s.text, ''), char(31), "
         "coalesce(s.media_ref, ''), char(31), cast(s.offset as string), "
-        "char(30)))")
+        "char(30))), '')")
     return (_extracted(spark, sf_dir)
             .select("doc_id", F.md5(canon).alias("span_hash")))
 
@@ -147,6 +151,7 @@ def extract_metrics_summary(spark, sf_dir):
     # docs_in/docs_out/spans_out against the frozen extraction. This makes
     # the §2.5 agg_extraction_metrics / §2.1 sink_checkpoint surface
     # driver-verified, not just unit-tested.
+    import atexit
     import os
     import shutil
     import tempfile
@@ -155,10 +160,13 @@ def extract_metrics_summary(spark, sf_dir):
 
     # pid-scoped (like crawspark/bundle.py): two concurrent processes
     # running this query must not clobber each other's snapshot mid-job.
+    # atexit removes this process's dir so repeated driver runs don't
+    # accumulate corpus snapshots in tempdir.
     base = os.path.join(
         tempfile.gettempdir(),
         f"crawspark_native_{os.getpid()}_"
         + os.path.basename(sf_dir.rstrip("/")))
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
     inp, out = os.path.join(base, "in"), os.path.join(base, "out")
     shutil.rmtree(out, ignore_errors=True)
     (interleave_documents(read_testdata(spark, sf_dir, "documents"))

@@ -112,15 +112,10 @@ DECON_N = 8  # words per collision shingle
 # this at its eval sets); mirrored in the oracle.
 DECON_BENCH_MAX_ID = 10
 
+from crawspark.functions.ngrams import ngram_expr
+
 _DECON_TOKS = "filter(split(lower(text), '[^a-z0-9]+'), x -> x != '')"
-_DECON_GRAMS = (
-    f"array_distinct(zip_with(slice(toks, 1, size(toks) - {DECON_N - 1}), "
-    + "".join(
-        f"zip_with(slice(toks, {i}, size(toks) - {DECON_N - 1}), "
-        for i in range(2, DECON_N))
-    + f"slice(toks, {DECON_N}, size(toks) - {DECON_N - 1})"
-    + ", (a, b) -> concat(a, ' ', b))" * (DECON_N - 1)
-    + ")")
+_DECON_GRAMS = f"array_distinct({ngram_expr(DECON_N)})"
 
 
 @register("decontaminate_against_benchmark", sql=f"""

@@ -36,10 +36,14 @@ def stream_extract_incremental(spark, sf_dir):
     # crc32, not builtin hash() (salted per process); pid-scoped so a
     # concurrent driver + pytest pair cannot clobber each other's
     # snapshot or streaming checkpoint mid-drain. Re-runs within one
-    # process still reuse (and clean) the same dir.
+    # process reuse the same dir; atexit removes it so driver runs don't
+    # accumulate corpus snapshots in tempdir.
+    import atexit
+
     base = os.path.join(
         tempfile.gettempdir(),
         f"crawspark_stream_{os.getpid()}_{zlib.crc32(sf_dir.encode()):08x}")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
     inp, out, ck = (os.path.join(base, d) for d in ("in", "out", "ck"))
     # fresh drain per invocation: clear sink + stream checkpoint, rewrite
     # the input snapshot (a second invocation with the checkpoint kept
