@@ -11,9 +11,11 @@ leading, ``'``/``"`` imply T*, BT resets text state), and ``/Contents``
 given as either one stream ref or an array of refs (streams concatenate;
 token state persists across them). Layout rule: within a page, text
 chunks sort by (-y, x) (top-to-bottom, left-to-right); one output text
-block per page, lines joined with ``\\n``. Not handled: xref/object
-streams (PDF 1.5+ compressed xref), non-Flate filters, font encodings
-beyond latin-1 — real-corpus gaps documented in SURVEY.md §2.3.
+block per page, lines joined with ``\\n``. PDF 1.5+ compressed object
+streams (``/ObjStm``) are inflated into the object table (xref streams
+themselves are unnecessary — the sequential scan finds every top-level
+object). Not handled: non-Flate filters, font encodings beyond latin-1 —
+real-corpus gaps documented in SURVEY.md §2.3.
 
 Input transport: raw PDF bytes arrive latin-1-mapped into the ``text``
 field of a ``kind='pdf'`` span (FIXTURES.md §1.1) — lossless bytes 0-255.
@@ -78,6 +80,41 @@ def _unescape(raw: bytes) -> str:
     return out.decode("latin-1")
 
 
+_RE_OBJSTM_N = re.compile(rb"/N\s+(\d+)")
+_RE_OBJSTM_FIRST = re.compile(rb"/First\s+(\d+)")
+_RE_INT_PAIR = re.compile(rb"(\d+)\s+(\d+)")
+
+
+def _inflate_object_streams(objs: dict[int, bytes]) -> None:
+    """PDF 1.5+ compressed object streams (/Type /ObjStm): the stream
+    holds N objects packed after a (objnum, offset) pair table. Inflate
+    them into the object dict (without overwriting top-level objects) so
+    the page walk sees Pages/Page/Contents dicts that live inside an
+    ObjStm. Cross-reference STREAMS themselves are not needed — the
+    sequential scan already found every top-level object."""
+    for body in list(objs.values()):
+        if b"/ObjStm" not in body:
+            continue
+        sm = _RE_STREAM.search(body)
+        nm = _RE_OBJSTM_N.search(body)
+        fm = _RE_OBJSTM_FIRST.search(body)
+        if not (sm and nm and fm):
+            continue
+        content = sm.group(1)
+        if b"/FlateDecode" in body:
+            try:
+                content = zlib.decompress(content)
+            except zlib.error:
+                continue
+        n, first = int(nm.group(1)), int(fm.group(1))
+        pairs = _RE_INT_PAIR.findall(content[:first])[:n]
+        offsets = [(int(num), int(off)) for num, off in pairs]
+        for i, (num, off) in enumerate(offsets):
+            end = (offsets[i + 1][1] if i + 1 < len(offsets)
+                   else len(content) - first)
+            objs.setdefault(num, content[first + off:first + end])
+
+
 def extract_pdf_text(payload: str) -> list[str]:
     """latin-1-mapped PDF bytes → one text block per page (document order).
 
@@ -89,6 +126,7 @@ def extract_pdf_text(payload: str) -> list[str]:
     objs: dict[int, bytes] = {}
     for m in _RE_OBJ.finditer(data):
         objs[int(m.group(1))] = m.group(2)
+    _inflate_object_streams(objs)
 
     # Page order: follow /Kids arrays when present, else /Type /Page objects
     # in object-number order (our generator emits them sequentially).
