@@ -122,8 +122,12 @@ class Node:
         return self.attrs.get(name, "")
 
     def id_class(self) -> str:
-        return (self.attr("id") + " " + self.attr("class") + " "
-                + self.attr("name")).strip()
+        attrs = self.attrs
+        if not attrs:  # most nodes are attribute-less — skip the concat
+            return ""
+        get = attrs.get
+        return (get("id", "") + " " + get("class", "") + " "
+                + get("name", "")).strip()
 
     def prev_siblings(self) -> list["Node"]:
         """Element siblings BEFORE this node, nearest first."""

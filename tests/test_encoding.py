@@ -90,6 +90,22 @@ def test_czech_cp1250_not_overridden_by_western_prior():
     assert decode_bytes(short.encode("cp1250")) == short
 
 
+def test_cjk_and_cyrillic_detection():
+    # Non-western undeclared payloads: detection must land on the right
+    # codec and the western prior must not interfere (their match lists
+    # never contain a latin-1-family codec).
+    jp = "日本語のテキストです。" \
+         "これは文字コード検出の" \
+         "テストです。" * 3
+    ru = "русский текст " \
+         "для проверки " \
+         "определения " \
+         "кодировки " * 3
+    for text, enc in [(jp, "shift_jis"), (jp, "euc-jp"), (jp, "utf-8"),
+                      (ru, "koi8_r"), (ru, "cp1251")]:
+        assert decode_bytes(text.encode(enc)) == text, enc
+
+
 def test_decode_payloads_operator(spark):
     # Spark surface: binary payload column + optional declared-charset
     # column through the Arrow-batched chain.
