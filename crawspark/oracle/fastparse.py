@@ -11,19 +11,33 @@ Mirrored stdlib behaviors:
   not entity-decoded, to EOF when unclosed);
 - tolerant attr syntax via html.parser's own ``attrfind_tolerant`` regex;
 - comments / doctypes / PIs / marked sections dropped;
-- ``<tag .../>`` → startendtag; unparseable ``<``-runs fall through as text.
+- ``<tag .../>`` → startendtag;
+- markup-like ``<``-runs the scanner cannot consume (truncated tags,
+  unterminated quoted attrs — html.parser's EOF-recovery paths are several
+  and construct-specific: a bogus start tag is emitted as RAW data and the
+  scan re-enters mid-"tag", an incomplete end tag advances one char, ...)
+  delegate the WHOLE document to the stdlib path: behavior-identical by
+  construction, and stalls only occur on malformed markup.
 """
 
 from __future__ import annotations
 
 import re
 from html import unescape
-from html.parser import attrfind_tolerant  # stdlib tolerant attr regex
+from html.parser import (  # stdlib's own tolerant start-tag grammar
+    attrfind_tolerant,
+    locatestarttagend_tolerant,
+    tagfind_tolerant,
+)
 
 from crawspark.oracle.dom import Node, _TreeBuilder
 
-# Tag-name char class copied from html.parser's tagfind_tolerant.
-_NAME = r"[a-zA-Z][^\t\n\r\f />\x00]*"
+# Tag-name char class copied from html.parser's tagfind_tolerant. The `*+`
+# is load-bearing: without a possessive quantifier the final '>' requirement
+# lets the engine backtrack INTO the name (e.g. "<p'var x='<p>'" would match
+# as tag "p" with a quoted soup-attr, where stdlib commits to name "p'var"
+# and bails) — names must match greedily-and-forever, like tagfind does.
+_NAME = r"[a-zA-Z][^\t\n\r\f />\x00]*+"
 
 _SCAN = re.compile(
     r"<!--.*?-->"                             # well-formed comment
@@ -33,41 +47,71 @@ _SCAN = re.compile(
     # the first '>'); bogus '</'+junk consumes to '>' as a dropped comment.
     rf"|</(?P<end>{_NAME})[^>]*>"
     r"|</[^>]*>"                              # bogus end tag → dropped
-    # Start tags ARE quote-aware: the unquoted-char class excludes quotes
-    # so backtracking can never close a tag at a '>' INSIDE a quoted
-    # attribute value (html.parser treats such input as incomplete → data).
+    # Start-tag CANDIDATE: quote-aware soup locating a plausible closing
+    # '>'. This only LOCATES the tag — the span html.parser would actually
+    # consume is recomputed with locatestarttagend_tolerant below, because
+    # stdlib's grammar differs in the weeds (quotes count as values only
+    # after '=', a '>' inside a bare "quoted" run closes the tag, ...).
     rf"|<(?P<start>{_NAME})(?P<attrs>(?:\"[^\"]*\"|'[^']*'|[^>\"'])*)>",
     re.DOTALL)
 
 # A '<' that LOOKS like markup (letter / '/' / '!' / '?' next) but was not
-# consumed by _SCAN is an incomplete construct: html.parser buffers from
-# there to EOF and close() flushes it all as one data chunk.
+# consumed by _SCAN is an incomplete construct; html.parser's recovery at
+# close() depends on the construct (see module docstring), so any stall
+# routes the document to the stdlib parser.
 _STALL = re.compile(r"<[a-zA-Z!?/]")
 
+# html.parser's cdata-mode "interesting" pattern (this Python's
+# set_cdata_mode) is the FULL well-formed close ``</\s*name\s*>`` — a
+# malformed candidate like ``</script">`` is not interesting at all: the
+# scan skips it as raw CDATA, and an unclosed element buffers to EOF where
+# close() drops the buffered text.
 _CDATA_CLOSE = {
-    "script": re.compile(r"</script", re.IGNORECASE),
-    "style": re.compile(r"</style", re.IGNORECASE),
+    "script": re.compile(r"</\s*script\s*>", re.IGNORECASE),
+    "style": re.compile(r"</\s*style\s*>", re.IGNORECASE),
 }
-_END_AFTER_CDATA = re.compile(rf"</{_NAME}(?:\"[^\"]*\"|'[^']*'|[^>])*>",
-                              re.DOTALL)
 
 
-def _parse_attrs(raw: str) -> list[tuple[str, str | None]]:
-    body = raw.rstrip("/")
-    if not body or body.isspace():  # attr-less tag: skip the regex engine
-        return []
+def _parse_starttag(payload: str, s: int):
+    """Mirror of ``HTMLParser.parse_starttag`` from position ``s`` (at '<').
+
+    Returns ``(tag, attrs, endpos, selfclose)`` when stdlib would emit a
+    start/startend tag, or ``None`` when stdlib would take a recovery path
+    (incomplete tag at EOF, bogus leftovers → raw-data emit + rescan) — the
+    caller delegates those documents to the reference parser wholesale.
+    """
+    lm = locatestarttagend_tolerant.match(payload, s)
+    j = lm.end()
+    nxt = payload[j:j + 1]
+    if nxt == ">":
+        endpos = j + 1
+    elif nxt == "/" and payload.startswith("/>", j):
+        endpos = j + 2
+    else:
+        return None  # incomplete / bogus start tag
+    tm = tagfind_tolerant.match(payload, s + 1)
+    tag = tm.group(1).lower()
+    k = tm.end()
     attrs: list[tuple[str, str | None]] = []
-    # html.parser scans attrs from offset k inside "<tag attrs>"; prefixing
-    # a space reproduces the (?<=['"\s/]) lookbehind context it relies on.
-    for m in attrfind_tolerant.finditer(" " + body):
-        name, rest, value = m.group(1, 2, 3)
+    while k < endpos:
+        am = attrfind_tolerant.match(payload, k)
+        if not am:
+            break
+        name, rest, value = am.group(1, 2, 3)
         if not rest:
-            attrs.append((name.lower(), None))
-            continue
-        if value[:1] == "'" == value[-1:] or value[:1] == '"' == value[-1:]:
+            value = None
+        elif value[:1] == "'" == value[-1:] or value[:1] == '"' == value[-1:]:
             value = value[1:-1]
-        attrs.append((name.lower(), unescape(value) if value else value))
-    return attrs
+        if value:
+            value = unescape(value)
+        attrs.append((name.lower(), value))
+        k = am.end()
+    leftover = payload[k:endpos].strip()
+    if leftover == ">":
+        return tag, attrs, endpos, False
+    if leftover == "/>":
+        return tag, attrs, endpos, True
+    return None  # stdlib emits the raw span as data and rescans inside it
 
 
 def _needs_reference_parser(payload: str) -> bool:
@@ -96,15 +140,22 @@ def parse_html_fast(payload: str) -> Node:
         while pos < n:
             m = _SCAN.search(payload, pos)
             if m is None:
+                if _STALL.search(payload, pos) is not None:
+                    # incomplete markup in the tail: stdlib recovery is
+                    # construct-specific — delegate the whole document
+                    from crawspark.oracle.dom import parse_html
+                    return parse_html(payload)
                 b.handle_data(unescape(payload[pos:]))
                 break
             s, e = m.span()
             if s > pos:
-                stall = _STALL.search(payload, pos, s)
-                if stall is not None:
-                    # incomplete markup in the gap: rest of doc is data
-                    b.handle_data(unescape(payload[pos:]))
-                    break
+                if _STALL.search(payload, pos, s) is not None:
+                    # incomplete markup in the gap (e.g. an unterminated
+                    # quoted attr whose value contains a real tag later):
+                    # delegate — html.parser may re-enter the scan mid-run
+                    # and emit elements the swallow-to-EOF rule would lose
+                    from crawspark.oracle.dom import parse_html
+                    return parse_html(payload)
                 b.handle_data(unescape(payload[pos:s]))
             pos = e
             end = m.group("end")
@@ -112,25 +163,40 @@ def parse_html_fast(payload: str) -> Node:
             if end is not None:
                 b.handle_endtag(end.lower())
             elif start is not None:
-                tag = start.lower()
                 raw_attrs = m.group("attrs")
-                attrs = _parse_attrs(raw_attrs)
-                if raw_attrs.rstrip().endswith("/"):
-                    b.handle_startendtag(tag, attrs)
-                    continue
-                b.handle_starttag(tag, attrs)
+                if not raw_attrs or raw_attrs.isspace():
+                    # attr-less tag (the common case): the candidate span IS
+                    # the stdlib span — skip the verification regexes
+                    tag = start.lower()
+                    b.handle_starttag(tag, [])
+                else:
+                    parsed = _parse_starttag(payload, s)
+                    if parsed is None:
+                        # stdlib takes a recovery path here — delegate
+                        from crawspark.oracle.dom import parse_html
+                        return parse_html(payload)
+                    tag, attrs, endpos, selfclose = parsed
+                    # stdlib may close the tag EARLIER than the candidate
+                    # span (a '>' inside a quote-run it doesn't treat as a
+                    # value) — rescan the remainder exactly like goahead
+                    pos = endpos
+                    if selfclose:
+                        b.handle_startendtag(tag, attrs)
+                        continue
+                    b.handle_starttag(tag, attrs)
                 closer = _CDATA_CLOSE.get(tag)
                 if closer is not None:
+                    # CDATA mode: raw (never entity-decoded) text until the
+                    # well-formed matching end tag
                     cm = closer.search(payload, pos)
                     if cm is None:
-                        # unclosed script/style: html.parser buffers the
-                        # CDATA waiting for the end tag and close() drops it
+                        # unclosed: html.parser buffers awaiting the end tag
+                        # and close() drops the buffered CDATA
                         pos = n
                     else:
                         b.handle_data(payload[pos:cm.start()])
-                        em = _END_AFTER_CDATA.match(payload, cm.start())
                         b.handle_endtag(tag)
-                        pos = em.end() if em else cm.end()
+                        pos = cm.end()
             # else: comment/decl/PI — dropped
     except Exception:
         pass  # tolerant by contract: salvage whatever tree was built
