@@ -33,7 +33,8 @@ def build_zip(dest: str | None = None) -> str:
 
 def ensure_shipped(spark) -> None:
     """Idempotent per-session: addPyFile the package zip once."""
-    app_id = spark.sparkContext.applicationId
+    sc = spark.sparkContext
+    app_id = sc.applicationId
     if app_id in _SHIPPED_APPS:
         return
     # Also cover locally-forked workers that inherit the environment.
@@ -42,5 +43,21 @@ def ensure_shipped(spark) -> None:
     if repo not in existing.split(os.pathsep):
         os.environ["PYTHONPATH"] = (
             repo + (os.pathsep + existing if existing else ""))
-    spark.sparkContext.addPyFile(build_zip())
+    zip_path = build_zip()
+    sc.addPyFile(zip_path)
+    # Defense-in-depth for worker imports: ``sc.environment`` is attached
+    # as the worker env of every Python UDF created AFTER this call
+    # (pyspark/core/rdd.py::_prepare_for_python_RDD returns it next to
+    # _python_includes), so workers get the package on PYTHONPATH even in
+    # execution contexts where the addPyFile include list is not applied
+    # (observed once for a Structured Streaming foreachBatch stage driven
+    # from a foreign cwd). The driver-tempdir zip path only resolves on
+    # local-mode workers; on a real cluster it is inert and the
+    # addPyFile/SparkFiles mechanism is the effective one.
+    env_pp = sc.environment.get("PYTHONPATH", "")
+    parts = [p for p in env_pp.split(os.pathsep) if p]
+    for extra in (repo, zip_path):
+        if extra not in parts:
+            parts.append(extra)
+    sc.environment["PYTHONPATH"] = os.pathsep.join(parts)
     _SHIPPED_APPS.add(app_id)

@@ -12,11 +12,14 @@ def ngram_expr(n: int, toks_col: str = "toks") -> str:
     transform(sequence, i -> concat_ws(slice(...))): the per-index
     slice+concat_ws pair is interpreted per gram and measured 6x slower
     (3.9s -> 0.67s for the sf0.1 3-gram explode). Output strings are
-    identical. Empty result when size(toks) < n (slice lengths go
-    non-positive)."""
+    identical. Empty result when size(toks) < n — the greatest(0, ...)
+    clamp matters: a raw negative slice length throws
+    INVALID_PARAMETER_VALUE.LENGTH at runtime (ADVICE r2), and slice with
+    length 0 is the legal empty-array spelling. Null token arrays
+    propagate to null."""
     if n < 2:
         raise ValueError("n-grams need n >= 2")
-    length = f"size({toks_col}) - {n - 1}"
+    length = f"greatest(0, size({toks_col}) - {n - 1})"
     expr = f"slice({toks_col}, {n}, {length})"
     for i in range(n - 1, 0, -1):
         expr = (f"zip_with(slice({toks_col}, {i}, {length}), {expr}, "

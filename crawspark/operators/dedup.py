@@ -135,9 +135,11 @@ def dedup_ngram_jaccard(spark, sf_dir):
 N_HASHES = 16
 BANDS = 4  # 4 rows per band (candidate-stats query)
 # Resolve path uses a taller signature: 16 bands x 2 rows makes the miss
-# probability for a jaccard>=0.8 pair (1 - 0.8^2)^16 ~ 8e-8 — candidate
-# recall is deterministically 1.0 on any realistic corpus, so the
-# verified+resolved output equals the exact-Jaccard oracle.
+# probability for a jaccard>=0.8 pair (1 - 0.8^2)^16 ~ 8e-8 — recall is
+# 1 - (1-j^2)^16 >= 1 - 8e-8: effectively exhaustive on any realistic
+# corpus, but PROBABILISTIC, not certain (and somewhat higher miss odds
+# for pairs barely above 0.8 with few shingles). If the exact-Jaccard
+# DuckDB oracle ever reports one missing pair, suspect this tail first.
 RESOLVE_N_HASHES = 32
 RESOLVE_BANDS = 16
 

@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from crawspark.operators.extraction_queries import ORACLE_PQ as _ORACLE_PQ
 from crawspark.registry import register
 from crawspark.sources import read_testdata
 
@@ -60,9 +61,9 @@ def filter_content_type(spark, sf_dir):
                  F.sum("n_chars").cast("long").alias("total_chars")))
 
 
-@register("extract_outlinks", sql="""
+@register("extract_outlinks", sql=f"""
     SELECT doc_id, n_outlinks
-    FROM read_parquet('/root/repo/tests/fixtures/extract_oracle/sf0_01.parquet')
+    FROM {_ORACLE_PQ}
 """)
 def extract_outlinks_q(spark, sf_dir):
     # Outlink surface [R: page.py outlinks]: per-doc distinct absolutized

@@ -13,6 +13,7 @@ reference values, row by row.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Iterator
 
 import pandas as pd
@@ -23,9 +24,15 @@ from crawspark.registry import register
 from crawspark.sources import read_testdata
 
 # Frozen-oracle extraction of the sf0.01 documents table (the driver's
-# correctness SF). Regenerate with tools/gen_extract_oracle.py.
-ORACLE_PQ = ("read_parquet('/root/repo/tests/fixtures/extract_oracle/"
-             "sf0_01.parquet')")
+# correctness SF). Regenerate with tools/gen_extract_oracle.py. The path is
+# derived from the package location, not hardcoded, so a checkout anywhere
+# still resolves (ADVICE r2); tests/test_oracle_parity.py rewrites the SF
+# component when checking parity at a different scale.
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+EXTRACT_ORACLE_PATH = os.path.join(
+    _REPO_ROOT, "tests", "fixtures", "extract_oracle", "sf0_01.parquet")
+ORACLE_PQ = f"read_parquet('{EXTRACT_ORACLE_PATH}')"
 
 
 def _extracted(spark, sf_dir):

@@ -55,18 +55,34 @@ def _doc_hash64(doc_id) -> int:
         hashlib.blake2b(str(doc_id).encode(), digest_size=8).digest(), "big")
 
 
-def file_fingerprint(path: str) -> str:
-    """Order-independent content fingerprint: xor of per-doc 64-bit hashes.
+def _content_sig(path: str) -> str:
+    """Physical-bytes drift signal from the parquet footer alone: compressed
+    file size + row count + uncompressed row-group bytes. A rewritten shard
+    whose doc_ids are unchanged but whose payloads differ changes the
+    compressed size with near-certainty (ADVICE r2 — the doc-id xor alone
+    silently skipped such shards)."""
+    import pyarrow.parquet as pq
 
-    Reads ONLY the doc_id column (columnar projection) — cheap relative to
-    re-extracting, which is the whole point of the resume drift check."""
+    md = pq.read_metadata(path)
+    tbs = sum(md.row_group(i).total_byte_size
+              for i in range(md.num_row_groups))
+    return f"{os.path.getsize(path)}:{md.num_rows}:{tbs}"
+
+
+def file_fingerprint(path: str) -> str:
+    """Order-independent doc-membership fingerprint (xor of per-doc 64-bit
+    hashes) + the footer content signature.
+
+    Reads ONLY the doc_id column (columnar projection) plus the footer —
+    cheap relative to re-extracting, which is the whole point of the
+    resume drift check."""
     import pyarrow.parquet as pq
 
     fp = 0
     for rb in pq.read_table(path, columns=["doc_id"]).to_batches():
         for doc_id in rb.column("doc_id").to_pylist():
             fp ^= _doc_hash64(doc_id)
-    return str(fp)
+    return f"{fp}:{_content_sig(path)}"
 
 
 def _fingerprint_worker(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
@@ -116,7 +132,7 @@ def _make_worker(out_dir: str):
                     "docs_in": [docs_in],
                     "docs_out": [res.num_rows],
                     "spans_out": [spans_out],
-                    "input_fingerprint": [str(fp)],
+                    "input_fingerprint": [f"{fp}:{_content_sig(path)}"],
                 })
     return read_extract_write
 

@@ -97,3 +97,19 @@ def test_zipwith_shingles_differential(spark, toks):
     df = spark.createDataFrame([(toks,)], "toks array<string>")
     got = df.select(F.expr(dedup._SHINGLES_RAW).alias("s")).collect()[0]["s"]
     assert got == _ref_shingles(toks)
+
+
+def test_ngram_expr_short_and_null_arrays(spark):
+    # Documented contract (ADVICE r2): size(toks) < n yields [], not an
+    # INVALID_PARAMETER_VALUE.LENGTH crash; null propagates to null.
+    from crawspark.functions.ngrams import ngram_expr
+
+    df = spark.createDataFrame(
+        [(0, []), (1, ["a"]), (2, ["a", "b"]), (3, ["a", "b", "c"]),
+         (4, None)],
+        "id long, toks array<string>")
+    rows = {r.id: r.g for r in
+            df.select("id", F.expr(ngram_expr(3)).alias("g")).collect()}
+    assert rows[0] == [] and rows[1] == [] and rows[2] == []
+    assert rows[3] == ["a b c"]
+    assert rows[4] is None

@@ -29,6 +29,33 @@ def test_curate_job_mainline(tmp_path):
     assert 0 < stats["survival_rate"] < 1
 
 
+def test_streaming_query_from_foreign_cwd():
+    """The streaming registry query must survive the exact shape of the
+    driver's run: foreign cwd, bare SparkSession (NOT crawspark.session),
+    clean PYTHONPATH — streaming foreachBatch workers must import
+    crawspark via the shipped bundle alone (r2 verdict: latent red row)."""
+    import os
+
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    code = (
+        "import sys; sys.path.insert(0, '/root/repo')\n"
+        "import __spark_entry__ as e\n"
+        "from pyspark.sql import SparkSession\n"
+        "spark = (SparkSession.builder.master('local[4]')\n"
+        "         .config('spark.sql.shuffle.partitions','4')\n"
+        "         .config('spark.ui.enabled','false').getOrCreate())\n"
+        "df = e.queries()['stream_extract_incremental']"
+        "(spark, '/root/testdata/sf0.001')\n"
+        "print('STREAM_ROWS', df.count())\n"
+        "spark.stop()\n")
+    proc = subprocess.run([sys.executable, "-c", code], cwd="/tmp",
+                          capture_output=True, text=True, timeout=600,
+                          env=env)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    rows = [ln for ln in proc.stdout.splitlines() if "STREAM_ROWS" in ln]
+    assert rows and int(rows[-1].split()[-1]) >= 1
+
+
 def test_extract_job_mainline_synthetic(tmp_path):
     out = _run([f"{REPO}/jobs/extract.py",
                 "--synthetic", "400",

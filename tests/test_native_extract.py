@@ -62,6 +62,36 @@ def test_native_resume_invalidates_on_drift(spark, tmp_path):
     assert n_docs == 39  # drifted shard re-extracted with one fewer doc
 
 
+def test_native_resume_invalidates_on_payload_drift(spark, tmp_path):
+    # ADVICE r2: a rewritten shard with UNCHANGED doc_ids but different
+    # payload bytes must also re-extract (content signature component of
+    # the fingerprint), not silently keep stale output.
+    import os
+
+    import pyarrow.parquet as pq
+
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    _write_input(spark, inp)
+    run_native_checkpointed(spark, inp, out, ck, "r1", "2026-01-01 00:00:00")
+    target = sorted(f for f in os.listdir(inp) if f.endswith(".parquet"))[0]
+    path = os.path.join(inp, target)
+    tbl = pq.read_table(path)
+    rows = tbl.to_pylist()  # same doc_ids, payload replaced
+    for r in rows:
+        for s in r["spans"]:
+            if s["kind"] == "html":
+                s["text"] = "<html><body><p>rewritten payload body "
+                s["text"] += "with enough words to extract now</p></body></html>"
+    import pyarrow as pa
+
+    pq.write_table(pa.Table.from_pylist(rows, schema=tbl.schema), path)
+    r2 = run_native_checkpointed(spark, inp, out, ck, "r1",
+                                 "2026-01-01 01:00:00")
+    assert r2["files_processed"] == 1 and r2["files_skipped"] == 3
+
+
 def test_native_checkpoint_resume(spark, tmp_path):
     inp = str(tmp_path / "in")
     out = str(tmp_path / "out")
