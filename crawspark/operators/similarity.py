@@ -186,20 +186,129 @@ def ann_lsh_buckets(spark, sf_dir):
 
 
 N_CELLS = 16
+KMEANS_ITERS = 5
+_DIM = 64  # embeddings table dim (TESTDATA; FIXTURES.md §3)
+_CODEBOOK_CACHE: dict[tuple[str, str], object] = {}
+
+
+def _kmeans_round(spark, data, C):
+    """One spherical k-means iteration, Spark-native.
+
+    Workers reduce their batches into K*dim partial sums (numpy add.at —
+    the big reduction happens executor-side); the driver exact-sums
+    (math.fsum) at most parts*K*dim partial rows — bounded by parallelism,
+    never by corpus size. Assignment = argmax over round(cosine, 6) with
+    ties to the lowest cell id; update = per-cell element-wise SUM rounded
+    to 6dp (scale-invariant equivalent of the mean under cosine
+    assignment — one fewer cross-engine FP op); empty cells keep their
+    previous centroid. The round-6 steps are what make the DuckDB replay
+    (_kmeans_ctes) bit-reproducible: accumulation-order noise (~1e-15)
+    sits far inside the 5e-7 rounding granularity, the same accepted
+    tail-risk class as the rounded cosine compares elsewhere in this file.
+    """
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    bc = spark.sparkContext.broadcast(C)
+
+    def partial(batches):
+        M = bc.value
+        Mn = np.linalg.norm(M, axis=1)
+        K, dim = M.shape
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.array(list(pdf["embedding"]), dtype=np.float64)
+            vn = np.linalg.norm(V, axis=1)
+            sims = np.round((V @ M.T) / np.outer(vn, Mn), 6)
+            cells = np.argmax(sims, axis=1)
+            sums = np.zeros((K, dim))
+            np.add.at(sums, cells, V)
+            occ = np.unique(cells)
+            yield pd.DataFrame({
+                "cell": np.repeat(occ, dim).astype("int32"),
+                "i": np.tile(np.arange(dim, dtype="int32"), len(occ)),
+                "s": sums[occ].ravel(),
+            })
+
+    rows = data.mapInPandas(partial, "cell int, i int, s double").collect()
+    parts: dict[tuple[int, int], list[float]] = {}
+    for r in rows:
+        parts.setdefault((r["cell"], r["i"]), []).append(r["s"])
+    newC = C.copy()
+    touched: dict[int, object] = {}
+    for (c, i), vals in parts.items():
+        vec = touched.get(c)
+        if vec is None:
+            vec = touched[c] = np.zeros(C.shape[1])
+        vec[i] = round(math.fsum(vals), 6)
+    for c, vec in touched.items():
+        newC[c] = vec
+    return newC
 
 
 def _centroids(spark, sf_dir):
-    """Deterministic model-free codebook: the first N_CELLS corpus vectors,
-    L2-normalized. A trained k-means codebook drops in here unchanged —
-    the Spark plumbing (broadcast K*dim floats, matmul per batch) is
-    identical. Driver-side gather is K rows, not the corpus."""
+    """Spark-native spherical k-means codebook (KMEANS_ITERS rounds),
+    seeded with the first N_CELLS corpus vectors. RAW (unnormalized)
+    centroids — cosine assignment is scale-invariant, and skipping the
+    normalize keeps one fewer FP op between this and the DuckDB oracle's
+    unrolled replay (_kmeans_ctes), which recomputes the SAME centroids
+    from the same seed. Memoized per (session, sf_dir): the training is
+    deterministic, so ann_ivf_buckets / ann_search_ivf / ivf_assign share
+    one codebook instead of re-running 5 jobs each."""
     import numpy as np
 
+    key = (spark.sparkContext.applicationId, str(sf_dir))
+    hit = _CODEBOOK_CACHE.get(key)
+    if hit is not None:
+        return hit
     emb = read_testdata(spark, sf_dir, "embeddings")
-    cent = (emb.filter(F.col("vec_id") < N_CELLS)
-            .select("vec_id", "embedding").toPandas())
-    C = np.array(list(cent["embedding"]), dtype=np.float64)
-    return C / np.linalg.norm(C, axis=1, keepdims=True)
+    seed = (emb.filter(F.col("vec_id") < N_CELLS)
+            .select("vec_id", "embedding").toPandas()
+            .sort_values("vec_id"))
+    C = np.array(list(seed["embedding"]), dtype=np.float64)
+    data = emb.select("embedding").persist()
+    try:
+        for _ in range(KMEANS_ITERS):
+            C = _kmeans_round(spark, data, C)
+    finally:
+        data.unpersist()
+    _CODEBOOK_CACHE[key] = C
+    return C
+
+
+def _kmeans_ctes() -> str:
+    """DuckDB replay of _centroids: KMEANS_ITERS unrolled
+    assign/sum/coalesce CTE triples ending in ``cent{KMEANS_ITERS}``.
+    Mirrors the Spark training step for step — round-6 cosine assignment
+    with lowest-cid ties, round-6 per-cell element-wise sums, empty cells
+    inheriting the previous centroid."""
+    ctes = [f"""cent0 AS (
+      SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec
+      FROM embeddings WHERE vec_id < {N_CELLS})"""]
+    for t in range(1, KMEANS_ITERS + 1):
+        prev = f"cent{t - 1}"
+        ctes.append(f"""assign{t} AS (
+      SELECT vec_id, cell FROM (
+        SELECT e.vec_id, c.cid AS cell,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 round(list_cosine_similarity(e.embedding::DOUBLE[],
+                                              c.cvec), 6) DESC,
+                 c.cid) AS rn
+        FROM embeddings e CROSS JOIN {prev} c) WHERE rn = 1)""")
+        ctes.append(f"""sums{t} AS (
+      SELECT cell AS cid, list(s ORDER BY i) AS cvec FROM (
+        SELECT a.cell, t.i,
+               round(sum(e.embedding[t.i + 1]::DOUBLE), 6) AS s
+        FROM assign{t} a JOIN embeddings e USING (vec_id)
+        CROSS JOIN range({_DIM}) t(i)
+        GROUP BY a.cell, t.i) GROUP BY cell)""")
+        ctes.append(f"""cent{t} AS (
+      SELECT p.cid, coalesce(s.cvec, p.cvec) AS cvec
+      FROM {prev} p LEFT JOIN sums{t} s USING (cid))""")
+    return ",\n    ".join(ctes)
 
 
 def ivf_assign(spark, sf_dir, with_embedding: bool = False,
@@ -216,13 +325,16 @@ def ivf_assign(spark, sf_dir, with_embedding: bool = False,
 
     def assign(batches):
         M = bc.value
+        Mn = np.linalg.norm(M, axis=1)
         for pdf in batches:
             v = np.array(list(pdf["embedding"]), dtype=np.float64)
-            v = v / np.linalg.norm(v, axis=1, keepdims=True)
+            vn = np.linalg.norm(v, axis=1)
             # round to 6dp before argmax: makes the winning cell (and the
             # lowest-cid-on-tie rule, argmax takes the first max) exactly
-            # reproducible in the DuckDB oracle's window ranking.
-            cells = np.argmax(np.round(v @ M.T, 6), axis=1).astype("int32")
+            # reproducible in the DuckDB oracle's window ranking. Explicit
+            # norms because the trained codebook is RAW (unnormalized).
+            sims = np.round((v @ M.T) / np.outer(vn, Mn), 6)
+            cells = np.argmax(sims, axis=1).astype("int32")
             out = {"vec_id": pdf["vec_id"], "cell": cells}
             if with_embedding:
                 out["embedding"] = pdf["embedding"]
@@ -244,10 +356,9 @@ def ann_ivf_buckets(spark, sf_dir):
 
 
 @register("ann_search_ivf", sql=f"""
-    WITH cent AS (
-      SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec
-      FROM embeddings WHERE vec_id < {N_CELLS}
-    ), assign AS (
+    WITH {_kmeans_ctes()},
+    cent AS (SELECT cid, cvec FROM cent{KMEANS_ITERS}),
+    assign AS (
       SELECT vec_id, cell FROM (
         SELECT e.vec_id, c.cid AS cell,
                row_number() OVER (PARTITION BY e.vec_id ORDER BY
@@ -280,10 +391,10 @@ def ann_ivf_buckets(spark, sf_dir):
     ) WHERE rank <= 5
 """)
 def ann_search_ivf_q(spark, sf_dir):
-    # Oracle-checked: the model-free codebook (first N_CELLS vectors),
-    # round-6 similarity ordering, and lowest-id tiebreaks make the whole
-    # pruned search SQL-reproducible — assignment, probe choice, and
-    # rerank are all pinned, not just the row count.
+    # Oracle-checked INCLUDING the training: the DuckDB side replays the
+    # full 5-iteration k-means (_kmeans_ctes) from the same seed, so
+    # codebook, assignment, probe choice, and rerank are all pinned —
+    # not just the row count.
     return ann_search_ivf(spark, sf_dir, query_ids=[0, 1, 2, 3, 4], k=5)
 
 
@@ -292,9 +403,14 @@ def ann_search_ivf(spark, sf_dir, query_ids: list[int], k: int = 5,
     """IVF-pruned top-k: each query probes its `nprobe` closest cells and
     exact-reranks only those cells' members. THE pruned ANN path here:
     measured on the sf0.001 embeddings (near-isotropic — the hard case),
-    recall@5 is 0.88 scanning 6% of the corpus at nprobe=1 and 0.92 at
-    12% with nprobe=2, vs 0.48 at 13% for multi-probe hyperplane LSH
-    (tests/test_recall.py pins these floors)."""
+    the trained codebook gives recall@5 of 0.72 scanning 6% of the corpus
+    at nprobe=1 and 0.84 at 12% with nprobe=2 over the 5 oracle queries
+    (tests/test_recall.py pins the floors); a wider 50-query sweep puts
+    both the trained and the old first-16 codebook at ~0.5 recall at 12%
+    scan — isotropic vectors have no cluster structure for ANY codebook
+    to exploit, so k-means' real win on this corpus is BALANCED cell
+    occupancy (25-43 members/cell vs the stand-in's skew): bounded probe
+    fanout per task at 100 TB, not higher small-sample recall."""
     import numpy as np
 
     C = _centroids(spark, sf_dir)
@@ -304,11 +420,11 @@ def ann_search_ivf(spark, sf_dir, query_ids: list[int], k: int = 5,
     emb = read_testdata(spark, sf_dir, "embeddings")
     qrows = (emb.filter(F.col("vec_id").isin([int(q) for q in query_ids]))
              .select("vec_id", "embedding").collect())
+    Cn = np.linalg.norm(C, axis=1)
     probes = []
     for r in qrows:
         v = np.asarray(r["embedding"], dtype=np.float64)
-        v = v / np.linalg.norm(v)
-        sims = np.round(C @ v, 6)
+        sims = np.round((C @ v) / (Cn * np.linalg.norm(v)), 6)
         ranked = sorted(range(len(sims)), key=lambda i: (-sims[i], i))
         for c in ranked[:nprobe]:
             probes.append((int(r["vec_id"]), int(c), list(r["embedding"])))

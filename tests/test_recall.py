@@ -19,6 +19,8 @@ from crawspark.operators.dedup import (
     lsh_candidates,
     simhash_signatures,
 )
+from pyspark.sql import functions as F
+
 from crawspark.operators.similarity import ann_search_ivf, ann_search_lsh
 from crawspark.registry import load_all
 from crawspark.sources import read_testdata
@@ -116,14 +118,50 @@ def _recall(df, brute) -> float:
 
 
 def test_ann_ivf_recall(spark, brute_topk):
-    # Measured: 0.92 at nprobe=2 (12% of corpus scanned), 0.88 at nprobe=1
-    # (6%). Floors leave margin for testdata regeneration.
+    # Trained-codebook measurements on the 5 oracle queries: 0.84 at
+    # nprobe=2 (12% of corpus scanned), 0.72 at nprobe=1 (6%). Recall is
+    # deterministic (fixed data + deterministic k-means), so the tight
+    # nprobe=1 margin cannot flake; floors leave margin only for testdata
+    # regeneration. See ann_search_ivf's docstring for why the trained
+    # codebook does NOT beat the old stand-in on recall here (isotropic
+    # corpus — its win is balanced cell occupancy).
     r2 = _recall(ann_search_ivf(spark, SF, [0, 1, 2, 3, 4], 5, nprobe=2),
                  brute_topk)
     assert r2 >= 0.8, f"IVF nprobe=2 recall {r2:.2f} < 0.8"
     r1 = _recall(ann_search_ivf(spark, SF, [0, 1, 2, 3, 4], 5, nprobe=1),
                  brute_topk)
     assert r1 >= 0.7, f"IVF nprobe=1 recall {r1:.2f} < 0.7"
+
+
+def test_kmeans_codebook_balance_and_oracle_equality(spark):
+    # The codebook's 100TB property: balanced occupancy (bounded probe
+    # fanout). Pin max/min cell ratio <= 2 on sf0.001 (measured 43/25)
+    # and exact cross-engine equality of the trained centroids vs the
+    # DuckDB unrolled replay used in the ann_search_ivf oracle.
+    import duckdb
+    import numpy as np
+
+    from crawspark.operators.similarity import (
+        KMEANS_ITERS,
+        _centroids,
+        _kmeans_ctes,
+        ivf_assign,
+    )
+
+    occ = {r["cell"]: r["n"] for r in
+           ivf_assign(spark, SF).groupBy("cell")
+           .agg(F.count("*").alias("n")).collect()}
+    assert len(occ) == 16
+    assert max(occ.values()) <= 2 * min(occ.values()), occ
+    C = _centroids(spark, SF)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM "
+                f"read_parquet('{SF}/embeddings.parquet')")
+    rows = con.execute(f"WITH {_kmeans_ctes()} SELECT cid, cvec "
+                       f"FROM cent{KMEANS_ITERS} ORDER BY cid").fetchall()
+    con.close()
+    D = np.array([r[1] for r in rows])
+    assert np.array_equal(C, D), "trained centroids must replay bit-for-bit"
 
 
 def test_ann_lsh_multiprobe_recall_curve(spark, brute_topk):
