@@ -249,6 +249,65 @@ def dedup_minhash_lsh(spark, sf_dir):
             .orderBy("band_id"))
 
 
+def _star_components(edges: DataFrame) -> tuple[DataFrame, int]:
+    """Distributed connected components via alternating large-star /
+    small-star (Kiveris et al., "Connected Components in MapReduce and
+    Beyond") over a canonical (src>dst) deduped edge DataFrame.
+
+    Each round:
+    - large-star: every node u links its LARGER neighbors to
+      m = min(neighborhood(u) ∪ {u})
+    - small-star: every node u (edges oriented hi→lo, so its neighbors
+      are all smaller) links its smaller neighbors AND itself to their
+      minimum
+    The fixpoint is one star per component centered at the component
+    minimum, reached in O(log n) rounds even on deep chains — plain
+    min-label propagation needs O(diameter) rounds
+    (tests/test_components.py pins the round count on a 64-chain).
+    Everything shuffles (long, long) pairs only. Returns (labels, rounds).
+    """
+    e = edges.localCheckpoint(eager=True)  # reused across phases
+    rounds = 0
+    while True:
+        rounds += 1
+        # large-star over the symmetric neighborhood
+        sym = e.union(e.select(F.col("dst").alias("src"),
+                               F.col("src").alias("dst")))
+        mins = (sym.groupBy("src").agg(F.min("dst").alias("mn"))
+                .select("src", F.least("src", "mn").alias("m")))
+        large = (sym.join(mins, "src")
+                 .filter(F.col("dst") > F.col("src"))
+                 # emitted (v, m) has v > u >= m, so it is already in the
+                 # canonical hi→lo orientation
+                 .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+                 .distinct())
+        # small-star: neighbors of u are all < u in canonical orientation
+        mins2 = large.groupBy("src").agg(F.min("dst").alias("m"))
+        small = large.join(mins2, "src")
+        out = (small.select(F.col("dst").alias("src"),
+                            F.col("m").alias("dst"))
+               .union(small.select("src", F.col("m").alias("dst")))
+               .filter(F.col("src") != F.col("dst"))
+               .distinct()
+               .localCheckpoint(eager=True))
+        # fixpoint: the canonical edge set is unchanged by a full round
+        changed = (out.join(e, ["src", "dst"], "left_anti").count()
+                   + e.join(out, ["src", "dst"], "left_anti").count())
+        e = out
+        if changed == 0:
+            break
+    # Both star transforms preserve every node: a node with a smaller
+    # neighbor is re-emitted from that neighbor's group, and a node that
+    # is its neighborhood minimum is re-emitted as the dst of its own
+    # group — so the final star covers exactly the input's node set.
+    labels = (e.select(F.col("src").alias("node"),
+                       F.col("dst").alias("label"))
+              .union(e.select(F.col("dst").alias("node"),
+                              F.col("dst").alias("label")))
+              .groupBy("node").agg(F.min("label").alias("label")))
+    return labels, rounds
+
+
 def connected_components(edges: DataFrame,
                          max_driver_edges: int = 100_000) -> DataFrame:
     """Undirected connected components: (node, label=min reachable node).
@@ -257,12 +316,10 @@ def connected_components(edges: DataFrame,
     to the corpus (single-digit-percent dup rates), so when the edge count
     is at most ``max_driver_edges`` a driver-side union-find answers in one
     collect — the iterative path costs 2-4 blocking Spark jobs that
-    dominate small inputs. Above the threshold, distributed min-label
-    propagation runs: shuffles only (long, long) pairs, converges in
-    O(component diameter) rounds (near-dup clusters are shallow). At 10^12
-    docs the same loop runs with the edge table bucketed by src; the
-    large-star/small-star variant (Kiveris et al.) halves rounds but this
-    shape is already all-JVM and skew-safe (labels are longs)."""
+    dominate small inputs. Above the threshold, the distributed
+    large-star/small-star loop runs (_star_components): O(log n) rounds,
+    (long, long)-pair shuffles only. At 10^12 docs the same loop runs with
+    the edge table bucketed by src."""
     n_edges = edges.count()
     if n_edges <= max_driver_edges:
         pairs = edges.collect()
@@ -285,27 +342,12 @@ def connected_components(edges: DataFrame,
         if not rows:
             return spark.createDataFrame([], "node long, label long")
         return spark.createDataFrame(rows, "node long, label long")
-    sym = (edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-           .union(edges.select(F.col("doc_b"), F.col("doc_a"))))
-    sym = sym.localCheckpoint(eager=True)  # cut lineage; reused every round
-    labels = (sym.select(F.col("src").alias("node")).distinct()
-              .withColumn("label", F.col("node")))
-    while True:
-        nbr = (labels.join(sym, labels.node == sym.src)
-               .groupBy(F.col("dst").alias("node"))
-               .agg(F.min("label").alias("nbr_label")))
-        new_labels = (labels.join(nbr, "node", "left")
-                      .select("node",
-                              F.least(F.col("label"),
-                                      F.coalesce("nbr_label", "label"))
-                              .alias("label")))
-        new_labels = new_labels.localCheckpoint(eager=True)
-        changed = (new_labels.alias("n")
-                   .join(labels.alias("o"), "node")
-                   .filter(F.col("n.label") != F.col("o.label")).count())
-        labels = new_labels
-        if changed == 0:
-            return labels
+    canon = (edges.select(
+        F.greatest("doc_a", "doc_b").alias("src"),
+        F.least("doc_a", "doc_b").alias("dst"))
+        .filter(F.col("src") != F.col("dst")).distinct())
+    labels, _ = _star_components(canon)
+    return labels
 
 
 @register("dedup_minhash_resolve", sql=f"""

@@ -1,10 +1,16 @@
 """connected_components: the driver union-find fast path and the
-distributed min-label loop must agree exactly (hand-computed graph with a
-chain, a triangle-with-tail merge, and singleton-free isolation)."""
+distributed large-star/small-star loop must agree exactly (hand-computed
+graph with a chain, a triangle-with-tail merge, and singleton-free
+isolation), and the star loop must converge in O(log n) rounds on a deep
+chain — the property plain min-label propagation lacks."""
 
 from __future__ import annotations
 
-from crawspark.operators.dedup import connected_components
+import random
+
+from pyspark.sql import functions as F
+
+from crawspark.operators.dedup import _star_components, connected_components
 
 # components: {1,2,3,4} (chain via 1-2, 2-3, 3-4), {10,11,12,13}
 # (triangle 10-11-12 + tail 13), {20,21}
@@ -33,3 +39,33 @@ def test_empty_edges(spark):
     edges = spark.createDataFrame([], "doc_a long, doc_b long")
     assert connected_components(edges).count() == 0
     assert connected_components(edges, max_driver_edges=0).count() == 0
+
+
+def test_star_converges_logarithmically_on_deep_chain(spark):
+    # 64-node chain (diameter 63): min-label propagation needs ~63 rounds;
+    # large-star/small-star must finish in O(log n) — assert a hard cap
+    # well under the diameter, and exact labels.
+    n = 64
+    chain = [(i, i + 1) for i in range(n - 1)]
+    canon = (spark.createDataFrame(chain, "doc_a long, doc_b long")
+             .select(F.greatest("doc_a", "doc_b").alias("src"),
+                     F.least("doc_a", "doc_b").alias("dst")))
+    labels, rounds = _star_components(canon)
+    assert rounds <= 10, f"star took {rounds} rounds on a 64-chain"
+    got = {r["node"]: r["label"] for r in labels.collect()}
+    assert got == {i: 0 for i in range(n)}
+
+
+def test_star_random_graphs_match_union_find(spark):
+    # Differential vs the driver union-find on random sparse graphs.
+    rng = random.Random(7)
+    for trial in range(3):
+        nodes = list(range(60))
+        edges = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(45)]
+        edges = [(a, b) for a, b in edges if a != b]
+        df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+        exact = {r["node"]: r["label"] for r in
+                 connected_components(df, max_driver_edges=10_000).collect()}
+        star = {r["node"]: r["label"] for r in
+                connected_components(df, max_driver_edges=0).collect()}
+        assert star == exact, f"trial {trial}"
