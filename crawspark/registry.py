@@ -47,3 +47,41 @@ def load_all() -> dict[str, QuerySpec]:
     )
     from crawspark.streaming import queries as _streaming_queries  # noqa: F401
     return REGISTRY
+
+
+def check_query(spark, con, name: str, sf_dir: str) -> dict:
+    """Driver-mirror compare for ONE registry query: Spark result vs the
+    DuckDB oracle (row count, column-name set, order-insensitive values
+    with the driver's float normalization). Returns the CORRECTNESS-row
+    shape. ``con`` must have the testdata views registered; rows-only
+    queries (sql=None) get the weaker runs-and-has-schema check."""
+    import math
+
+    def norm(v):
+        if isinstance(v, float):
+            return "NaN" if math.isnan(v) else f"{v:.6g}"
+        return "NULL" if v is None else str(v)
+
+    def canon(rows, cols):
+        order = sorted(range(len(cols)), key=lambda i: cols[i])
+        return sorted(tuple(norm(r[i]) for i in order) for r in rows)
+
+    spec = REGISTRY[name]
+    sdf = spec.spark(spark, sf_dir)
+    srows = [tuple(r) for r in sdf.collect()]
+    out = {"rows_match": None, "schema_match": None, "hash_match": None,
+           "spark_rows": len(srows), "oracle_rows": None, "err": None}
+    if spec.sql is None:
+        out["err"] = "no_oracle"
+        if not sdf.columns:
+            out["err"] = "no_columns"
+        return out
+    cur = con.execute(spec.sql)
+    dcols = [d[0] for d in cur.description]
+    drows = cur.fetchall()
+    out["oracle_rows"] = len(drows)
+    out["rows_match"] = len(srows) == len(drows)
+    out["schema_match"] = sorted(sdf.columns) == sorted(dcols)
+    out["hash_match"] = (out["rows_match"] and out["schema_match"]
+                         and canon(srows, sdf.columns) == canon(drows, dcols))
+    return out
