@@ -12,10 +12,13 @@ given as either one stream ref or an array of refs (streams concatenate;
 token state persists across them). Layout rule: within a page, text
 chunks sort by (-y, x) (top-to-bottom, left-to-right); one output text
 block per page, lines joined with ``\\n``. PDF 1.5+ compressed object
-streams (``/ObjStm``) are inflated into the object table (xref streams
-themselves are unnecessary — the sequential scan finds every top-level
-object). Not handled: non-Flate filters, font encodings beyond latin-1 —
-real-corpus gaps documented in SURVEY.md §2.3.
+streams (``/ObjStm``) are inflated into the object table, and
+cross-reference STREAMS (``/Type /XRef``, incl. /Prev chains and PNG
+row predictors) override the sequential scan's last-wins object
+resolution where they resolve — orphaned incremental-update copies no
+longer shadow the referenced object. Classic ``xref`` tables stay on the
+sequential-scan path. Not handled: non-Flate filters, font encodings
+beyond latin-1 — real-corpus gaps documented in SURVEY.md §2.3.
 
 Input transport: raw PDF bytes arrive latin-1-mapped into the ``text``
 field of a ``kind='pdf'`` span (FIXTURES.md §1.1) — lossless bytes 0-255.
@@ -85,34 +88,186 @@ _RE_OBJSTM_FIRST = re.compile(rb"/First\s+(\d+)")
 _RE_INT_PAIR = re.compile(rb"(\d+)\s+(\d+)")
 
 
+def _objstm_members(body: bytes) -> list[tuple[int, bytes]]:
+    """Members of a /Type /ObjStm object, in pair-table order: the stream
+    holds N objects packed after a (objnum, offset) pair table."""
+    sm = _RE_STREAM.search(body)
+    nm = _RE_OBJSTM_N.search(body)
+    fm = _RE_OBJSTM_FIRST.search(body)
+    if not (sm and nm and fm):
+        return []
+    content = sm.group(1)
+    if b"/FlateDecode" in body:
+        try:
+            content = zlib.decompress(content)
+        except zlib.error:
+            return []
+    n, first = int(nm.group(1)), int(fm.group(1))
+    pairs = _RE_INT_PAIR.findall(content[:first])[:n]
+    offsets = [(int(num), int(off)) for num, off in pairs]
+    out: list[tuple[int, bytes]] = []
+    for i, (num, off) in enumerate(offsets):
+        end = (offsets[i + 1][1] if i + 1 < len(offsets)
+               else len(content) - first)
+        out.append((num, content[first + off:first + end]))
+    return out
+
+
 def _inflate_object_streams(objs: dict[int, bytes]) -> None:
-    """PDF 1.5+ compressed object streams (/Type /ObjStm): the stream
-    holds N objects packed after a (objnum, offset) pair table. Inflate
-    them into the object dict (without overwriting top-level objects) so
-    the page walk sees Pages/Page/Contents dicts that live inside an
-    ObjStm. Cross-reference STREAMS themselves are not needed — the
-    sequential scan already found every top-level object."""
+    """Inflate every /ObjStm's members into the object dict (without
+    overwriting objects already resolved — the xref overlay and the
+    top-level scan take precedence) so the page walk sees
+    Pages/Page/Contents dicts that live inside an ObjStm."""
     for body in list(objs.values()):
         if b"/ObjStm" not in body:
             continue
-        sm = _RE_STREAM.search(body)
-        nm = _RE_OBJSTM_N.search(body)
-        fm = _RE_OBJSTM_FIRST.search(body)
-        if not (sm and nm and fm):
+        for num, member in _objstm_members(body):
+            objs.setdefault(num, member)
+
+
+# --- PDF 1.5+ cross-reference streams ---------------------------------------
+
+_RE_STARTXREF = re.compile(rb"startxref\s+(\d+)")
+_RE_OBJ_HDR = re.compile(rb"(\d+)\s+(\d+)\s+obj")
+_RE_W3 = re.compile(rb"/W\s*\[\s*(\d+)\s+(\d+)\s+(\d+)\s*\]")
+_RE_XIDX = re.compile(rb"/Index\s*\[((?:\s*\d+)+)\s*\]")
+_RE_XSIZE = re.compile(rb"/Size\s+(\d+)")
+_RE_XPREV = re.compile(rb"/Prev\s+(\d+)")
+_RE_PREDICTOR = re.compile(rb"/Predictor\s+(\d+)")
+
+
+def _png_unpredict(data: bytes, row_bytes: int, predictor: int) -> bytes:
+    """Undo PNG row predictors (10-15; xref streams almost always use
+    /Predictor 12 = Up). Each encoded row is 1 filter-type byte + row_bytes
+    data bytes; bpp is 1 for xref fields (8-bit single-component)."""
+    if predictor < 10:
+        return data
+    step = row_bytes + 1
+    out = bytearray()
+    prev = bytearray(row_bytes)
+    for r0 in range(0, len(data) - step + 1, step):
+        ft = data[r0]
+        row = bytearray(data[r0 + 1:r0 + step])
+        if ft == 1:  # Sub
+            for i in range(1, row_bytes):
+                row[i] = (row[i] + row[i - 1]) & 0xFF
+        elif ft == 2:  # Up
+            for i in range(row_bytes):
+                row[i] = (row[i] + prev[i]) & 0xFF
+        elif ft == 3:  # Average
+            for i in range(row_bytes):
+                left = row[i - 1] if i else 0
+                row[i] = (row[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for i in range(row_bytes):
+                left = row[i - 1] if i else 0
+                ul = prev[i - 1] if i else 0
+                p = left + prev[i] - ul
+                pa, pb, pc = abs(p - left), abs(p - prev[i]), abs(p - ul)
+                pred = (left if pa <= pb and pa <= pc
+                        else prev[i] if pb <= pc else ul)
+                row[i] = (row[i] + pred) & 0xFF
+        out += row
+        prev = row
+    return bytes(out)
+
+
+def _parse_xref_stream_at(data: bytes, off: int):
+    """Parse a /Type /XRef stream object at byte offset ``off``.
+
+    Returns (entries, prev_offset) where entries is a list of
+    (objnum, type, field2, field3) in stream order — type 1: field2 =
+    byte offset of the object; type 2: field2 = ObjStm object number,
+    field3 = index within it — or None when ``off`` does not hold an xref
+    STREAM (e.g. a classic ``xref`` table: the sequential scan already
+    covers those files)."""
+    m = _RE_OBJ_HDR.match(data, off)
+    if not m:
+        return None
+    end = data.find(b"endobj", m.end())
+    body = data[m.end():end if end != -1 else len(data)]
+    if b"/XRef" not in body:
+        return None
+    sm = _RE_STREAM.search(body)
+    wm = _RE_W3.search(body)
+    if not (sm and wm):
+        return None
+    content = sm.group(1)
+    if b"/FlateDecode" in body:
+        try:
+            content = zlib.decompress(content)
+        except zlib.error:
+            return None
+    w1, w2, w3 = (int(g) for g in wm.groups())
+    pm = _RE_PREDICTOR.search(body)
+    if pm:
+        content = _png_unpredict(content, w1 + w2 + w3, int(pm.group(1)))
+    im = _RE_XIDX.search(body)
+    if im:
+        nums = [int(x) for x in im.group(1).split()]
+        index = list(zip(nums[0::2], nums[1::2]))
+    else:
+        zm = _RE_XSIZE.search(body)
+        index = [(0, int(zm.group(1)))] if zm else []
+    entries: list[tuple[int, int, int, int]] = []
+    step = w1 + w2 + w3
+    pos = 0
+    for start, count in index:
+        for num in range(start, start + count):
+            if pos + step > len(content):
+                break
+            row = content[pos:pos + step]
+            pos += step
+            # w1 == 0 => type defaults to 1 (PDF 32000-1 table 17)
+            t = int.from_bytes(row[:w1], "big") if w1 else 1
+            f2 = int.from_bytes(row[w1:w1 + w2], "big")
+            f3 = int.from_bytes(row[w1 + w2:], "big")
+            entries.append((num, t, f2, f3))
+    prevm = _RE_XPREV.search(body)
+    return entries, (int(prevm.group(1)) if prevm else None)
+
+
+def _overlay_xref(data: bytes, objs: dict[int, bytes]) -> None:
+    """Authoritative object resolution from the trailing xref STREAM chain
+    (PDF 1.5+): where the chain resolves an object number, it OVERRIDES
+    the sequential scan's last-wins guess — an orphaned later copy of an
+    object (incremental update debris, number reuse after free) must not
+    shadow the copy the xref actually references. Files with classic xref
+    tables, or unparseable chains, keep the scan's resolution unchanged."""
+    starts = _RE_STARTXREF.findall(data)
+    if not starts:
+        return
+    resolved: dict[int, tuple[int, int, int]] = {}
+    off = int(starts[-1])
+    visited: set[int] = set()
+    while off is not None and off not in visited:
+        visited.add(off)
+        parsed = _parse_xref_stream_at(data, off)
+        if parsed is None:
+            break
+        entries, off = parsed
+        for num, t, f2, f3 in entries:
+            resolved.setdefault(num, (t, f2, f3))  # newest section wins
+    # Pass 1: direct (type 1) objects — needed before ObjStm lookups so a
+    # type-2 member's container is itself xref-resolved.
+    for num, (t, f2, _f3) in resolved.items():
+        if t != 1:
             continue
-        content = sm.group(1)
-        if b"/FlateDecode" in body:
-            try:
-                content = zlib.decompress(content)
-            except zlib.error:
-                continue
-        n, first = int(nm.group(1)), int(fm.group(1))
-        pairs = _RE_INT_PAIR.findall(content[:first])[:n]
-        offsets = [(int(num), int(off)) for num, off in pairs]
-        for i, (num, off) in enumerate(offsets):
-            end = (offsets[i + 1][1] if i + 1 < len(offsets)
-                   else len(content) - first)
-            objs.setdefault(num, content[first + off:first + end])
+        hm = _RE_OBJ_HDR.match(data, f2)
+        if not hm or int(hm.group(1)) != num:
+            continue
+        end = data.find(b"endobj", hm.end())
+        objs[num] = data[hm.end():end if end != -1 else len(data)]
+    # Pass 2: compressed (type 2) objects by (container, index).
+    members_cache: dict[int, list[tuple[int, bytes]]] = {}
+    for num, (t, f2, f3) in resolved.items():
+        if t != 2:
+            continue
+        members = members_cache.get(f2)
+        if members is None:
+            members = members_cache[f2] = _objstm_members(objs.get(f2, b""))
+        if f3 < len(members):
+            objs[num] = members[f3][1]
 
 
 def extract_pdf_text(payload: str) -> list[str]:
@@ -126,6 +281,7 @@ def extract_pdf_text(payload: str) -> list[str]:
     objs: dict[int, bytes] = {}
     for m in _RE_OBJ.finditer(data):
         objs[int(m.group(1))] = m.group(2)
+    _overlay_xref(data, objs)  # xref-stream chain overrides last-wins scan
     _inflate_object_streams(objs)
 
     # Page order: follow /Kids arrays when present, else /Type /Page objects
