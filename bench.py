@@ -89,10 +89,18 @@ def main() -> None:
             t0 = time.perf_counter()
             n = _materialize(df_fn())
             times.append(time.perf_counter() - t0)
-        if max(times) > 2 * min(times) or min(times) > 2:
+        # Up to two extra shots while the measurement looks impeded AND the
+        # retries keep improving (measured 3-4x same-code swings within one
+        # session on this box — see BENCH/BASELINE.md co-tenancy notes).
+        while len(times) < 4 and (max(times) > 2 * min(times)
+                                  or min(times) > 2):
             t0 = time.perf_counter()
             n = _materialize(df_fn())
-            times.append(time.perf_counter() - t0)
+            t = time.perf_counter() - t0
+            improved = t < 0.8 * min(times)
+            times.append(t)
+            if not improved:
+                break
         timings[name] = round(min(times), 3)
         extra[f"{name}_rows"] = n
         drv = DRIVING.get(name)
