@@ -260,16 +260,33 @@ def interleave_from_text(doc_id, text: str, lang: str) -> dict:
     site = _SITES[i % len(_SITES)]
     parts = [
         f'<html lang="{lang}"><head><meta charset="utf-8">',
-        f"<title>{title_words} | {site}</title></head><body>",
-        '<div class="nav-menu"><a href="/a">home</a> <a href="/b">news</a></div>',
-        '<div id="content" class="article-body">',
+        f"<title>{title_words} | {site}</title>",
     ]
+    # deterministic publish date on ~2/3 of docs (article:published_time is
+    # the top-priority known tag — exercises extract_publish_date end to
+    # end; the remaining third pins the empty-date path)
+    if i % 3 != 2:
+        parts.append(f'<meta property="article:published_time" '
+                     f'content="2026-{1 + i % 12:02d}-{1 + i % 28:02d}'
+                     f'T{i % 24:02d}:00:00Z">')
+    parts.append("</head><body>")
+    parts.append('<div class="nav-menu"><a href="/a">home</a> '
+                 '<a href="/b">news</a></div>')
+    parts.append('<div id="content" class="article-body">')
     for j, p in enumerate(paras):
         parts.append(f"<p>{p}</p>")
         if j == 0 and i % 3 == 0:
             parts.append(f'<img src="http://example.com/img/photo_{i}.jpg" '
                          f'alt="fig" width="640" height="360">')
     parts.append("</div>")
+    # rel=tag bar OUTSIDE the content div (where real sites keep it and
+    # exactly what the cleaner strips — extract_tags reads pre-clean); tag
+    # words derive from the row deterministically
+    if i % 2 == 0 and words:
+        tag_words = [words[k % len(words)] for k in (0, 7)]
+        parts.append('<div class="tag-bar">' + " ".join(
+            f'<a rel="tag" href="/tag/{w}">{w}</a>'
+            for w in dict.fromkeys(tag_words)) + "</div>")
     parts.append('<div class="footer-links"><a href="/c">contact</a></div>')
     parts.append("</body></html>")
     return {

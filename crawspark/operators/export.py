@@ -20,12 +20,14 @@ def export_json(extracted: DataFrame, path: str) -> None:
 
 
 def export_csv(extracted: DataFrame, path: str) -> None:
-    """CSV needs flat columns: spans serialize to a JSON string column
+    """CSV needs flat columns: spans serialize to a JSON string column and
+    any other array column (tags) joins to a delimited string
     [R: export.py CSV field flattening]."""
-    (extracted
-     .withColumn("spans_json", F.to_json("spans"))
-     .drop("spans")
-     .write.mode("overwrite").option("header", True).csv(path))
+    df = extracted.withColumn("spans_json", F.to_json("spans")).drop("spans")
+    for name, dtype in df.dtypes:
+        if dtype.startswith("array"):
+            df = df.withColumn(name, F.array_join(name, "|"))
+    df.write.mode("overwrite").option("header", True).csv(path)
 
 
 def export_flat_spans(extracted: DataFrame, path: str) -> None:

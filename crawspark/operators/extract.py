@@ -39,17 +39,22 @@ _OUT_SCHEMA = pa.schema([
     ]))),
     ("lang", pa.string()),
     ("n_spans", pa.int32()),
+    ("publish_date", pa.string()),
+    ("tags", pa.list_(pa.string())),
 ])
 
 
 def _extract_rows(rows: list[dict]) -> pa.RecordBatch:
-    out = {"doc_id": [], "spans": [], "lang": [], "n_spans": []}
+    out = {"doc_id": [], "spans": [], "lang": [], "n_spans": [],
+           "publish_date": [], "tags": []}
     for row in rows:
         res = extract_document(row["doc_id"], row["spans"] or [])
         out["doc_id"].append(res["doc_id"])
         out["spans"].append(res["spans"])
         out["lang"].append(res["lang"])
         out["n_spans"].append(res["n_spans"])
+        out["publish_date"].append(res["publish_date"])
+        out["tags"].append(res["tags"])
     return pa.RecordBatch.from_pydict(out, schema=_OUT_SCHEMA)
 
 

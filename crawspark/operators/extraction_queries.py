@@ -144,6 +144,41 @@ def extract_span_hashes(spark, sf_dir):
             .select("doc_id", F.md5(canon).alias("span_hash")))
 
 
+@register("extract_publish_dates", sql=f"""
+    SELECT doc_id, publish_date,
+           CASE WHEN publish_date <> ''
+                THEN CAST(substr(publish_date, 1, 4) AS INT) END AS pub_year
+    FROM {ORACLE_PQ}
+""")
+def extract_publish_dates(spark, sf_dir):
+    # Publish-date surface [R: goose known-date-tags walk]: per-doc raw
+    # value + parsed year, every row hash-pinned vs the frozen oracle
+    # (including the empty-date third of the corpus).
+    ext = _extracted(spark, sf_dir)
+    return ext.select(
+        "doc_id", "publish_date",
+        F.when(F.col("publish_date") != "",
+               F.substring("publish_date", 1, 4).cast("int"))
+        .alias("pub_year"))
+
+
+@register("extract_tags", sql=f"""
+    SELECT doc_id,
+           CAST(len(tags) AS INT) AS n_tags,
+           -- DuckDB's array_to_string returns NULL on an empty list where
+           -- Spark's array_join returns '' — coalesce for hash parity
+           coalesce(array_to_string(tags, '|'), '') AS tags_joined
+    FROM {ORACLE_PQ}
+""")
+def extract_tags_q(spark, sf_dir):
+    # Tag surface [R: goose/extractors.py::extract_tags — a[rel=tag]]:
+    # per-doc ordered tag list, joined for the driver's value hash.
+    ext = _extracted(spark, sf_dir)
+    return ext.select(
+        "doc_id", F.size("tags").alias("n_tags"),
+        F.array_join("tags", "|").alias("tags_joined"))
+
+
 @register("extract_metrics_summary", sql=f"""
     SELECT CAST(4 AS BIGINT) AS n_files,
            count(*) AS docs_in,

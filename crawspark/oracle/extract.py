@@ -31,7 +31,13 @@ from crawspark.oracle.cleaner import clean_document
 from crawspark.oracle.fastparse import parse_html_fast as parse_html
 from crawspark.oracle.formatter import extract_outlinks, format_content
 from crawspark.oracle.media import media_kind_for_ref
-from crawspark.oracle.meta import detect_lang, extract_meta, extract_title
+from crawspark.oracle.meta import (
+    detect_lang,
+    extract_meta,
+    extract_publish_date,
+    extract_tags,
+    extract_title,
+)
 from crawspark.oracle.pdfparse import extract_pdf_text
 from crawspark.oracle.scorer import merge_siblings, score_nodes
 
@@ -74,8 +80,8 @@ def _html_chunk(s: InSpan) -> str:
 
 
 def extract_document(doc_id: str, spans: list[InSpan]) -> dict:
-    """Extract one interleaved document. Returns
-    ``{doc_id, spans: [OutSpan], lang, n_spans, title, outlinks}``.
+    """Extract one interleaved document. Returns ``{doc_id, spans:
+    [OutSpan], lang, n_spans, title, outlinks, publish_date, tags}``.
 
     Deterministic: pure function of (doc_id, spans). Never raises on
     garbage payloads (emits an empty span list instead)."""
@@ -91,6 +97,8 @@ def extract_document(doc_id: str, spans: list[InSpan]) -> dict:
     title = ""
     lang = ""
     outlinks: list[str] = []
+    publish_date = ""
+    tags: list[str] = []
 
     if html_payload and _RE_HAS_TAG.search(html_payload):
         root = parse_html(html_payload)
@@ -103,6 +111,10 @@ def extract_document(doc_id: str, spans: list[InSpan]) -> dict:
         body = root.find_first("body") or root
         lang = detect_lang(meta["lang"], body.text())
         base_url = meta["base_href"] or meta["canonical"]
+        # date + tags read PRE-clean: the tag bar / footer anchors they
+        # live in are exactly what the cleaner strips
+        publish_date = extract_publish_date(root)
+        tags = extract_tags(root)
         clean_document(root)
         # one stats memo for the whole post-clean pipeline (tree is
         # structurally frozen from here; scorer only writes .score)
@@ -150,4 +162,6 @@ def extract_document(doc_id: str, spans: list[InSpan]) -> dict:
         "n_spans": len(final),
         "title": title,
         "outlinks": outlinks,
+        "publish_date": publish_date,
+        "tags": tags,
     }

@@ -72,6 +72,53 @@ def extract_meta(root: Node) -> dict[str, str]:
     return out
 
 
+_DATE_META_NAMES = (
+    # priority order, first non-empty wins [R: goose/extractors.py::
+    # get_publish_date known-tags walk; goose/configuration known date tags]
+    ("property", "article:published_time"),
+    ("itemprop", "datepublished"),
+    ("name", "date"),
+    ("name", "dc.date.issued"),
+    ("name", "pubdate"),
+    ("name", "sailthru.date"),
+)
+
+
+def extract_publish_date(root: Node) -> str:
+    """Publish date from known meta tags (priority order), falling back to
+    the first ``<time datetime=...>`` element. Returns the raw trimmed
+    attribute value ('' when absent) — normalization is the consumer's
+    job; determinism is this function's."""
+    metas = root.find_all("meta")
+    for attr, want in _DATE_META_NAMES:
+        for meta in metas:
+            if meta.attr(attr).lower() == want:
+                content = meta.attr("content").strip()
+                if content:
+                    return content
+    t = root.find_first("time")
+    if t is not None:
+        return t.attr("datetime").strip()
+    return ""
+
+
+def extract_tags(root: Node) -> list[str]:
+    """Article tags: text of anchors carrying rel="tag" (word match) or a
+    '/tag/' path segment [R: goose/extractors.py::extract_tags — the
+    a[rel=tag] CSS walk]. Document order, deduped, empty texts dropped."""
+    out: list[str] = []
+    seen: set[str] = set()
+    for a in root.find_all("a"):
+        rel_words = a.attr("rel").lower().split()
+        if "tag" not in rel_words and "/tag/" not in a.attr("href"):
+            continue
+        text = a.text()
+        if text and text not in seen:
+            seen.add(text)
+            out.append(text)
+    return out
+
+
 def detect_lang(meta_lang: str, text: str) -> str:
     """Meta lang wins; else stopword-vote between en and fr (tie → en)
     [R: get_meta_lang + project `lang` option, SURVEY.md §2.2 filter_lang]."""

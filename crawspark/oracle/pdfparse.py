@@ -12,13 +12,14 @@ given as either one stream ref or an array of refs (streams concatenate;
 token state persists across them). Layout rule: within a page, text
 chunks sort by (-y, x) (top-to-bottom, left-to-right); one output text
 block per page, lines joined with ``\\n``. PDF 1.5+ compressed object
-streams (``/ObjStm``) are inflated into the object table, and
-cross-reference STREAMS (``/Type /XRef``, incl. /Prev chains and PNG
-row predictors) override the sequential scan's last-wins object
-resolution where they resolve — orphaned incremental-update copies no
-longer shadow the referenced object. Classic ``xref`` tables stay on the
-sequential-scan path. Not handled: non-Flate filters, font encodings
-beyond latin-1 — real-corpus gaps documented in SURVEY.md §2.3.
+streams (``/ObjStm``) are inflated into the object table, and the
+cross-reference chain — stream form (``/Type /XRef``, incl. /Prev chains
+and PNG row predictors) or classic ``xref`` tables — overrides the
+sequential scan's last-wins object resolution where it resolves:
+orphaned incremental-update copies no longer shadow the referenced
+object. Show-text strings come in literal ``(...)`` and hex ``<...>``
+forms. Not handled: non-Flate filters, font encodings beyond latin-1 —
+real-corpus gaps documented in SURVEY.md §2.3.
 
 Input transport: raw PDF bytes arrive latin-1-mapped into the ``text``
 field of a ``kind='pdf'`` span (FIXTURES.md §1.1) — lossless bytes 0-255.
@@ -39,6 +40,7 @@ _RE_REF = re.compile(rb"(\d+)\s+0\s+R")
 # §9.4): Td/TD/Tm/TL/T* move the line; Tj/TJ/'/" show text.
 _NUM = rb"-?\d+(?:\.\d+)?"
 _STR = rb"(?:[^()\\]|\\.)*"
+_HEX = rb"[0-9A-Fa-f\s]*"
 _RE_TOKEN = re.compile(
     rb"(?P<num>" + _NUM + rb")\s+(?P<num2>" + _NUM + rb")\s+(?P<op>Td|TD)"
     rb"|(?P<tm>(?:" + _NUM + rb"\s+){6})Tm"
@@ -46,16 +48,32 @@ _RE_TOKEN = re.compile(
     rb"|(?P<tstar>T\*)"
     rb"|(?P<bt>BT)"
     rb"|\((?P<str>" + _STR + rb")\)\s*Tj"
+    rb"|<(?P<hstr>" + _HEX + rb")>\s*Tj"
     rb"|\((?P<qstr>" + _STR + rb")\)\s*'"
+    rb"|<(?P<hqstr>" + _HEX + rb")>\s*'"
     rb"|(?P<aw>" + _NUM + rb")\s+(?P<ac>" + _NUM + rb")\s+"
     rb"\((?P<qqstr>" + _STR + rb")\)\s*\""
     rb"|\[(?P<arr>(?:[^\[\]\\]|\\.)*)\]\s*TJ",
     re.DOTALL,
 )
-_RE_ARR_STR = re.compile(rb"\((?P<s>(?:[^()\\]|\\.)*)\)")
+_RE_ARR_STR = re.compile(
+    rb"\((?P<s>(?:[^()\\]|\\.)*)\)|<(?P<h>" + _HEX + rb")>")
 
 _ESCAPES = {b"n": b"\n", b"r": b"\r", b"t": b"\t", b"b": b"\b", b"f": b"\f",
             b"(": b"(", b")": b")", b"\\": b"\\"}
+
+
+def _unhex(raw: bytes) -> str:
+    """Hex string ``<48656C6C6F>`` → text. Whitespace is ignored and an
+    odd final digit takes an implied trailing 0 (PDF 32000-1 §7.3.4.3);
+    bytes map via latin-1 like literal strings."""
+    digits = re.sub(rb"\s+", b"", raw)
+    if len(digits) % 2:
+        digits += b"0"
+    try:
+        return bytes.fromhex(digits.decode("ascii")).decode("latin-1")
+    except ValueError:
+        return ""
 
 
 def _unescape(raw: bytes) -> str:
@@ -227,13 +245,57 @@ def _parse_xref_stream_at(data: bytes, off: int):
     return entries, (int(prevm.group(1)) if prevm else None)
 
 
+_RE_XSUB = re.compile(rb"(\d+)\s+(\d+)\s*")
+_RE_XENT = re.compile(rb"(\d{10})\s(\d{5})\s([nf])\s?\s?")
+_RE_TRAILER = re.compile(rb"trailer\s*<<")
+
+
+def _parse_classic_xref_at(data: bytes, off: int):
+    """Classic ``xref`` table at byte offset ``off`` → same (entries,
+    prev) shape as the stream parser (types 0/1 only — classic tables
+    cannot reference ObjStm members)."""
+    m = re.compile(rb"xref\s*").match(data, off)
+    if not m:
+        return None
+    pos = m.end()
+    entries: list[tuple[int, int, int, int]] = []
+    while True:
+        sub = _RE_XSUB.match(data, pos)
+        if not sub:
+            break
+        start, count = int(sub.group(1)), int(sub.group(2))
+        pos = sub.end()
+        ok = True
+        for i in range(count):
+            ent = _RE_XENT.match(data, pos)
+            if not ent:
+                ok = False
+                break
+            t = 1 if ent.group(3) == b"n" else 0
+            entries.append((start + i, t, int(ent.group(1)),
+                            int(ent.group(2))))
+            pos = ent.end()
+        if not ok:
+            break
+    if not entries:
+        return None
+    tm = _RE_TRAILER.search(data, pos)
+    prev = None
+    if tm:
+        end = data.find(b">>", tm.end())
+        pm = _RE_XPREV.search(data[tm.start():end if end != -1 else len(data)])
+        if pm:
+            prev = int(pm.group(1))
+    return entries, prev
+
+
 def _overlay_xref(data: bytes, objs: dict[int, bytes]) -> None:
-    """Authoritative object resolution from the trailing xref STREAM chain
-    (PDF 1.5+): where the chain resolves an object number, it OVERRIDES
-    the sequential scan's last-wins guess — an orphaned later copy of an
-    object (incremental update debris, number reuse after free) must not
-    shadow the copy the xref actually references. Files with classic xref
-    tables, or unparseable chains, keep the scan's resolution unchanged."""
+    """Authoritative object resolution from the trailing xref chain —
+    stream form (PDF 1.5+) or classic table: where the chain resolves an
+    object number, it OVERRIDES the sequential scan's last-wins guess —
+    an orphaned later copy of an object (incremental update debris,
+    number reuse after free) must not shadow the copy the xref actually
+    references. Unparseable chains keep the scan's resolution unchanged."""
     starts = _RE_STARTXREF.findall(data)
     if not starts:
         return
@@ -242,7 +304,8 @@ def _overlay_xref(data: bytes, objs: dict[int, bytes]) -> None:
     visited: set[int] = set()
     while off is not None and off not in visited:
         visited.add(off)
-        parsed = _parse_xref_stream_at(data, off)
+        parsed = (_parse_xref_stream_at(data, off)
+                  or _parse_classic_xref_at(data, off))
         if parsed is None:
             break
         entries, off = parsed
@@ -351,15 +414,22 @@ def extract_pdf_text(payload: str) -> list[str]:
                 x = y = 0.0
             elif tok.group("str") is not None:
                 chunks.append((y, x, _unescape(tok.group("str"))))
+            elif tok.group("hstr") is not None:
+                chunks.append((y, x, _unhex(tok.group("hstr"))))
             elif tok.group("qstr") is not None:  # ' = T* + show
                 y -= leading
                 chunks.append((y, x, _unescape(tok.group("qstr"))))
+            elif tok.group("hqstr") is not None:
+                y -= leading
+                chunks.append((y, x, _unhex(tok.group("hqstr"))))
             elif tok.group("qqstr") is not None:  # " = spacing + T* + show
                 y -= leading
                 chunks.append((y, x, _unescape(tok.group("qqstr"))))
             elif tok.group("arr") is not None:
-                text = "".join(_unescape(s.group("s"))
-                               for s in _RE_ARR_STR.finditer(tok.group("arr")))
+                text = "".join(
+                    _unescape(s.group("s")) if s.group("s") is not None
+                    else _unhex(s.group("h"))
+                    for s in _RE_ARR_STR.finditer(tok.group("arr")))
                 chunks.append((y, x, text))
         chunks.sort(key=lambda c: (-c[0], c[1]))
         lines = [t for _, _, t in chunks if t.strip()]

@@ -25,6 +25,8 @@ EXTRACTED_SPANS = T.StructType([
     T.StructField("spans", SPANS_TYPE),
     T.StructField("lang", T.StringType()),
     T.StructField("n_spans", T.IntegerType()),
+    T.StructField("publish_date", T.StringType()),
+    T.StructField("tags", T.ArrayType(T.StringType())),
 ])
 
 CHECKPOINT = T.StructType([

@@ -107,3 +107,48 @@ def test_corpus_deterministic():
     a = [make_doc(42, i) for i in range(5)]
     b = list(make_corpus(5, seed=42))
     assert a == b
+
+
+def test_publish_date_priority_and_fallback():
+    from crawspark.oracle.meta import extract_publish_date
+
+    html = ("<head><meta name='date' content='2020-01-01'>"
+            "<meta property='article:published_time' "
+            "content='2026-03-04T05:00:00Z'></head>"
+            "<body><time datetime='2019-12-31'>then</time></body>")
+    # property tag outranks name=date regardless of document order
+    assert extract_publish_date(parse_html(html)) == "2026-03-04T05:00:00Z"
+    assert extract_publish_date(parse_html(
+        "<meta name='DC.date.issued' content='2021-06-07'>")) == "2021-06-07"
+    assert extract_publish_date(parse_html(
+        "<body><time datetime='2022-02-02'>x</time></body>")) == "2022-02-02"
+    assert extract_publish_date(parse_html("<p>no date</p>")) == ""
+
+
+def test_tags_rel_and_href_paths():
+    from crawspark.oracle.meta import extract_tags
+
+    html = ("<body><a rel='tag' href='/t/a'>alpha</a>"
+            "<a href='/tag/beta'>beta</a>"
+            "<a rel='nofollow tag' href='#'>gamma</a>"
+            "<a rel='tag' href='#'>alpha</a>"       # dup text dropped
+            "<a rel='tagged' href='/x'>not-a-tag</a>"  # word match only
+            "<a href='/y'>plain</a></body>")
+    assert extract_tags(parse_html(html)) == ["alpha", "beta", "gamma"]
+
+
+def test_extract_document_date_and_tags_fields():
+    from crawspark.oracle import extract_document
+
+    html = ("<html><head><title>T</title>"
+            "<meta property='article:published_time' content='2026-05-06'>"
+            "</head><body><div id='content'><p>the story of the village was "
+            "long and it had many details about the market there.</p></div>"
+            "<div class='tag-bar'><a rel='tag' href='/tag/story'>story</a>"
+            "</div></body></html>")
+    res = extract_document("d1", [{"kind": "html", "text": html,
+                                   "media_ref": None, "offset": 0}])
+    assert res["publish_date"] == "2026-05-06"
+    assert res["tags"] == ["story"]
+    # tag-bar anchors must NOT leak into content spans
+    assert all("story" != s["text"] for s in res["spans"])

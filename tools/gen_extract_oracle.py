@@ -41,6 +41,8 @@ SCHEMA = pa.schema([
     ("raw_chars", pa.int64()),
     ("content_chars", pa.int64()),
     ("n_outlinks", pa.int64()),
+    ("publish_date", pa.string()),
+    ("tags", pa.list_(pa.string())),
 ])
 
 
@@ -61,6 +63,8 @@ def materialize(sf_dir: str, out_path: str) -> int:
         rows["content_chars"].append(
             sum(len(s.get("text") or "") for s in res["spans"]))
         rows["n_outlinks"].append(len(res["outlinks"]))
+        rows["publish_date"].append(res["publish_date"])
+        rows["tags"].append(res["tags"])
     tbl = pa.Table.from_pydict(rows, schema=SCHEMA)
     os.makedirs(os.path.dirname(out_path), exist_ok=True)
     pq.write_table(tbl, out_path, compression="zstd")
