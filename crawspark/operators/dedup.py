@@ -347,7 +347,15 @@ def connected_components(edges: DataFrame,
         F.least("doc_a", "doc_b").alias("dst"))
         .filter(F.col("src") != F.col("dst")).distinct())
     labels, _ = _star_components(canon)
-    return labels
+    # Self-loop-only nodes are filtered out of the canonical edge set but
+    # the driver union-find path labels them (node, node) — keep the two
+    # paths' outputs identical regardless of which side of
+    # max_driver_edges the input lands (r3 review finding).
+    selfies = (edges.filter(F.col("doc_a") == F.col("doc_b"))
+               .select(F.col("doc_a").alias("node")).distinct()
+               .join(labels, "node", "left_anti")
+               .withColumn("label", F.col("node")))
+    return labels.unionByName(selfies)
 
 
 @register("dedup_minhash_resolve", sql=f"""

@@ -146,8 +146,12 @@ def extract_span_hashes(spark, sf_dir):
 
 @register("extract_publish_dates", sql=f"""
     SELECT doc_id, publish_date,
+           -- TRY_CAST mirrors Spark's null-on-failure cast: a non-ISO
+           -- <time datetime> fallback value must yield NULL on both
+           -- engines, not a DuckDB Conversion Error (r3 review finding)
            CASE WHEN publish_date <> ''
-                THEN CAST(substr(publish_date, 1, 4) AS INT) END AS pub_year
+                THEN TRY_CAST(substr(publish_date, 1, 4) AS INT)
+           END AS pub_year
     FROM {ORACLE_PQ}
 """)
 def extract_publish_dates(spark, sf_dir):

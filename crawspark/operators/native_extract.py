@@ -69,6 +69,17 @@ def _content_sig(path: str) -> str:
     return f"{os.path.getsize(path)}:{md.num_rows}:{tbs}"
 
 
+def _combined_fp(xor_fp: int, path: str) -> str:
+    """THE fingerprint format — single construction site so the
+    extract-time computation (_make_worker) and the resume re-check
+    (file_fingerprint) can never drift apart (format drift would make
+    recorded and recomputed fingerprints permanently unequal and silently
+    defeat resume). Note: extending this format invalidates checkpoints
+    recorded under the previous format — one full re-extract, then
+    steady state."""
+    return f"{xor_fp}:{_content_sig(path)}"
+
+
 def file_fingerprint(path: str) -> str:
     """Order-independent doc-membership fingerprint (xor of per-doc 64-bit
     hashes) + the footer content signature.
@@ -82,7 +93,7 @@ def file_fingerprint(path: str) -> str:
     for rb in pq.read_table(path, columns=["doc_id"]).to_batches():
         for doc_id in rb.column("doc_id").to_pylist():
             fp ^= _doc_hash64(doc_id)
-    return f"{fp}:{_content_sig(path)}"
+    return _combined_fp(fp, path)
 
 
 def _fingerprint_worker(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
@@ -132,7 +143,7 @@ def _make_worker(out_dir: str):
                     "docs_in": [docs_in],
                     "docs_out": [res.num_rows],
                     "spans_out": [spans_out],
-                    "input_fingerprint": [f"{fp}:{_content_sig(path)}"],
+                    "input_fingerprint": [_combined_fp(fp, path)],
                 })
     return read_extract_write
 

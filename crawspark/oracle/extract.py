@@ -34,8 +34,7 @@ from crawspark.oracle.media import media_kind_for_ref
 from crawspark.oracle.meta import (
     detect_lang,
     extract_meta,
-    extract_publish_date,
-    extract_tags,
+    extract_publish_date_and_tags,
     extract_title,
 )
 from crawspark.oracle.pdfparse import extract_pdf_text
@@ -111,10 +110,9 @@ def extract_document(doc_id: str, spans: list[InSpan]) -> dict:
         body = root.find_first("body") or root
         lang = detect_lang(meta["lang"], body.text())
         base_url = meta["base_href"] or meta["canonical"]
-        # date + tags read PRE-clean: the tag bar / footer anchors they
-        # live in are exactly what the cleaner strips
-        publish_date = extract_publish_date(root)
-        tags = extract_tags(root)
+        # date + tags read PRE-clean (the tag bar / footer anchors they
+        # live in are exactly what the cleaner strips), in one tree walk
+        publish_date, tags = extract_publish_date_and_tags(root)
         clean_document(root)
         # one stats memo for the whole post-clean pipeline (tree is
         # structurally frozen from here; scorer only writes .score)

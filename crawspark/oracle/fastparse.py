@@ -30,7 +30,7 @@ from html.parser import (  # stdlib's own tolerant start-tag grammar
     tagfind_tolerant,
 )
 
-from crawspark.oracle.dom import Node, _TreeBuilder
+from crawspark.oracle.dom import Node, _TreeBuilder, parse_html
 
 # Tag-name char class copied from html.parser's tagfind_tolerant. The `*+`
 # is load-bearing: without a possessive quantifier the final '>' requirement
@@ -44,8 +44,13 @@ _SCAN = re.compile(
     r"|<![^>]*>"                              # doctype / decl
     r"|<\?[^>]*>"                             # processing instruction
     # End tags are QUOTE-BLIND in html.parser (name parsed, then skip to
-    # the first '>'); bogus '</'+junk consumes to '>' as a dropped comment.
+    # the first '>'). Two stdlib-accepted shapes: name immediately after
+    # '</' (tagfind name class, junk tolerated up to '>'), or
+    # whitespace-prefixed WELL-FORMED '</ name >' (endtagfind allows \s*
+    # around its narrower name, but nothing else). '</ name junk>' falls
+    # through parse_bogus_comment → dropped-to-'>', like any other bogus.
     rf"|</(?P<end>{_NAME})[^>]*>"
+    r"|</\s*(?P<endws>[a-zA-Z][-.a-zA-Z0-9:_]*)\s*>"
     r"|</[^>]*>"                              # bogus end tag → dropped
     # Start-tag CANDIDATE: quote-aware soup locating a plausible closing
     # '>'. This only LOCATES the tag — the span html.parser would actually
@@ -131,7 +136,6 @@ def _needs_reference_parser(payload: str) -> bool:
 def parse_html_fast(payload: str) -> Node:
     """Single-pass scanner building the same tree as dom.parse_html."""
     if _needs_reference_parser(payload):
-        from crawspark.oracle.dom import parse_html
         return parse_html(payload)
     b = _TreeBuilder()
     try:
@@ -143,7 +147,6 @@ def parse_html_fast(payload: str) -> Node:
                 if _STALL.search(payload, pos) is not None:
                     # incomplete markup in the tail: stdlib recovery is
                     # construct-specific — delegate the whole document
-                    from crawspark.oracle.dom import parse_html
                     return parse_html(payload)
                 b.handle_data(unescape(payload[pos:]))
                 break
@@ -154,11 +157,10 @@ def parse_html_fast(payload: str) -> Node:
                     # quoted attr whose value contains a real tag later):
                     # delegate — html.parser may re-enter the scan mid-run
                     # and emit elements the swallow-to-EOF rule would lose
-                    from crawspark.oracle.dom import parse_html
                     return parse_html(payload)
                 b.handle_data(unescape(payload[pos:s]))
             pos = e
-            end = m.group("end")
+            end = m.group("end") or m.group("endws")
             start = m.group("start")
             if end is not None:
                 b.handle_endtag(end.lower())
@@ -173,7 +175,6 @@ def parse_html_fast(payload: str) -> Node:
                     parsed = _parse_starttag(payload, s)
                     if parsed is None:
                         # stdlib takes a recovery path here — delegate
-                        from crawspark.oracle.dom import parse_html
                         return parse_html(payload)
                     tag, attrs, endpos, selfclose = parsed
                     # stdlib may close the tag EARLIER than the candidate

@@ -52,7 +52,7 @@ _RE_TOKEN = re.compile(
     rb"|\((?P<qstr>" + _STR + rb")\)\s*'"
     rb"|<(?P<hqstr>" + _HEX + rb")>\s*'"
     rb"|(?P<aw>" + _NUM + rb")\s+(?P<ac>" + _NUM + rb")\s+"
-    rb"\((?P<qqstr>" + _STR + rb")\)\s*\""
+    rb"(?:\((?P<qqstr>" + _STR + rb")\)|<(?P<hqqstr>" + _HEX + rb")>)\s*\""
     rb"|\[(?P<arr>(?:[^\[\]\\]|\\.)*)\]\s*TJ",
     re.DOTALL,
 )
@@ -311,6 +311,13 @@ def _overlay_xref(data: bytes, objs: dict[int, bytes]) -> None:
         entries, off = parsed
         for num, t, f2, f3 in entries:
             resolved.setdefault(num, (t, f2, f3))  # newest section wins
+    # Pass 0: objects the NEWEST sections mark free are deleted — a
+    # conforming reader resolves references to them as nothing, so the
+    # sequential scan's orphan copy must not keep serving their content
+    # (r3 review finding). Object 0 is the permanent free-list head.
+    for num, (t, _f2, _f3) in resolved.items():
+        if t == 0 and num != 0:
+            objs.pop(num, None)
     # Pass 1: direct (type 1) objects — needed before ObjStm lookups so a
     # type-2 member's container is itself xref-resolved.
     for num, (t, f2, _f3) in resolved.items():
@@ -425,6 +432,9 @@ def extract_pdf_text(payload: str) -> list[str]:
             elif tok.group("qqstr") is not None:  # " = spacing + T* + show
                 y -= leading
                 chunks.append((y, x, _unescape(tok.group("qqstr"))))
+            elif tok.group("hqqstr") is not None:
+                y -= leading
+                chunks.append((y, x, _unhex(tok.group("hqqstr"))))
             elif tok.group("arr") is not None:
                 text = "".join(
                     _unescape(s.group("s")) if s.group("s") is not None

@@ -56,6 +56,18 @@ def test_star_converges_logarithmically_on_deep_chain(spark):
     assert got == {i: 0 for i in range(n)}
 
 
+def test_self_loop_nodes_labeled_on_both_paths(spark):
+    # (a, a) self-loops: the canonical edge set drops them, but the node
+    # must still get a (node, node) label row on BOTH paths (r3 review
+    # finding — output must not depend on the max_driver_edges side).
+    edges = spark.createDataFrame([(5, 5), (1, 2)], "doc_a long, doc_b long")
+    want = {1: 1, 2: 1, 5: 5}
+    for cap in (10_000, 0):
+        got = {r["node"]: r["label"] for r in
+               connected_components(edges, max_driver_edges=cap).collect()}
+        assert got == want, f"cap={cap}"
+
+
 def test_star_random_graphs_match_union_find(spark):
     # Differential vs the driver union-find on random sparse graphs.
     rng = random.Random(7)

@@ -64,3 +64,13 @@ _tagged = st.lists(
 @given(_tagged)
 def test_hypothesis_identical(payload: str) -> None:
     _assert_same(payload)
+
+
+def test_whitespace_prefixed_end_tags() -> None:
+    # endtagfind accepts '</ name >' (r3 review finding: the fast scanner
+    # dropped these as bogus, silently nesting what stdlib makes siblings);
+    # '</ name junk>' is parse_bogus_comment → dropped on BOTH paths.
+    for p in ["<div><p>intro</ p><p>body", "<p>a</ p>x", "<p>a</ p attr>x",
+              "<p>a</\np>x", "<p>a</ p >x", "</ 1>x", "</>x",
+              "<p>a</p junk>b", "</ TD>", "</ p.x>"]:
+        _assert_same(p)
