@@ -86,6 +86,153 @@ class ParquetBackend(TableBackend):
         return os.path.exists(self._path(name))
 
 
+class SnapshotParquetBackend(TableBackend):
+    """Iceberg COMMIT SEMANTICS emulated on plain parquet — the table-
+    format behaviors the absent runtime jar blocks us from exercising,
+    reproduced with the same guarantees so they are testable here:
+
+    - immutable data files: every commit writes to a fresh
+      ``data/v{N}/`` directory; nothing is ever rewritten in place;
+    - snapshot = JSON manifest (``manifests/v{N}.json``) listing the
+      exact data files visible at that version (flat manifest — Iceberg
+      uses an avro manifest TREE for 10^12-file scale; the commit model
+      is identical);
+    - atomic commit: the manifest is written to a temp file and
+      ``os.replace``d, then the ``VERSION`` pointer is ``os.replace``d —
+      readers resolve the pointer first, so they see the previous
+      snapshot or the new one, never a partial write (a crash between
+      the two steps leaves an unreferenced manifest, not a corrupt
+      table);
+    - time travel: ``read_version(spark, name, v)`` reads any retained
+      snapshot; ``snapshots(name)`` lists them;
+    - dynamic partition overwrite: replaces exactly the partition values
+      present in the incoming frame, like Iceberg's
+      ``overwritePartitions`` (the partition column is kept IN the data
+      files; the ``__pv=`` directory layer is manifest bookkeeping only).
+
+    Single-writer optimistic model (last pointer flip wins) — matching
+    how the pipeline's checkpointed jobs use tables.
+    """
+
+    def __init__(self, root: str):
+        self.root = root
+
+    # -- layout ------------------------------------------------------------
+
+    def _dir(self, name: str) -> str:
+        return os.path.join(self.root, name)
+
+    def _manifest(self, name: str, version: int) -> str:
+        return os.path.join(self._dir(name), "manifests", f"v{version}.json")
+
+    def _version_ptr(self, name: str) -> str:
+        return os.path.join(self._dir(name), "VERSION")
+
+    def current_version(self, name: str) -> int:
+        try:
+            with open(self._version_ptr(name)) as fh:
+                return int(fh.read().strip())
+        except FileNotFoundError:
+            return 0
+
+    def snapshots(self, name: str) -> list[int]:
+        mdir = os.path.join(self._dir(name), "manifests")
+        if not os.path.isdir(mdir):
+            return []
+        return sorted(int(f[1:-5]) for f in os.listdir(mdir)
+                      if f.startswith("v") and f.endswith(".json"))
+
+    def _load_manifest(self, name: str, version: int) -> dict:
+        import json
+
+        with open(self._manifest(name, version)) as fh:
+            return json.load(fh)
+
+    def _commit(self, name: str, entries: list[dict]) -> int:
+        """Write manifest v(N+1) and flip the pointer, both atomically."""
+        import json
+        import tempfile
+
+        version = self.current_version(name) + 1
+        mdir = os.path.join(self._dir(name), "manifests")
+        os.makedirs(mdir, exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=mdir, suffix=".tmp")
+        with os.fdopen(fd, "w") as fh:
+            json.dump({"version": version, "entries": entries}, fh)
+        os.replace(tmp, self._manifest(name, version))
+        fd, tmp = tempfile.mkstemp(dir=self._dir(name), suffix=".tmp")
+        with os.fdopen(fd, "w") as fh:
+            fh.write(str(version))
+        os.replace(tmp, self._version_ptr(name))
+        return version
+
+    def _write_commit_files(self, df: DataFrame, name: str,
+                            partition_col: str | None) -> list[dict]:
+        """Materialize df into the NEXT commit's immutable directory and
+        return its manifest entries."""
+        commit_dir = os.path.join(
+            self._dir(name), "data", f"v{self.current_version(name) + 1}")
+        # mode=overwrite: committed dirs are immutable because the version
+        # counter never reuses a number AFTER a successful pointer flip —
+        # but a crashed (uncommitted, unreferenced) attempt leaves this
+        # same dir behind, and the retry must be able to clobber it.
+        if partition_col is None:
+            df.write.mode("overwrite").parquet(commit_dir)
+        else:
+            # duplicate the partition column into the __pv= layout dir so
+            # data files keep the real column (individual-file reads need
+            # no partition-path recovery)
+            (df.withColumn("__pv", df[partition_col])
+             .write.mode("overwrite").partitionBy("__pv")
+             .parquet(commit_dir))
+        entries: list[dict] = []
+        for dirpath, _dirs, files in os.walk(commit_dir):
+            part = None
+            base = os.path.basename(dirpath)
+            if base.startswith("__pv="):
+                part = base[len("__pv="):]
+            for f in sorted(files):
+                if f.endswith(".parquet"):
+                    rel = os.path.relpath(os.path.join(dirpath, f), self.root)
+                    entries.append({"path": rel, "partition": part})
+        return entries
+
+    # -- TableBackend surface ----------------------------------------------
+
+    def read(self, spark: SparkSession, name: str) -> DataFrame:
+        return self.read_version(spark, name, self.current_version(name))
+
+    def read_version(self, spark: SparkSession, name: str,
+                     version: int) -> DataFrame:
+        manifest = self._load_manifest(name, version)
+        paths = [os.path.join(self.root, e["path"])
+                 for e in manifest["entries"]]
+        if not paths:
+            raise FileNotFoundError(f"{name}@v{version} has no data files")
+        return spark.read.parquet(*paths)
+
+    def append(self, df: DataFrame, name: str) -> None:
+        prev = ([] if self.current_version(name) == 0 else
+                self._load_manifest(name, self.current_version(name))["entries"])
+        new = self._write_commit_files(df, name, None)
+        self._commit(name, prev + new)
+
+    def overwrite(self, df: DataFrame, name: str) -> None:
+        self._commit(name, self._write_commit_files(df, name, None))
+
+    def overwrite_partitions(self, df: DataFrame, name: str,
+                             partition_col: str) -> None:
+        new = self._write_commit_files(df, name, partition_col)
+        replaced = {e["partition"] for e in new}
+        prev = ([] if self.current_version(name) == 0 else
+                self._load_manifest(name, self.current_version(name))["entries"])
+        kept = [e for e in prev if e["partition"] not in replaced]
+        self._commit(name, kept + new)
+
+    def exists(self, spark: SparkSession, name: str) -> bool:
+        return self.current_version(name) > 0
+
+
 class IcebergBackend(TableBackend):
     """Iceberg catalog tables (``catalog.db.name``). Requires the runtime
     jar + a configured catalog; gated behind ``_iceberg_available``."""

@@ -1,0 +1,81 @@
+"""SnapshotParquetBackend: the Iceberg commit model (immutable files,
+manifest snapshots, atomic pointer flip, time travel, dynamic partition
+overwrite) exercised locally — the behaviors the absent runtime jar keeps
+IcebergBackend from running in this sandbox."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from crawspark.sources.tables import SnapshotParquetBackend
+
+
+@pytest.fixture()
+def be(tmp_path):
+    return SnapshotParquetBackend(str(tmp_path))
+
+
+def _rows(df):
+    return sorted((r["k"], r["v"]) for r in df.collect())
+
+
+def test_append_overwrite_and_time_travel(spark, be):
+    a = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    b = spark.createDataFrame([(3, "c")], "k long, v string")
+    assert not be.exists(spark, "t")
+    be.append(a, "t")                       # v1
+    be.append(b, "t")                       # v2
+    assert be.exists(spark, "t")
+    assert be.snapshots("t") == [1, 2]
+    assert _rows(be.read(spark, "t")) == [(1, "a"), (2, "b"), (3, "c")]
+    assert _rows(be.read_version(spark, "t", 1)) == [(1, "a"), (2, "b")]
+    be.overwrite(b, "t")                    # v3 replaces everything
+    assert _rows(be.read(spark, "t")) == [(3, "c")]
+    # earlier snapshots remain readable (data files are immutable)
+    assert _rows(be.read_version(spark, "t", 2)) \
+        == [(1, "a"), (2, "b"), (3, "c")]
+
+
+def test_overwrite_partitions_replaces_only_present_values(spark, be):
+    base = spark.createDataFrame(
+        [(1, "en"), (2, "en"), (3, "fr"), (4, "de")], "k long, v string")
+    be.overwrite_partitions(base, "t", "v")          # v1
+    fix = spark.createDataFrame([(20, "en")], "k long, v string")
+    be.overwrite_partitions(fix, "t", "v")           # v2: only en replaced
+    assert _rows(be.read(spark, "t")) == [(3, "fr"), (4, "de"), (20, "en")]
+    # idempotent re-run of the same partition unit: same result, new snap
+    be.overwrite_partitions(fix, "t", "v")           # v3
+    assert _rows(be.read(spark, "t")) == [(3, "fr"), (4, "de"), (20, "en")]
+    assert be.snapshots("t") == [1, 2, 3]
+    # the partition column survives IN the data (no path recovery needed)
+    assert set(be.read(spark, "t").columns) == {"k", "v"}
+
+
+def test_crash_between_write_and_commit_is_invisible(spark, be):
+    a = spark.createDataFrame([(1, "a")], "k long, v string")
+    be.append(a, "t")                                # v1
+    # simulate a writer that materialized files but died before commit
+    be._write_commit_files(
+        spark.createDataFrame([(9, "z")], "k long, v string"), "t", None)
+    assert be.current_version("t") == 1
+    assert _rows(be.read(spark, "t")) == [(1, "a")]
+    # the retry clobbers the orphaned dir and commits cleanly
+    be.append(spark.createDataFrame([(2, "b")], "k long, v string"), "t")
+    assert _rows(be.read(spark, "t")) == [(1, "a"), (2, "b")]
+    assert be.snapshots("t") == [1, 2]
+
+
+def test_readers_resolve_pointer_not_latest_manifest(spark, be):
+    # A manifest file that exists but was never pointed at (crash after
+    # manifest write, before pointer flip) must not be served.
+    import json
+
+    a = spark.createDataFrame([(1, "a")], "k long, v string")
+    be.append(a, "t")
+    mdir = os.path.join(str(be.root), "t", "manifests")
+    with open(os.path.join(mdir, "v9.json"), "w") as fh:
+        json.dump({"version": 9, "entries": []}, fh)
+    assert be.current_version("t") == 1
+    assert _rows(be.read(spark, "t")) == [(1, "a")]
