@@ -72,7 +72,8 @@ def materialize(sf_dir: str, out_path: str) -> int:
 
 
 if __name__ == "__main__":
-    for sf, name in (("sf0.01", "sf0_01"), ("sf0.001", "sf0_001")):
+    for sf, name in (("sf0.01", "sf0_01"), ("sf0.001", "sf0_001"),
+                     ("sf0.1", "sf0_1")):
         sf_dir = f"/root/testdata/{sf}"
         out = os.path.join(os.path.dirname(__file__), "..", "tests",
                            "fixtures", "extract_oracle", f"{name}.parquet")
