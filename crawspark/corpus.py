@@ -14,6 +14,7 @@ Two surfaces:
 from __future__ import annotations
 
 import random
+import re
 import zlib
 
 # ---------------------------------------------------------------------------
@@ -274,6 +275,14 @@ def interleave_from_text(doc_id, text: str, lang: str) -> dict:
                  '<a href="/b">news</a></div>')
     parts.append('<div id="content" class="article-body">')
     for j, p in enumerate(paras):
+        if (i + j) % 4 == 0:
+            # one short IN-CONTENT anchor per 4th paragraph (deterministic
+            # host from row words): survives the link-density gate inside a
+            # long paragraph and gives extract_outlinks / outlink_domains a
+            # real per-doc surface (driver corpus was outlink-free before)
+            w = re.sub(r"[^a-z0-9]", "", words[(j * 5) % len(words)].lower()
+                       if words else "") or "link"
+            p = f'{p} <a href="http://{w}.example.org/d{i}p{j}">{w}</a>'
         parts.append(f"<p>{p}</p>")
         if j == 0 and i % 3 == 0:
             parts.append(f'<img src="http://example.com/img/photo_{i}.jpg" '

@@ -41,12 +41,13 @@ _OUT_SCHEMA = pa.schema([
     ("n_spans", pa.int32()),
     ("publish_date", pa.string()),
     ("tags", pa.list_(pa.string())),
+    ("outlinks", pa.list_(pa.string())),
 ])
 
 
 def _extract_rows(rows: list[dict]) -> pa.RecordBatch:
     out = {"doc_id": [], "spans": [], "lang": [], "n_spans": [],
-           "publish_date": [], "tags": []}
+           "publish_date": [], "tags": [], "outlinks": []}
     for row in rows:
         res = extract_document(row["doc_id"], row["spans"] or [])
         out["doc_id"].append(res["doc_id"])
@@ -55,6 +56,7 @@ def _extract_rows(rows: list[dict]) -> pa.RecordBatch:
         out["n_spans"].append(res["n_spans"])
         out["publish_date"].append(res["publish_date"])
         out["tags"].append(res["tags"])
+        out["outlinks"].append(res["outlinks"])
     return pa.RecordBatch.from_pydict(out, schema=_OUT_SCHEMA)
 
 

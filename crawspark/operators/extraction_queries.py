@@ -183,6 +183,34 @@ def extract_tags_q(spark, sf_dir):
         F.array_join("tags", "|").alias("tags_joined"))
 
 
+@register("outlink_domains", sql=f"""
+    SELECT host, count(*) AS n_links,
+           count(DISTINCT doc_id) AS n_docs
+    FROM (
+      SELECT doc_id,
+             lower(regexp_extract(unnest(outlinks),
+                   '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1)) AS host
+      FROM {ORACLE_PQ})
+    WHERE host <> '' GROUP BY host
+""")
+def outlink_domains(spark, sf_dir):
+    # Per-domain outlink aggregation — the frontier/politeness planning
+    # surface [R: url.py host parsing; database.py queue-by-domain]: the
+    # host regex is shared verbatim with the DuckDB oracle (parse_url
+    # exists Spark-side but has no DuckDB twin; one regex keeps the
+    # compare engine-neutral). Explode happens AFTER extraction, so the
+    # shuffle carries (host, doc_id) pairs only.
+    ext = _extracted(spark, sf_dir)
+    host = F.lower(F.regexp_extract(
+        F.col("link"), r"^[a-z][a-z0-9+.-]*://([^/?#]+)", 1))
+    return (ext.select("doc_id", F.explode("outlinks").alias("link"))
+            .select("doc_id", host.alias("host"))
+            .filter(F.col("host") != "")
+            .groupBy("host")
+            .agg(F.count("*").alias("n_links"),
+                 F.countDistinct("doc_id").alias("n_docs")))
+
+
 @register("extract_metrics_summary", sql=f"""
     SELECT CAST(4 AS BIGINT) AS n_files,
            count(*) AS docs_in,

@@ -27,6 +27,7 @@ EXTRACTED_SPANS = T.StructType([
     T.StructField("n_spans", T.IntegerType()),
     T.StructField("publish_date", T.StringType()),
     T.StructField("tags", T.ArrayType(T.StringType())),
+    T.StructField("outlinks", T.ArrayType(T.StringType())),
 ])
 
 CHECKPOINT = T.StructType([

@@ -43,6 +43,7 @@ SCHEMA = pa.schema([
     ("n_outlinks", pa.int64()),
     ("publish_date", pa.string()),
     ("tags", pa.list_(pa.string())),
+    ("outlinks", pa.list_(pa.string())),
 ])
 
 
@@ -65,6 +66,7 @@ def materialize(sf_dir: str, out_path: str) -> int:
         rows["n_outlinks"].append(len(res["outlinks"]))
         rows["publish_date"].append(res["publish_date"])
         rows["tags"].append(res["tags"])
+        rows["outlinks"].append(res["outlinks"])
     tbl = pa.Table.from_pydict(rows, schema=SCHEMA)
     os.makedirs(os.path.dirname(out_path), exist_ok=True)
     pq.write_table(tbl, out_path, compression="zstd")
