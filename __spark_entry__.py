@@ -3,7 +3,8 @@
 ``entry(spark)`` — flagship extraction pipeline over sf0.001.
 ``queries()`` — every implemented operator (SURVEY.md §2 + training-data
 ops), from the crawspark registry.
-``oracle_sql()`` — DuckDB-equivalent SQL for 62 of the 68 entries.
+``oracle_sql()`` — DuckDB-equivalent SQL for all but the six
+hash-structure entries (exact counts live in COVERAGE.md).
 Extraction-pipeline queries are hash-checked against the frozen Python
 oracle's MATERIALIZED extraction of the sf0.01 table
 (tools/gen_extract_oracle.py — deterministic by construction, so the

@@ -280,8 +280,10 @@ def interleave_from_text(doc_id, text: str, lang: str) -> dict:
             # host from row words): survives the link-density gate inside a
             # long paragraph and gives extract_outlinks / outlink_domains a
             # real per-doc surface (driver corpus was outlink-free before)
-            w = re.sub(r"[^a-z0-9]", "", words[(j * 5) % len(words)].lower()
-                       if words else "") or "link"
+            # words is never empty: body_text falls back to a generated
+            # paragraph above
+            w = re.sub(r"[^a-z0-9]", "",
+                       words[(j * 5) % len(words)].lower()) or "link"
             p = f'{p} <a href="http://{w}.example.org/d{i}p{j}">{w}</a>'
         parts.append(f"<p>{p}</p>")
         if j == 0 and i % 3 == 0:

@@ -136,11 +136,18 @@ class SnapshotParquetBackend(TableBackend):
             return 0
 
     def snapshots(self, name: str) -> list[int]:
+        """COMMITTED snapshot versions only: a manifest file above the
+        VERSION pointer is crash debris from a writer that died before
+        its pointer flip — it was never a snapshot, must not be listed or
+        served (its data dir is also what a retry legitimately clobbers).
+        """
         mdir = os.path.join(self._dir(name), "manifests")
         if not os.path.isdir(mdir):
             return []
+        current = self.current_version(name)
         return sorted(int(f[1:-5]) for f in os.listdir(mdir)
-                      if f.startswith("v") and f.endswith(".json"))
+                      if f.startswith("v") and f.endswith(".json")
+                      and int(f[1:-5]) <= current)
 
     def _load_manifest(self, name: str, version: int) -> dict:
         import json
@@ -204,6 +211,12 @@ class SnapshotParquetBackend(TableBackend):
 
     def read_version(self, spark: SparkSession, name: str,
                      version: int) -> DataFrame:
+        current = self.current_version(name)
+        if not 1 <= version <= current:
+            raise ValueError(
+                f"{name}@v{version} is not a committed snapshot "
+                f"(current={current}); uncommitted crash-debris manifests "
+                f"are never served")
         manifest = self._load_manifest(name, version)
         paths = [os.path.join(self.root, e["path"])
                  for e in manifest["entries"]]
@@ -211,9 +224,21 @@ class SnapshotParquetBackend(TableBackend):
             raise FileNotFoundError(f"{name}@v{version} has no data files")
         return spark.read.parquet(*paths)
 
+    def _live_entries(self, name: str) -> list[dict]:
+        v = self.current_version(name)
+        return [] if v == 0 else self._load_manifest(name, v)["entries"]
+
     def append(self, df: DataFrame, name: str) -> None:
-        prev = ([] if self.current_version(name) == 0 else
-                self._load_manifest(name, self.current_version(name))["entries"])
+        prev = self._live_entries(name)
+        if any(e["partition"] is not None for e in prev):
+            # Unpartitioned entries are invisible to overwrite_partitions'
+            # replaced-set matching — mixing the modes would later KEEP
+            # stale rows of a replaced partition (silent duplication, the
+            # opposite of Iceberg's semantics). Refuse loudly instead.
+            raise ValueError(
+                f"table '{name}' is partitioned; append would write rows "
+                f"outside the partition bookkeeping — use "
+                f"overwrite_partitions (or overwrite to reset)")
         new = self._write_commit_files(df, name, None)
         self._commit(name, prev + new)
 
@@ -222,10 +247,15 @@ class SnapshotParquetBackend(TableBackend):
 
     def overwrite_partitions(self, df: DataFrame, name: str,
                              partition_col: str) -> None:
+        prev = self._live_entries(name)
+        if any(e["partition"] is None for e in prev):
+            raise ValueError(
+                f"table '{name}' holds unpartitioned commits whose rows "
+                f"cannot be matched to replaced partitions — silent "
+                f"duplication instead of Iceberg overwritePartitions "
+                f"semantics; overwrite the table or keep one write mode")
         new = self._write_commit_files(df, name, partition_col)
         replaced = {e["partition"] for e in new}
-        prev = ([] if self.current_version(name) == 0 else
-                self._load_manifest(name, self.current_version(name))["entries"])
         kept = [e for e in prev if e["partition"] not in replaced]
         self._commit(name, kept + new)
 

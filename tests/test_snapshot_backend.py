@@ -67,6 +67,39 @@ def test_crash_between_write_and_commit_is_invisible(spark, be):
     assert be.snapshots("t") == [1, 2]
 
 
+def test_mixed_write_modes_refused(spark, be):
+    # r3 review finding: an appended (unpartitioned) commit is invisible
+    # to overwrite_partitions' replaced-set matching — silent duplication
+    # instead of Iceberg semantics. The backend refuses the mix loudly in
+    # both directions; overwrite always resets.
+    a = spark.createDataFrame([(1, "en")], "k long, v string")
+    be.append(a, "t")
+    with pytest.raises(ValueError, match="unpartitioned"):
+        be.overwrite_partitions(a, "t", "v")
+    be.overwrite_partitions(a, "p", "v")
+    with pytest.raises(ValueError, match="partitioned"):
+        be.append(a, "p")
+    be.overwrite(a, "p")        # reset is always allowed
+    be.append(a, "p")           # and the table is unpartitioned again
+    assert _rows(be.read(spark, "p")) == [(1, "en"), (1, "en")]
+
+
+def test_orphan_manifest_not_listed_or_served(spark, be):
+    import json
+
+    a = spark.createDataFrame([(1, "a")], "k long, v string")
+    be.append(a, "t")
+    mdir = os.path.join(str(be.root), "t", "manifests")
+    with open(os.path.join(mdir, "v2.json"), "w") as fh:
+        json.dump({"version": 2, "entries": [{"path": "t/data/v2/x.parquet",
+                                              "partition": None}]}, fh)
+    assert be.snapshots("t") == [1]
+    with pytest.raises(ValueError, match="not a committed snapshot"):
+        be.read_version(spark, "t", 2)
+    with pytest.raises(ValueError, match="not a committed snapshot"):
+        be.read_version(spark, "t", 0)
+
+
 def test_readers_resolve_pointer_not_latest_manifest(spark, be):
     # A manifest file that exists but was never pointed at (crash after
     # manifest write, before pointer flip) must not be served.
