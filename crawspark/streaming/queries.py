@@ -60,3 +60,43 @@ def stream_extract_incremental(spark, sf_dir):
             .groupBy("lang")
             .agg(F.count("*").alias("n_docs"),
                  F.sum("n_spans").cast("long").alias("total_spans")))
+
+
+@register("stream_join_user_activity", sql="""
+    SELECT l.user_id AS user_id, count(*) AS n_pairs
+    FROM events l JOIN events r
+      ON l.user_id = r.user_id
+     AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 10 MINUTE
+    WHERE l.event_id % 2 = 0 AND r.event_id % 2 = 1
+    GROUP BY l.user_id
+""")
+def stream_join_user_activity(spark, sf_dir):
+    """Watermarked stream-stream interval join, driven end to end: the
+    events table splits into two file streams (even/odd event_id), the
+    inner join pairs same-user events within 10 minutes, and the drained
+    sink aggregates per user — hash-checked against the equivalent batch
+    join in DuckDB (stream/batch parity is the correctness claim)."""
+    import atexit
+
+    from crawspark.sources import read_testdata
+    from crawspark.streaming.joined import run_join_available_now
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"crawspark_sjoin_{os.getpid()}_{zlib.crc32(sf_dir.encode()):08x}")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    left, right, out, ck = (os.path.join(base, d)
+                            for d in ("left", "right", "out", "ck"))
+    for d in (out, ck):
+        shutil.rmtree(d, ignore_errors=True)
+    events = read_testdata(spark, sf_dir, "events")
+    (events.filter(F.col("event_id") % 2 == 0)
+     .coalesce(2).write.mode("overwrite").parquet(left))
+    (events.filter(F.col("event_id") % 2 == 1)
+     .coalesce(2).write.mode("overwrite").parquet(right))
+    if not run_join_available_now(spark, left, right, out, ck,
+                                  timeout_sec=600):
+        raise RuntimeError("stream join did not complete within timeout")
+    return (spark.read.parquet(out)
+            .groupBy("user_id")
+            .agg(F.count("*").alias("n_pairs")))
