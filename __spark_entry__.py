@@ -57,7 +57,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    import os
+
     from crawspark.registry import load_all
 
-    return {name: spec.sql for name, spec in load_all().items()
-            if spec.sql is not None}
+    # The driver's correctness compare runs at sf=0.01 (contract). SQL
+    # registered as a callable is rendered against that SF's materialized
+    # oracle twin; CRAWSPARK_ORACLE_SF_DIR overrides for out-of-band runs.
+    sf_dir = os.environ.get("CRAWSPARK_ORACLE_SF_DIR",
+                            "/root/testdata/sf0.01")
+    return {name: spec.render_sql(sf_dir)
+            for name, spec in load_all().items() if spec.sql is not None}

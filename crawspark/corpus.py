@@ -225,23 +225,50 @@ def make_corpus(n_docs: int, seed: int = 42, heavy_tail: bool = False,
         yield make_doc(seed, i, heavy_tail, min_paras, max_paras)
 
 
+# Per-language stopword scaffolds for weaving driver-row word soup into
+# stopword-rich sentences (en/fr lists byte-frozen from v1; de/es/it/pt/zh
+# added with rules_v2 so the driver corpus exercises every stopword table
+# [R: goose honors the page-declared language when it ships a stopword
+# list — stopwords-<lang>.txt]). zh tokens are function CHARACTERS (the
+# zh tokenizer is per-character; see oracle/stats.tokenize_zh).
+_SCAFFOLDS = {
+    "en": ["the", "{w}", "of", "the", "{w}", "was", "in", "the", "{w}",
+           "and", "it", "had", "a", "{w}", "for", "all", "of", "the",
+           "{w}", "there"],
+    "fr": ["le", "{w}", "de", "la", "{w}", "est", "dans", "le", "{w}",
+           "et", "il", "a", "un", "{w}", "pour", "tous", "les", "{w}"],
+    "de": ["der", "{w}", "und", "die", "{w}", "ist", "in", "dem", "{w}",
+           "mit", "es", "war", "ein", "{w}", "für", "alle", "von", "den",
+           "{w}", "hier"],
+    "es": ["el", "{w}", "de", "la", "{w}", "es", "en", "el", "{w}",
+           "y", "se", "fue", "un", "{w}", "para", "todos", "los",
+           "{w}", "donde"],
+    "it": ["il", "{w}", "di", "la", "{w}", "è", "in", "il", "{w}",
+           "e", "si", "era", "un", "{w}", "per", "tutti", "i",
+           "{w}", "dove"],
+    "pt": ["o", "{w}", "de", "a", "{w}", "é", "em", "o", "{w}",
+           "e", "se", "foi", "um", "{w}", "para", "muito", "os",
+           "{w}", "quando"],
+    "zh": ["的", "{w}", "了", "是", "在", "{w}", "我", "有", "和", "就",
+           "{w}", "不", "人", "都", "这", "{w}", "中", "上", "个",
+           "{w}", "到"],
+}
+
+
 def interleave_from_text(doc_id, text: str, lang: str) -> dict:
     """Deterministic interleaved wrapping of a driver ``documents`` row
     (FIXTURES.md §3): HTML synthesized as a pure function of the row."""
     i = int(doc_id)
     rng = random.Random(0xC0FFEE ^ i)
-    lang = lang if lang in ("en", "fr") else "en"
-    body_text = " ".join((text or "").split()) or _paragraph(rng, lang, 2)
+    lang = lang if lang in _SCAFFOLDS else "en"
+    gen_lang = lang if lang in ("en", "fr") else "en"  # _paragraph material
+    body_text = " ".join((text or "").split()) or _paragraph(rng, gen_lang, 2)
     words = body_text.split()
     title_words = " ".join(words[:6]) if words else "untitled"
     # Weave row tokens into stopword-scaffolded sentences (the raw testdata
     # text is stopword-poor word soup, which the scorer rightly rejects as
     # boilerplate) — deterministic function of the row.
-    scaffold = (["the", "{w}", "of", "the", "{w}", "was", "in", "the", "{w}",
-                 "and", "it", "had", "a", "{w}", "for", "all", "of", "the",
-                 "{w}", "there"] if lang != "fr" else
-                ["le", "{w}", "de", "la", "{w}", "est", "dans", "le", "{w}",
-                 "et", "il", "a", "un", "{w}", "pour", "tous", "les", "{w}"])
+    scaffold = _SCAFFOLDS[lang]
     sentences = []
     wi = 0
     while wi < len(words):

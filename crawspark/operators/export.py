@@ -9,7 +9,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from crawspark.operators.extraction_queries import ORACLE_PQ as _ORACLE_PQ
+from crawspark.operators.extraction_queries import (
+    ORACLE_PQ as _ORACLE_PQ,
+    _sf_sql,
+)
 from crawspark.registry import register
 from crawspark.sources import read_testdata
 
@@ -63,10 +66,10 @@ def filter_content_type(spark, sf_dir):
                  F.sum("n_chars").cast("long").alias("total_chars")))
 
 
-@register("extract_outlinks", sql=f"""
+@register("extract_outlinks", sql=_sf_sql(f"""
     SELECT doc_id, n_outlinks
     FROM {_ORACLE_PQ}
-""")
+"""))
 def extract_outlinks_q(spark, sf_dir):
     # Outlink surface [R: page.py outlinks]: per-doc distinct absolutized
     # hrefs from the content sequence. Per-doc rows (not an aggregate) so

@@ -10,8 +10,8 @@ from __future__ import annotations
 import re
 
 from crawspark.oracle.dom import Node
-from crawspark.oracle.stats import tokenize
-from crawspark.rules import STOPWORDS_EN, STOPWORDS_FR, TITLE_SPLITTERS
+from crawspark.oracle.stats import tokenize, tokenize_zh
+from crawspark.rules import STOPWORDS, STOPWORDS_ZH, TITLE_SPLITTERS, VOTE_LANGS
 
 _RE_LANG = re.compile(r"^[a-zA-Z]{2}")
 
@@ -150,11 +150,26 @@ def extract_tags(root: Node) -> list[str]:
 
 
 def detect_lang(meta_lang: str, text: str) -> str:
-    """Meta lang wins; else stopword-vote between en and fr (tie → en)
-    [R: get_meta_lang + project `lang` option, SURVEY.md §2.2 filter_lang]."""
-    if meta_lang in ("en", "fr"):
+    """Meta lang wins when we ship a stopword table for it; else a
+    stopword vote across VOTE_LANGS, earlier language winning ties
+    (en first keeps the pre-v2 "tie → en" behavior)
+    [R: get_meta_lang + goose/resources/text/stopwords-<lang>.txt —
+    the reference honors the page-declared language when it has a
+    stopword list, else falls back to english].
+
+    zh is voted on per-character tokens (CJK has no whitespace word
+    boundaries); latin languages on lowercased punctuation-split words.
+    Deterministic: pure function of (meta_lang, text)."""
+    if meta_lang in STOPWORDS:
         return meta_lang
     words = tokenize(text)
-    en = sum(1 for w in words if w in STOPWORDS_EN)
-    fr = sum(1 for w in words if w in STOPWORDS_FR)
-    return "fr" if fr > en else "en"
+    best_lang, best_count = "en", -1
+    for lang in VOTE_LANGS:
+        if lang == "zh":
+            count = sum(1 for t in tokenize_zh(text) if t in STOPWORDS_ZH)
+        else:
+            sw = STOPWORDS[lang]
+            count = sum(1 for w in words if w in sw)
+        if count > best_count:
+            best_lang, best_count = lang, count
+    return best_lang

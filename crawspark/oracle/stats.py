@@ -28,9 +28,25 @@ def tokenize(text: str) -> list[str]:
     return _RE_PUNCT.sub(" ", low).split()
 
 
+# CJK has no whitespace word boundaries: zh tokens are single Han
+# characters plus latin word/number runs
+# [R: goose/text.py::StopWordsChinese — per-character candidate words].
+_RE_ZH_TOKEN = re.compile(r"[一-鿿]|[a-z0-9]+")
+
+
+def tokenize_zh(text: str) -> list[str]:
+    return _RE_ZH_TOKEN.findall(text.lower())
+
+
+def tokenize_for_lang(text: str, lang: str) -> list[str]:
+    return tokenize_zh(text) if lang == "zh" else tokenize(text)
+
+
 def word_stats(text: str, lang: str = "en") -> tuple[int, int]:
-    """(word_count, stopword_count) for ``text`` under ``lang`` stopwords."""
-    words = tokenize(text)
+    """(word_count, stopword_count) for ``text`` under ``lang`` stopwords.
+    Unknown langs fall back to the English table (goose behavior:
+    StopWords defaults to english when no per-language list ships)."""
+    words = tokenize_for_lang(text, lang)
     sw = STOPWORDS.get(lang, STOPWORDS_EN)
     return len(words), sum(map(sw.__contains__, words))
 

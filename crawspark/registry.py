@@ -18,7 +18,14 @@ from pyspark.sql import DataFrame, SparkSession
 @dataclass
 class QuerySpec:
     spark: Callable[[SparkSession, str], DataFrame]
-    sql: str | None = None  # None → non-SQL-expressible (rows-only check)
+    # None → non-SQL-expressible (rows-only check). A callable receives the
+    # runtime sf_dir and returns the SQL — used by extraction queries whose
+    # oracle is an SF-specific materialized twin parquet (VERDICT r3 #4:
+    # the oracle path must follow the SF the query actually runs at).
+    sql: str | Callable[[str], str] | None = None
+
+    def render_sql(self, sf_dir: str) -> str | None:
+        return self.sql(sf_dir) if callable(self.sql) else self.sql
 
 
 REGISTRY: dict[str, QuerySpec] = {}
@@ -59,7 +66,11 @@ def check_query(spark, con, name: str, sf_dir: str) -> dict:
 
     def norm(v):
         if isinstance(v, float):
-            return "NaN" if math.isnan(v) else f"{v:.6g}"
+            if math.isnan(v):
+                return "NaN"
+            if v == 0:
+                v = 0.0  # fold -0.0 → 0.0: engines may differ on zero sign
+            return f"{v:.6g}"
         return "NULL" if v is None else str(v)
 
     def canon(rows, cols):
@@ -71,12 +82,13 @@ def check_query(spark, con, name: str, sf_dir: str) -> dict:
     srows = [tuple(r) for r in sdf.collect()]
     out = {"rows_match": None, "schema_match": None, "hash_match": None,
            "spark_rows": len(srows), "oracle_rows": None, "err": None}
-    if spec.sql is None:
+    sql = spec.render_sql(sf_dir)
+    if sql is None:
         out["err"] = "no_oracle"
         if not sdf.columns:
             out["err"] = "no_columns"
         return out
-    cur = con.execute(spec.sql)
+    cur = con.execute(sql)
     dcols = [d[0] for d in cur.description]
     drows = cur.fetchall()
     out["oracle_rows"] = len(drows)

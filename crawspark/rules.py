@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import re
 
-RULES_VERSION = "rules_v1"
+RULES_VERSION = "rules_v2"  # v2: + de/es/it/pt/zh stopword tables
 
 # ---------------------------------------------------------------------------
 # Stopwords (compact, frozen subsets; enough for stopword-weighted scoring).
@@ -42,7 +42,72 @@ STOPWORDS_FR = frozenset(
     apres avant chez donc ainsi alors cela celui celle deja encore depuis""".split()
 )
 
-STOPWORDS = {"en": STOPWORDS_EN, "fr": STOPWORDS_FR}
+STOPWORDS_DE = frozenset(
+    """der die das und in den von zu mit sich des auf fur für ist im dem
+    nicht ein eine als auch es an werden aus er hat dass sie nach wird bei
+    einer um am sind noch wie einem uber über einen so zum war haben nur
+    oder aber vor zur bis mehr durch man sein wurde sei ihm ihre ihren wir
+    kann doch schon wenn hier alle ihr diese dieser dieses unter wieder
+    keine da zwischen immer selbst uns dann ohne sehr sondern mich dich
+    gegen vom ganz einzelnen wo muss sollte konnte jetzt""".split()
+)
+
+STOPWORDS_ES = frozenset(
+    """de la que el en y a los del se las por un para con no una su al lo es
+    como mas más pero sus le ya o este si sí porque esta entre cuando muy
+    sin sobre tambien también me hasta hay donde quien desde todo nos
+    durante todos uno les ni contra otros ese eso ante ellos e esto mi mí
+    antes algunos que qué unos yo otro otras otra el él tanto esa estos
+    mucho quienes nada muchos cual cuál poco ella estar estas algunas algo
+    nosotros era eran fue son ser tiene tienen hacer cada estaba estamos
+    alli allí aqui aquí""".split()
+)
+
+STOPWORDS_IT = frozenset(
+    """di a da in con su per tra fra il lo la i gli le un uno una che e
+    non si e è sono come piu più ma anche questo questa quello quella dei
+    delle della del al alla alle nel nella ha hanno era erano essere sia
+    o se ci vi ne lui lei loro noi voi io tu suo sua suoi sue mio mia
+    miei mie tuo tua nostro nostra vostro vostra chi cui dove quando
+    perche perché cosa tutto tutti tutte ogni fare fatto stato stata
+    quindi ancora sempre dopo prima senza molto poi anni solo altri
+    altre altro altra questi queste""".split()
+)
+
+STOPWORDS_PT = frozenset(
+    """de a o que e do da em um para e é com nao não uma os no se na por
+    mais as dos como mas foi ao ele das tem a à seu sua ou ser quando
+    muito ha há nos ja já esta está eu tambem também so só pelo pela ate
+    até isso ela entre era depois sem mesmo aos ter seus quem nas me esse
+    eles estao estão voce você tinha foram essa num nem suas meu as às
+    minha tem têm numa pelos qual sera será nós tenho lhe deles essas
+    esses pelas este fosse dele outro outros outra outras isto aquilo
+    estas estes""".split()
+)
+
+# Chinese: single-character function words — CJK text has no whitespace
+# word boundaries, so zh stopword stats run on per-character tokens
+# [R: goose/text.py::StopWordsChinese — candidate words are characters].
+STOPWORDS_ZH = frozenset(
+    "的 了 是 在 我 有 和 就 不 人 都 一 这 上 中 大 为 来 个 国 到 说 们 "
+    "以 于 时 要 也 他 会 着 没 好 自 能 对 她 那 得 里 后 你 将 与 已 其 "
+    "被 此 但 并 很 从 或 而 之 把 向 所 又 及 更 些 只 此 使 因 由 再 如 "
+    "下 去 过 还 可 地 年 月 日".split()
+)
+
+STOPWORDS = {
+    "en": STOPWORDS_EN,
+    "fr": STOPWORDS_FR,
+    "de": STOPWORDS_DE,
+    "es": STOPWORDS_ES,
+    "it": STOPWORDS_IT,
+    "pt": STOPWORDS_PT,
+    "zh": STOPWORDS_ZH,
+}
+
+# Deterministic vote order for language detection when no meta lang exists:
+# earlier wins ties (en first keeps the pre-v2 "tie → en" behavior).
+VOTE_LANGS = ("en", "fr", "de", "es", "it", "pt", "zh")
 
 # ---------------------------------------------------------------------------
 # Boilerplate: node dropped when id/class matches (cleaner stage).

@@ -19,15 +19,15 @@ import zlib
 
 from pyspark.sql import functions as F
 
-from crawspark.operators.extraction_queries import ORACLE_PQ
+from crawspark.operators.extraction_queries import ORACLE_PQ, _sf_sql
 from crawspark.registry import register
 
 
-@register("stream_extract_incremental", sql=f"""
+@register("stream_extract_incremental", sql=_sf_sql(f"""
     SELECT lang, count(*) AS n_docs,
            CAST(sum(n_spans) AS BIGINT) AS total_spans
     FROM {ORACLE_PQ} GROUP BY lang
-""")
+"""))
 def stream_extract_incremental(spark, sf_dir):
     from crawspark.operators.extract import interleave_documents
     from crawspark.sources import read_testdata

@@ -39,6 +39,8 @@ def _norm(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
+        if v == 0:
+            v = 0.0  # fold -0.0 → 0.0 (engines may differ on zero sign)
         return f"{v:.6g}"
     if v is None:
         return "NULL"
@@ -50,23 +52,15 @@ def _canon(rows, cols):
     return sorted(tuple(_norm(r[i]) for i in order) for r in rows)
 
 
-def _oracle_sql(sql: str) -> str:
-    """The registry's extraction oracles pin the driver's sf0.01 parquet;
-    when the parity suite runs at another SF, point at that SF's twin
-    (generated by tools/gen_extract_oracle.py)."""
-    tag = "sf" + os.path.basename(SF_DIR.rstrip("/")).replace("sf", "") \
-        .replace(".", "_")
-    return sql.replace("extract_oracle/sf0_01.parquet",
-                       f"extract_oracle/{tag}.parquet")
-
-
 @pytest.mark.parametrize("name", SQL_CASES)
 def test_sql_parity(name, spark, ddb):
+    # Extraction oracles render their SF-specific twin parquet path from
+    # the runtime SF_DIR via QuerySpec.render_sql (no path rewriting).
     spec = REGISTRY[name]
     sdf = spec.spark(spark, SF_DIR)
     srows = [tuple(r) for r in sdf.collect()]
     scols = sdf.columns
-    cur = ddb.execute(_oracle_sql(spec.sql))
+    cur = ddb.execute(spec.render_sql(SF_DIR))
     dcols = [d[0] for d in cur.description]
     drows = cur.fetchall()
     assert sorted(scols) == sorted(dcols), f"{name}: column names differ"

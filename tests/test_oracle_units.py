@@ -83,6 +83,35 @@ def test_detect_lang_vote():
     assert detect_lang("fr", "the the the") == "fr"  # meta wins
 
 
+def test_detect_lang_multilingual_rules_v2():
+    # meta wins for every shipped stopword table; unknown meta → vote
+    for lg in ("de", "es", "it", "pt", "zh"):
+        assert detect_lang(lg, "anything at all") == lg
+    assert detect_lang("xx", "the market was in the village there") == "en"
+    # vote path per language
+    assert detect_lang(
+        "", "der markt war in dem dorf und alle von den leuten hier") == "de"
+    assert detect_lang(
+        "", "el mercado fue en el pueblo y todos los que estaban para") == "es"
+    assert detect_lang(
+        "", "il mercato era in il paese e tutti per la storia di un") == "it"
+    assert detect_lang(
+        "", "o mercado foi em a aldeia e os que estavam para um") == "pt"
+    assert detect_lang("", "这个市场是在村里的地方了我们都有一个问题") == "zh"
+    # empty / no-signal text keeps the tie→en default
+    assert detect_lang("", "") == "en"
+
+
+def test_zh_word_stats_per_character():
+    from crawspark.oracle.stats import word_stats
+    n, sw = word_stats("这个市场是在村里的", "zh")
+    assert n == 9          # per-character tokens, not one whitespace blob
+    assert sw >= 3         # 是/在/的/这 are zh function characters
+    # latin fallback: unknown lang scores under the English table
+    n2, sw2 = word_stats("the market was open", "xx")
+    assert (n2, sw2) == (4, 2)
+
+
 def test_image_rules():
     assert not image_ok(parse_html("<img src='spacer.gif'>").find_first("img"))
     assert not image_ok(parse_html("<img src='a.jpg' width='10'>").find_first("img"))

@@ -54,7 +54,8 @@ def test_extract_document_total_and_sound(spans: list[dict]) -> None:
         assert isinstance(s["text"], str)
     if a["spans"] and a["spans"][0]["kind"] == "title":
         assert a["title"] == a["spans"][0]["text"]
-    assert a["lang"] in ("en", "fr")
+    from crawspark.rules import VOTE_LANGS
+    assert a["lang"] in VOTE_LANGS
 
 
 @settings(max_examples=150, deadline=None)

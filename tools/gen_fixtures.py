@@ -164,6 +164,36 @@ def handcrafted() -> dict[str, list[dict]]:
               " &lt;tag&gt; was &amp; is all of the things for the people "
               "of the village in the winter of the year.</p></div>"
               "</body></html>")
+    # --- multilingual cases (rules_v2: de/es/it/pt/zh stopword tables) ---
+    # One meta-declared and one vote-only (no lang attribute) page per
+    # language: the meta case pins scoring under the declared language's
+    # stopword table; the vote case pins detect_lang's stopword vote.
+    LOREM = {
+        "de": ("der markt war in dem dorf und alle von den leuten waren "
+               "hier mit einer frage über die energie und die geschichte "
+               "von dem winter die sie alle in dem garten hatten. "),
+        "es": ("el mercado fue en el pueblo y todos los que estaban alli "
+               "tenian una pregunta sobre la energia de la historia y el "
+               "invierno que se compartia en el jardin para todos. "),
+        "it": ("il mercato era in il paese e tutti i che erano la avevano "
+               "una domanda su la energia di la storia e il inverno che si "
+               "divideva in il giardino per tutti quanti. "),
+        "pt": ("o mercado foi em a aldeia e os que estavam la tinham uma "
+               "pergunta sobre a energia de a historia e o inverno que se "
+               "partilhava em o jardim para quem estava. "),
+        "zh": ("这个市场是在村里的地方了我们都有一个问题是关于能源的历史和冬天"
+               "的故事就在花园里的人都到了这里上面有很多的人了。"),
+    }
+    for lg, lorem in LOREM.items():
+        lpara = f"<p>{lorem}</p>"
+        html_case(f"lang_{lg}_meta",
+                  f"<html lang='{lg}'><head><title>T{lg}</title></head>"
+                  "<body><div id='content' class='article-body'>"
+                  + lpara * 3 + "</div></body></html>")
+        html_case(f"lang_{lg}_vote",
+                  "<html><head><title>V</title></head>"
+                  "<body><div id='content' class='article-body'>"
+                  + lpara * 3 + "</div></body></html>")
     html_case("torture_script_style_noise",
               "<html><head><title>Noise</title><style>p{color:red}</style>"
               "<script>var x = '<p>fake</p>';</script></head><body>"
