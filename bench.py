@@ -23,12 +23,34 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 SYN_DOCS = int(os.environ.get("CRAWSPARK_BENCH_SYN", "20000"))
 
 
+def _repin() -> None:
+    """Re-exec under taskset pinned to CPUS cores (bench_scaling.py's
+    discipline, VERDICT r3 "what's wrong" #1: unpinned bench runs recorded
+    2.4x co-tenant interference artifacts as if they were measurements).
+    No-op when already pinned, taskset is missing, or the box has no spare
+    cores to wander onto."""
+    import shutil
+
+    if os.environ.get("CRAWSPARK_BENCH_PINNED"):
+        return
+    try:
+        avail = len(os.sched_getaffinity(0))
+    except (AttributeError, OSError):
+        return
+    if avail <= CPUS or shutil.which("taskset") is None:
+        return
+    os.environ["CRAWSPARK_BENCH_PINNED"] = "1"
+    os.execvp("taskset",
+              ["taskset", "-c", f"0-{CPUS - 1}", sys.executable] + sys.argv)
+
+
 def _materialize(df) -> int:
     """Force full computation without driver collect; returns row count."""
     return df.count()
 
 
 def main() -> None:
+    _repin()
     from crawspark.bundle import ensure_shipped
     from crawspark.operators.extract import (
         extract_documents,
@@ -79,20 +101,21 @@ def main() -> None:
             pass
 
     def bench(name: str, df_fn) -> None:
-        # best-of-2: this sandbox shows sporadic 10-25x co-tenant
-        # interference spikes; capability = the unimpeded run. If the two
-        # runs disagree by >2x, a spike likely hit both or one badly —
-        # take one more shot.
+        # best-of-3 minimum (VERDICT r3: best-of-2 let a co-tenant spike
+        # land in BENCH_r03 as a phantom 2.4x regression); capability =
+        # the unimpeded run. The spread (max/min) ships alongside so a
+        # noisy measurement is visibly noisy in the BENCH file instead of
+        # masquerading as a code regression.
         times = []
         n = 0
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             n = _materialize(df_fn())
             times.append(time.perf_counter() - t0)
         # Up to two extra shots while the measurement looks impeded AND the
         # retries keep improving (measured 3-4x same-code swings within one
         # session on this box — see BENCH/BASELINE.md co-tenancy notes).
-        while len(times) < 4 and (max(times) > 2 * min(times)
+        while len(times) < 5 and (max(times) > 2 * min(times)
                                   or min(times) > 2):
             t0 = time.perf_counter()
             n = _materialize(df_fn())
@@ -103,6 +126,7 @@ def main() -> None:
                 break
         timings[name] = round(min(times), 3)
         extra[f"{name}_rows"] = n
+        extra[f"{name}_spread"] = round(max(times) / min(times), 2)
         drv = DRIVING.get(name)
         if drv:
             extra[f"{name}_input_rows_per_sec"] = round(
@@ -111,14 +135,16 @@ def main() -> None:
     # 1) The product: full extraction over the sf documents table.
     docs = read_testdata(spark, SF_DIR, "documents")
     n_docs = docs.count()
-    t_ext = float("inf")
+    ext_times = []
     for _ in range(3):  # headline metric: give it one extra shot at an
         # unimpeded window (co-tenant spikes documented in BENCH/BASELINE.md)
         t0 = time.perf_counter()
         _materialize(extract_documents(interleave_documents(docs)))
-        t_ext = min(t_ext, time.perf_counter() - t0)
+        ext_times.append(time.perf_counter() - t0)
+    t_ext = min(ext_times)
     timings["extract_testdata"] = round(t_ext, 3)
     extra["extract_testdata_docs_per_sec"] = round(n_docs / t_ext, 1)
+    extra["extract_testdata_spread"] = round(max(ext_times) / t_ext, 2)
 
     # 2) Heavy-tail synthetic corpus extraction. Corpus GENERATION is
     # materialized (cached) and timed separately first, so co-tenant noise
@@ -129,15 +155,17 @@ def main() -> None:
     t0 = time.perf_counter()
     corpus.count()
     extra["synthetic_gen_sec"] = round(time.perf_counter() - t0, 3)
-    t_syn = float("inf")
+    syn_times = []
     for _ in range(3):
         t0 = time.perf_counter()
         _materialize(extract_documents(
             salted_repartition(corpus, partitions=CPUS * 2)))
-        t_syn = min(t_syn, time.perf_counter() - t0)
+        syn_times.append(time.perf_counter() - t0)
     corpus.unpersist()
+    t_syn = min(syn_times)
     timings["extract_synthetic"] = round(t_syn, 3)
     extra["extract_synthetic_docs_per_sec"] = round(SYN_DOCS / t_syn, 1)
+    extra["extract_synthetic_spread"] = round(max(syn_times) / t_syn, 2)
 
     # 3) Relational / dedup / similarity headliners from the registry.
     for name in NAMES:
