@@ -110,7 +110,11 @@ def _make_worker(out_dir: str):
     def read_extract_write(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         import pyarrow.parquet as pq
 
-        from crawspark.operators.extract import _extract_rows
+        from crawspark.operators.extract import (
+            TARGET_BATCH_BYTES,
+            _extract_rows,
+            _rechunk_rows,
+        )
 
         # One worker per core: pyarrow's INTERNAL pool defaults to
         # os.cpu_count() threads PER WORKER (32 workers x 32 arrow threads
@@ -121,27 +125,51 @@ def _make_worker(out_dir: str):
 
         for b in batches:
             for path in b.column("path").to_pylist():
-                tbl = pq.read_table(path)
                 fp = 0
-                outs = []
                 docs_in = 0
-                for rb in tbl.to_batches(max_chunksize=1000):
-                    rows = rb.to_pylist()
-                    docs_in += len(rows)
-                    for r in rows:
-                        # order-independent fingerprint (xor of stable 64-bit
-                        # doc hashes) — resume invalidates on input drift
-                        fp ^= _doc_hash64(r["doc_id"])
-                    outs.append(_extract_rows(rows))
-                res = pa.Table.from_batches(outs)
+                docs_out = 0
+                spans_out = 0
                 name = os.path.basename(path)
-                pq.write_table(res, os.path.join(out_dir, name),
-                               compression="snappy")
-                spans_out = sum(res.column("n_spans").to_pylist())
+                # Fully streaming per file (heavy-tail mandate): Arrow
+                # batches in via iter_batches, byte-bounded re-chunks
+                # through extraction, row groups out via ParquetWriter —
+                # worker memory is ~TARGET_BATCH_BYTES + one document,
+                # never the whole shard (the old path accumulated every
+                # output batch before one write_table).
+                pf = pq.ParquetFile(path)
+                writer = None
+                try:
+                    for rows in _rechunk_rows(
+                            pf.iter_batches(batch_size=1000),
+                            TARGET_BATCH_BYTES):
+                        docs_in += len(rows)
+                        for r in rows:
+                            # order-independent fingerprint (xor of stable
+                            # 64-bit doc hashes) — resume invalidates on
+                            # input drift
+                            fp ^= _doc_hash64(r["doc_id"])
+                        out = _extract_rows(rows)
+                        if writer is None:
+                            writer = pq.ParquetWriter(
+                                os.path.join(out_dir, name), out.schema,
+                                compression="snappy")
+                        writer.write_batch(out)
+                        docs_out += out.num_rows
+                        spans_out += sum(out.column("n_spans").to_pylist())
+                    if writer is None:  # zero-row shard still gets a file
+                        empty = _extract_rows([])
+                        writer = pq.ParquetWriter(
+                            os.path.join(out_dir, name), empty.schema,
+                            compression="snappy")
+                        writer.write_batch(empty)
+                finally:
+                    if writer is not None:
+                        writer.close()
+                    pf.close()
                 yield pa.RecordBatch.from_pydict({
                     "file": [name],
                     "docs_in": [docs_in],
-                    "docs_out": [res.num_rows],
+                    "docs_out": [docs_out],
                     "spans_out": [spans_out],
                     "input_fingerprint": [_combined_fp(fp, path)],
                 })
