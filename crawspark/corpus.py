@@ -133,8 +133,15 @@ def make_html(rng: random.Random, lang: str, title_words: str,
 # ---------------------------------------------------------------------------
 
 def make_pdf(rng: random.Random, lang: str, n_pages: int | None = None,
-             flate: bool | None = None) -> str:
-    """Minimal valid PDF as a latin-1-mapped string."""
+             flate: bool | None = None, ascii_filter: str = "") -> str:
+    """Minimal valid PDF as a latin-1-mapped string.
+
+    ``ascii_filter`` ∈ {"", "hex", "a85"} wraps each content stream in
+    ASCIIHexDecode / ASCII85Decode (applied AFTER optional Flate, so the
+    parser must run the /Filter chain in order). Defaults leave the
+    rng-driven v1 output byte-identical (frozen fixtures)."""
+    import base64
+
     n_pages = n_pages if n_pages is not None else rng.randint(1, 3)
     flate = flate if flate is not None else (rng.random() < 0.5)
     objs: list[bytes] = []
@@ -161,6 +168,14 @@ def make_pdf(rng: random.Random, lang: str, n_pages: int | None = None,
         if flate:
             stream = zlib.compress(stream)
             filt = b"/Filter /FlateDecode "
+        if ascii_filter == "hex":
+            stream = stream.hex().upper().encode("ascii") + b">"
+            filt = (b"/Filter [/ASCIIHexDecode /FlateDecode] " if flate
+                    else b"/Filter /ASCIIHexDecode ")
+        elif ascii_filter == "a85":
+            stream = base64.a85encode(stream) + b"~>"
+            filt = (b"/Filter [/ASCII85Decode /FlateDecode] " if flate
+                    else b"/Filter /ASCII85Decode ")
         objs.append(
             f"{pid} 0 obj\n<< /Type /Page /Parent 2 0 R /Contents {cid} 0 R "
             ">>\nendobj\n".encode("latin-1"))

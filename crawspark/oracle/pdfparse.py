@@ -18,8 +18,12 @@ and PNG row predictors) or classic ``xref`` tables — overrides the
 sequential scan's last-wins object resolution where it resolves:
 orphaned incremental-update copies no longer shadow the referenced
 object. Show-text strings come in literal ``(...)`` and hex ``<...>``
-forms. Not handled: non-Flate filters, font encodings beyond latin-1 —
-real-corpus gaps documented in SURVEY.md §2.3.
+forms. Stream filters: ``FlateDecode``, ``ASCIIHexDecode``,
+``ASCII85Decode`` (chained in /Filter order); streams are delimited by a
+direct ``/Length`` when present (raw deflate bytes may contain the
+``endstream``/``endobj`` keywords), textual scan otherwise. Not handled:
+LZW/RunLength/DCT filters, font encodings beyond latin-1 — real-corpus
+gaps documented in SURVEY.md §2.3.
 
 Input transport: raw PDF bytes arrive latin-1-mapped into the ``text``
 field of a ``kind='pdf'`` span (FIXTURES.md §1.1) — lossless bytes 0-255.
@@ -30,7 +34,6 @@ from __future__ import annotations
 import re
 import zlib
 
-_RE_OBJ = re.compile(rb"(\d+)\s+0\s+obj(.*?)endobj", re.DOTALL)
 _RE_STREAM = re.compile(rb"stream\r?\n(.*?)\r?\nendstream", re.DOTALL)
 _RE_CONTENTS_ARR = re.compile(rb"/Contents\s*\[(.*?)\]", re.DOTALL)
 _RE_CONTENTS = re.compile(rb"/Contents\s+(\d+)\s+0\s+R")
@@ -101,6 +104,127 @@ def _unescape(raw: bytes) -> str:
     return out.decode("latin-1")
 
 
+# ---------------------------------------------------------------------------
+# Stream filters (PDF 32000-1 §7.4): FlateDecode + the two ASCII transport
+# encodings, applied in /Filter order. LZW/RunLength/DCT remain documented
+# gaps (SURVEY.md §2.3).
+# ---------------------------------------------------------------------------
+
+_RE_FILTER = re.compile(rb"/Filter\s*(?:\[(.*?)\]|/([A-Za-z0-9]+))", re.DOTALL)
+
+
+def _ascii_hex_decode(content: bytes) -> bytes:
+    """/ASCIIHexDecode: hex digits, whitespace ignored, ``>`` is EOD, an
+    odd final digit takes an implied trailing 0 (§7.4.2)."""
+    eod = content.find(b">")
+    if eod != -1:
+        content = content[:eod]
+    digits = re.sub(rb"\s+", b"", content)
+    if len(digits) % 2:
+        digits += b"0"
+    return bytes.fromhex(digits.decode("ascii"))
+
+
+def _ascii85_decode(content: bytes) -> bytes:
+    """/ASCII85Decode (§7.4.3): base-85 groups, ``z`` = four zero bytes,
+    ``~>`` EOD, whitespace ignored. stdlib a85decode implements the same
+    Adobe alphabet; the leading ``<~`` frame is not used by PDF."""
+    import base64
+
+    eod = content.find(b"~>")
+    if eod != -1:
+        content = content[:eod]
+    return base64.a85decode(re.sub(rb"\s+", b"", content))
+
+
+def _decode_filters(body: bytes, content: bytes) -> bytes | None:
+    """Apply the object's /Filter chain (name or array, in order) to raw
+    stream bytes. Returns None on an unsupported filter or corrupt data —
+    callers skip the stream, matching the old Flate-only behavior."""
+    fm = _RE_FILTER.search(body)
+    if not fm:
+        return content
+    if fm.group(1) is not None:
+        names = re.findall(rb"/([A-Za-z0-9]+)", fm.group(1))
+    else:
+        names = [fm.group(2)]
+    for name in names:
+        try:
+            if name == b"FlateDecode":
+                content = zlib.decompress(content)
+            elif name == b"ASCIIHexDecode":
+                content = _ascii_hex_decode(content)
+            elif name == b"ASCII85Decode":
+                content = _ascii85_decode(content)
+            else:
+                return None  # unsupported filter (LZW/DCT/...)
+        except (ValueError, zlib.error):
+            return None
+    return content
+
+
+# /Length as a DIRECT integer. The (?=[^0-9]) guard plus the indirect-ref
+# lookahead rejects "/Length 5 0 R" without letting backtracking shorten
+# "50" to "5" (both digits must be consumed before the lookaheads run).
+_RE_LENGTH = re.compile(rb"/Length\s+(\d+)(?![0-9])(?!\s+0\s+R)")
+_RE_STREAM_KW = re.compile(rb"stream\r?\n")
+
+
+def _stream_bytes(body: bytes) -> bytes | None:
+    """Raw (still-encoded) stream content of an object body.
+
+    Prefers the dict's direct /Length to delimit the stream — raw Flate
+    bytes legitimately contain ``endstream``/``endobj`` byte sequences,
+    which truncate any textual search (ADVICE r3: a truncated xref
+    stream silently disabled the whole overlay). Falls back to the
+    textual ``endstream`` scan when /Length is absent, indirect, or
+    inconsistent."""
+    km = _RE_STREAM_KW.search(body)
+    if km is None:
+        return None
+    lm = _RE_LENGTH.search(body, 0, km.start())
+    if lm:
+        n = int(lm.group(1))
+        content = body[km.end():km.end() + n]
+        if (len(content) == n
+                and re.match(rb"\s*endstream", body[km.end() + n:])):
+            return content
+    m = _RE_STREAM.search(body)
+    return m.group(1) if m else None
+
+
+def _object_body_at(data: bytes, start: int) -> bytes:
+    """Object body from ``start`` (just past ``N G obj``) to its true
+    ``endobj``: when the object carries a stream with a direct /Length,
+    jump over exactly that many content bytes before searching — stream
+    bytes may legitimately contain the ``endobj`` keyword."""
+    em = data.find(b"endobj", start)
+    km = _RE_STREAM_KW.search(data, start, em if em != -1 else len(data))
+    if km is not None:
+        lm = _RE_LENGTH.search(data, start, km.start())
+        if lm:
+            cend = km.end() + int(lm.group(1))
+            if re.match(rb"\s*endstream", data[cend:cend + 32]):
+                em = data.find(b"endobj", cend)
+    return data[start:em if em != -1 else len(data)]
+
+
+def _scan_objects(data: bytes) -> dict[int, bytes]:
+    """Sequential last-wins object scan with /Length-aware stream
+    skipping (replaces the ``(.*?)endobj`` regex, which a stream
+    containing ``endobj`` bytes both truncated AND desynchronized)."""
+    objs: dict[int, bytes] = {}
+    pos = 0
+    while True:
+        m = _RE_OBJ_HDR.search(data, pos)
+        if m is None:
+            break
+        body = _object_body_at(data, m.end())
+        objs[int(m.group(1))] = body
+        pos = m.end() + len(body)
+    return objs
+
+
 _RE_OBJSTM_N = re.compile(rb"/N\s+(\d+)")
 _RE_OBJSTM_FIRST = re.compile(rb"/First\s+(\d+)")
 _RE_INT_PAIR = re.compile(rb"(\d+)\s+(\d+)")
@@ -109,17 +233,14 @@ _RE_INT_PAIR = re.compile(rb"(\d+)\s+(\d+)")
 def _objstm_members(body: bytes) -> list[tuple[int, bytes]]:
     """Members of a /Type /ObjStm object, in pair-table order: the stream
     holds N objects packed after a (objnum, offset) pair table."""
-    sm = _RE_STREAM.search(body)
+    raw = _stream_bytes(body)
     nm = _RE_OBJSTM_N.search(body)
     fm = _RE_OBJSTM_FIRST.search(body)
-    if not (sm and nm and fm):
+    if not (raw is not None and nm and fm):
         return []
-    content = sm.group(1)
-    if b"/FlateDecode" in body:
-        try:
-            content = zlib.decompress(content)
-        except zlib.error:
-            return []
+    content = _decode_filters(body, raw)
+    if content is None:
+        return []
     n, first = int(nm.group(1)), int(fm.group(1))
     pairs = _RE_INT_PAIR.findall(content[:first])[:n]
     offsets = [(int(num), int(off)) for num, off in pairs]
@@ -202,20 +323,19 @@ def _parse_xref_stream_at(data: bytes, off: int):
     m = _RE_OBJ_HDR.match(data, off)
     if not m:
         return None
-    end = data.find(b"endobj", m.end())
-    body = data[m.end():end if end != -1 else len(data)]
+    # /Length-aware delimitation (ADVICE r3): raw Flate bytes containing
+    # "endobj" would truncate a find()-bounded body and silently disable
+    # the whole xref overlay.
+    body = _object_body_at(data, m.end())
     if b"/XRef" not in body:
         return None
-    sm = _RE_STREAM.search(body)
+    raw = _stream_bytes(body)
     wm = _RE_W3.search(body)
-    if not (sm and wm):
+    if raw is None or not wm:
         return None
-    content = sm.group(1)
-    if b"/FlateDecode" in body:
-        try:
-            content = zlib.decompress(content)
-        except zlib.error:
-            return None
+    content = _decode_filters(body, raw)
+    if content is None:
+        return None
     w1, w2, w3 = (int(g) for g in wm.groups())
     pm = _RE_PREDICTOR.search(body)
     if pm:
@@ -348,9 +468,7 @@ def extract_pdf_text(payload: str) -> list[str]:
         data = payload.encode("latin-1", errors="replace")
     except Exception:
         return []
-    objs: dict[int, bytes] = {}
-    for m in _RE_OBJ.finditer(data):
-        objs[int(m.group(1))] = m.group(2)
+    objs = _scan_objects(data)
     _overlay_xref(data, objs)  # xref-stream chain overrides last-wins scan
     _inflate_object_streams(objs)
 
@@ -386,15 +504,12 @@ def extract_pdf_text(payload: str) -> list[str]:
         parts: list[bytes] = []
         for ref in refs:
             stream_obj = objs.get(ref, b"")
-            sm = _RE_STREAM.search(stream_obj)
-            if not sm:
+            raw = _stream_bytes(stream_obj)
+            if raw is None:
                 continue
-            chunk = sm.group(1)
-            if b"/FlateDecode" in stream_obj:
-                try:
-                    chunk = zlib.decompress(chunk)
-                except zlib.error:
-                    continue
+            chunk = _decode_filters(stream_obj, raw)
+            if chunk is None:
+                continue
             parts.append(chunk)
         if not parts:
             continue

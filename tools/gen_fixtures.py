@@ -116,6 +116,18 @@ def handcrafted() -> dict[str, list[dict]]:
     cases["pdf_multi_page_flate"] = [
         {"kind": "pdf", "text": make_pdf(rng, "en", n_pages=3, flate=True),
          "media_ref": None, "offset": 0}]
+    # r4: ASCII transport filters (ASCIIHexDecode raw; ASCII85Decode
+    # chained after Flate — the parser must apply /Filter in order).
+    cases["pdf_asciihex"] = [
+        {"kind": "pdf",
+         "text": make_pdf(random.Random(77), "en", n_pages=1, flate=False,
+                          ascii_filter="hex"),
+         "media_ref": None, "offset": 0}]
+    cases["pdf_ascii85_flate"] = [
+        {"kind": "pdf",
+         "text": make_pdf(random.Random(78), "fr", n_pages=2, flate=True,
+                          ascii_filter="a85"),
+         "media_ref": None, "offset": 0}]
     cases["interleaved_media"] = [
         {"kind": "html", "text": full, "media_ref": None, "offset": 0},
         {"kind": "media", "text": "a caption", "media_ref": "img://m/0.jpg",
