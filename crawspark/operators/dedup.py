@@ -64,11 +64,11 @@ def dedup_exact(spark, sf_dir):
                  F.count("*").alias("n_copies")))
 
 
-def _shingle_table(spark, sf_dir) -> DataFrame:
+def shingle_rows_capped(docs: DataFrame) -> DataFrame:
     """(doc_id, shingle) with distinct word-3-gram shingles, hot shingles
     (df > DF_CAP) dropped. The explode output is the inverted index."""
-    docs = (read_testdata(spark, sf_dir, "documents")
-            .repartition(spark.sparkContext.defaultParallelism)
+    spark = docs.sparkSession
+    docs = (docs.repartition(spark.sparkContext.defaultParallelism)
             .withColumn("toks", F.expr(_TOKS))
             .filter(F.size("toks") >= 3)
             .withColumn("shingles", F.expr(_SHINGLES))
@@ -79,6 +79,10 @@ def _shingle_table(spark, sf_dir) -> DataFrame:
     # hot is tiny (only boilerplate keys) → broadcast anti-join, no shuffle
     # of the full posting list.
     return sh.join(F.broadcast(hot), "shingle", "left_anti")
+
+
+def _shingle_table(spark, sf_dir) -> DataFrame:
+    return shingle_rows_capped(read_testdata(spark, sf_dir, "documents"))
 
 
 @register("dedup_ngram_jaccard", sql=f"""

@@ -155,8 +155,13 @@ class SnapshotParquetBackend(TableBackend):
         with open(self._manifest(name, version)) as fh:
             return json.load(fh)
 
-    def _commit(self, name: str, entries: list[dict]) -> int:
-        """Write manifest v(N+1) and flip the pointer, both atomically."""
+    def _commit(self, name: str, entries: list[dict],
+                schema_json: str | None = None) -> int:
+        """Write manifest v(N+1) and flip the pointer, both atomically.
+        The committed DataFrame's schema rides in the manifest so a
+        ZERO-entry snapshot (overwrite with an empty frame, or an
+        overwrite_partitions that replaces everything with nothing) stays
+        readable as an empty scan — Iceberg semantics (ADVICE r3)."""
         import json
         import tempfile
 
@@ -165,7 +170,8 @@ class SnapshotParquetBackend(TableBackend):
         os.makedirs(mdir, exist_ok=True)
         fd, tmp = tempfile.mkstemp(dir=mdir, suffix=".tmp")
         with os.fdopen(fd, "w") as fh:
-            json.dump({"version": version, "entries": entries}, fh)
+            json.dump({"version": version, "entries": entries,
+                       "schema": schema_json}, fh)
         os.replace(tmp, self._manifest(name, version))
         fd, tmp = tempfile.mkstemp(dir=self._dir(name), suffix=".tmp")
         with os.fdopen(fd, "w") as fh:
@@ -221,7 +227,20 @@ class SnapshotParquetBackend(TableBackend):
         paths = [os.path.join(self.root, e["path"])
                  for e in manifest["entries"]]
         if not paths:
-            raise FileNotFoundError(f"{name}@v{version} has no data files")
+            # Legitimately empty snapshot: serve an empty scan with the
+            # committed schema, like Iceberg (ADVICE r3 — this raised
+            # FileNotFoundError and made the table unreadable).
+            import json
+
+            from pyspark.sql import types as T
+
+            schema_json = manifest.get("schema")
+            if schema_json is None:
+                raise FileNotFoundError(
+                    f"{name}@v{version} has no data files and no recorded "
+                    f"schema (pre-r4 manifest)")
+            schema = T.StructType.fromJson(json.loads(schema_json))
+            return spark.createDataFrame([], schema)
         return spark.read.parquet(*paths)
 
     def _live_entries(self, name: str) -> list[dict]:
@@ -240,10 +259,11 @@ class SnapshotParquetBackend(TableBackend):
                 f"outside the partition bookkeeping — use "
                 f"overwrite_partitions (or overwrite to reset)")
         new = self._write_commit_files(df, name, None)
-        self._commit(name, prev + new)
+        self._commit(name, prev + new, df.schema.json())
 
     def overwrite(self, df: DataFrame, name: str) -> None:
-        self._commit(name, self._write_commit_files(df, name, None))
+        self._commit(name, self._write_commit_files(df, name, None),
+                     df.schema.json())
 
     def overwrite_partitions(self, df: DataFrame, name: str,
                              partition_col: str) -> None:
@@ -257,7 +277,7 @@ class SnapshotParquetBackend(TableBackend):
         new = self._write_commit_files(df, name, partition_col)
         replaced = {e["partition"] for e in new}
         kept = [e for e in prev if e["partition"] not in replaced]
-        self._commit(name, kept + new)
+        self._commit(name, kept + new, df.schema.json())
 
     def exists(self, spark: SparkSession, name: str) -> bool:
         return self.current_version(name) > 0

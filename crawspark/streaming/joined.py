@@ -39,8 +39,16 @@ def stream_stream_user_join(spark: SparkSession, left_path: str,
 def run_join_available_now(spark: SparkSession, left_path: str,
                            right_path: str, output_path: str,
                            checkpoint_path: str,
-                           timeout_sec: int = 300) -> bool:
-    joined = stream_stream_user_join(spark, left_path, right_path)
+                           timeout_sec: int = 300,
+                           watermark: str = "30 minutes") -> bool:
+    """Drain the interval join with availableNow. NOTE: if the drain
+    splits into multiple microbatches, rows older than watermark +
+    interval are evicted between batches — that is correct streaming
+    semantics, but callers comparing against a BATCH join must pass a
+    watermark covering the input's full time span (see the registry
+    query's span-derived watermark)."""
+    joined = stream_stream_user_join(spark, left_path, right_path,
+                                     watermark=watermark)
     q = (joined.writeStream.format("parquet")
          .option("path", output_path)
          .option("checkpointLocation", checkpoint_path)

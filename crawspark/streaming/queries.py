@@ -94,8 +94,19 @@ def stream_join_user_activity(spark, sf_dir):
      .coalesce(2).write.mode("overwrite").parquet(left))
     (events.filter(F.col("event_id") % 2 == 1)
      .coalesce(2).write.mode("overwrite").parquet(right))
+    # Watermark must cover the events table's FULL time span for batch
+    # parity: an availableNow drain may split into multiple microbatches
+    # (more input files at larger SFs, or maxFilesPerTrigger), and a
+    # 30-minute watermark would then evict left-side state between
+    # batches, silently dropping cross-batch pairs vs the DuckDB batch
+    # oracle (ADVICE r3). Production callers keep the bounded default —
+    # eviction is the POINT there; parity-vs-batch is the claim HERE.
+    span_days = (events.agg(
+        (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts")))
+        / 86400.0).collect()[0][0] or 0.0)
     if not run_join_available_now(spark, left, right, out, ck,
-                                  timeout_sec=600):
+                                  timeout_sec=600,
+                                  watermark=f"{int(span_days) + 2} days"):
         raise RuntimeError("stream join did not complete within timeout")
     return (spark.read.parquet(out)
             .groupBy("user_id")

@@ -161,7 +161,16 @@ def test_kmeans_codebook_balance_and_oracle_equality(spark):
                        f"FROM cent{KMEANS_ITERS} ORDER BY cid").fetchall()
     con.close()
     D = np.array([r[1] for r in rows])
-    assert np.array_equal(C, D), "trained centroids must replay bit-for-bit"
+    # Bit-for-bit equality holds in practice (round-6 absorbs ~1e-15
+    # accumulation noise) but is PROBABILISTIC across engines: a per-cell
+    # sum landing within ~1ulp of a 5e-7 rounding boundary could flip one
+    # assignment under a different partition layout (ADVICE r3). Assert a
+    # tight tolerance rather than array_equal; if the ann_search_ivf
+    # registry row ever flakes while this passes, that boundary tail is
+    # the suspect — see the flake-triage comment on _kmeans_ctes.
+    assert C.shape == D.shape
+    assert np.max(np.abs(C - D)) <= 1e-6, (
+        f"centroid replay drift {np.max(np.abs(C - D)):.2e}")
 
 
 def test_ann_lsh_multiprobe_recall_curve(spark, brute_topk):

@@ -91,3 +91,98 @@ def test_aqe_splits_skewed_join_partition(spark, tmp_path):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+# ---------------------------------------------------------------------------
+# Adversarial dedup skew (VERDICT r3 next-round #7): one near-DF_CAP
+# posting list and one hot band — the two fanout bombs the dedup design
+# claims to bound.
+# ---------------------------------------------------------------------------
+
+
+def _hostile_corpus(spark, n_same: int):
+    """``n_same`` byte-identical docs (every shingle's posting list = the
+    clique; every band hash identical = one hot band key) + 40 distinct
+    docs."""
+    same_text = ("the quick brown fox jumps over the lazy dog and tells "
+                 "all of the people the story of the garden")
+    same = spark.range(0, n_same).select(
+        F.col("id").alias("doc_id"), F.lit(same_text).alias("text"))
+    # digits would be stripped by the [^a-z]+ tokenizer — spell ids as
+    # letters so each distinct doc really tokenizes distinctly
+    word = lambda c: F.translate(c.cast("string"), "0123456789", "abcdefghij")  # noqa: E731
+    distinct = spark.range(10_000, 10_040).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("unique document alpha "), word(F.col("id")),
+                 F.lit(" beta "), word(F.col("id") * 7),
+                 F.lit(" gamma "), word(F.col("id") * 13))
+        .alias("text"))
+    return same.unionByName(distinct)
+
+
+def test_df_cap_drops_boilerplate_posting_list(spark):
+    # A shingle shared by MORE than DF_CAP docs is boilerplate: the
+    # inverted index must drop it (an uncapped posting list is an O(df^2)
+    # pair bomb at 100 TB). DF_CAP+44 identical docs → every one of their
+    # shingles exceeds the cap → zero rows survive for them, while the
+    # distinct docs' shingles all survive.
+    from crawspark.operators.dedup import DF_CAP, shingle_rows_capped
+
+    sh = shingle_rows_capped(_hostile_corpus(spark, DF_CAP + 44))
+    per_doc = {r["doc_id"]: r["n"] for r in
+               sh.groupBy("doc_id").agg(F.count("*").alias("n")).collect()}
+    assert not any(d < 10_000 for d in per_doc), "capped shingles survived"
+    assert sum(1 for d in per_doc if d >= 10_000) == 40
+
+
+def test_hot_band_candidates_bounded_and_exact(spark):
+    # AT the cap (df == DF_CAP, not dropped): the 16x2 band join meets one
+    # hot band key holding the whole clique. The candidate set must be
+    # EXACTLY the clique pairs (no cross-contamination, no blowup beyond
+    # C(n,2)) and the AQE-finalized plan must complete the self-join.
+    from crawspark.operators.dedup import (
+        DF_CAP,
+        RESOLVE_BANDS,
+        RESOLVE_N_HASHES,
+        candidates_from_rows,
+        shingle_rows_capped,
+    )
+
+    n = DF_CAP  # == cap → kept
+    sh = shingle_rows_capped(_hostile_corpus(spark, n)).localCheckpoint(
+        eager=True)
+    cands = candidates_from_rows(sh, RESOLVE_N_HASHES, RESOLVE_BANDS)
+    rows = cands.collect()
+    clique = [r for r in rows if r["doc_a"] < 10_000 and r["doc_b"] < 10_000]
+    cross = [r for r in rows if (r["doc_a"] < 10_000) != (r["doc_b"] < 10_000)]
+    assert len(clique) == n * (n - 1) // 2, len(clique)
+    assert not cross, f"clique leaked into distinct docs: {cross[:3]}"
+
+
+def test_hot_band_resolve_single_component(spark):
+    # End-to-end on the hostile corpus: resolve must collapse the clique
+    # to ONE keeper (min doc_id) and leave every distinct doc alone.
+    from crawspark.operators.dedup import (
+        RESOLVE_BANDS,
+        RESOLVE_N_HASHES,
+        candidates_from_rows,
+        connected_components,
+        shingle_rows_capped,
+    )
+
+    n = 64
+    sh = shingle_rows_capped(_hostile_corpus(spark, n)).localCheckpoint(
+        eager=True)
+    cands = candidates_from_rows(sh, RESOLVE_N_HASHES, RESOLVE_BANDS)
+    sets = sh.groupBy("doc_id").agg(F.collect_set("shingle").alias("s"))
+    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"))
+    inter = F.size(F.array_intersect("sa", "sb"))
+    union = F.size("sa") + F.size("sb") - inter
+    jac = F.when(union > 0, inter.cast("double") / union).otherwise(0.0)
+    verified = (cands.join(sa, "doc_a").join(sb, "doc_b")
+                .filter(jac >= 0.8).select("doc_a", "doc_b"))
+    labels = {r["node"]: r["label"]
+              for r in connected_components(verified).collect()}
+    assert all(labels[d] == 0 for d in range(n))
+    assert not any(d >= 10_000 for d in labels)

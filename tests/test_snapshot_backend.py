@@ -112,3 +112,30 @@ def test_readers_resolve_pointer_not_latest_manifest(spark, be):
         json.dump({"version": 9, "entries": []}, fh)
     assert be.current_version("t") == 1
     assert _rows(be.read(spark, "t")) == [(1, "a")]
+
+
+def test_empty_snapshot_readable_with_schema(spark, be):
+    # Overwriting with an empty frame must leave the table readable as an
+    # empty scan with the committed schema — Iceberg serves empty tables;
+    # FileNotFoundError here was ADVICE r3's finding.
+    df = spark.createDataFrame([(1, "a")], "id long, name string")
+    be.overwrite(df, "t_empty")
+    be.overwrite(df.filter("id < 0"), "t_empty")  # zero rows, maybe 0 files
+    got = be.read(spark, "t_empty")
+    assert got.count() == 0
+    assert [(f.name, f.dataType.simpleString()) for f in got.schema.fields] \
+        == [("id", "bigint"), ("name", "string")]
+    # time travel still serves v1's data
+    assert be.read_version(spark, "t_empty", 1).count() == 1
+
+
+def test_overwrite_partitions_to_nothing_stays_readable(spark, be):
+    df = spark.createDataFrame([(1, "p1"), (2, "p2")], "id long, part string")
+    be.overwrite_partitions(df, "t_drain", "part")
+    # Dynamic overwrite with an empty frame replaces NO partitions
+    # (Iceberg overwritePartitions semantics: replaced set = partitions
+    # present in the incoming data) — the table is unchanged and the
+    # commit is still readable.
+    be.overwrite_partitions(
+        spark.createDataFrame([], "id long, part string"), "t_drain", "part")
+    assert be.read(spark, "t_drain").count() == 2
