@@ -19,11 +19,13 @@ sequential scan's last-wins object resolution where it resolves:
 orphaned incremental-update copies no longer shadow the referenced
 object. Show-text strings come in literal ``(...)`` and hex ``<...>``
 forms. Stream filters: ``FlateDecode``, ``ASCIIHexDecode``,
-``ASCII85Decode`` (chained in /Filter order); streams are delimited by a
-direct ``/Length`` when present (raw deflate bytes may contain the
+``ASCII85Decode``, ``LZWDecode`` (EarlyChange=1), ``RunLengthDecode``
+(chained in /Filter order); streams are delimited by a direct
+``/Length`` when present (raw deflate bytes may contain the
 ``endstream``/``endobj`` keywords), textual scan otherwise. Not handled:
-LZW/RunLength/DCT filters, font encodings beyond latin-1 — real-corpus
-gaps documented in SURVEY.md §2.3.
+image codec filters (DCT/JPX/CCITT), LZW EarlyChange=0, font encodings
+beyond latin-1 (CID/Type0) — real-corpus gaps documented in
+SURVEY.md §2.3.
 
 Input transport: raw PDF bytes arrive latin-1-mapped into the ``text``
 field of a ``kind='pdf'`` span (FIXTURES.md §1.1) — lossless bytes 0-255.
@@ -137,6 +139,65 @@ def _ascii85_decode(content: bytes) -> bytes:
     return base64.a85decode(re.sub(rb"\s+", b"", content))
 
 
+def _lzw_decode(content: bytes) -> bytes:
+    """/LZWDecode (§7.4.4): variable-code-width LZW, MSB-first bit
+    packing, code width 9→12 bits growing when the table reaches
+    2^w - 1, code 256 = clear table, 257 = EOD. EarlyChange=1 (the PDF
+    default: width grows one code early) — our generator writes the
+    same, and /DecodeParms with EarlyChange 0 is not emitted by it."""
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    out = bytearray()
+    width = 9
+    buf = acc = 0
+    prev: bytes | None = None
+    for byte in content:
+        acc = (acc << 8) | byte
+        buf += 8
+        while buf >= width:
+            code = (acc >> (buf - width)) & ((1 << width) - 1)
+            buf -= width
+            if code == 256:
+                table = [bytes([i]) for i in range(256)] + [b"", b""]
+                width = 9
+                prev = None
+                continue
+            if code == 257:
+                return bytes(out)
+            if prev is None:
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            else:  # KwKwK case
+                entry = prev + prev[:1]
+                table.append(entry)
+            out += entry
+            prev = entry
+            # EarlyChange=1: width grows when the NEXT code could overflow
+            if len(table) >= (1 << width) - 1 and width < 12:
+                width += 1
+    return bytes(out)
+
+
+def _runlength_decode(content: bytes) -> bytes:
+    """/RunLengthDecode (§7.4.5): length byte L — 0..127 copies the next
+    L+1 bytes literally, 129..255 repeats the next byte 257-L times,
+    128 = EOD."""
+    out = bytearray()
+    i = 0
+    while i < len(content):
+        ln = content[i]
+        if ln == 128:
+            break
+        if ln < 128:
+            out += content[i + 1:i + 2 + ln]
+            i += 2 + ln
+        else:
+            out += content[i + 1:i + 2] * (257 - ln)
+            i += 2
+    return bytes(out)
+
+
 def _decode_filters(body: bytes, content: bytes) -> bytes | None:
     """Apply the object's /Filter chain (name or array, in order) to raw
     stream bytes. Returns None on an unsupported filter or corrupt data —
@@ -156,9 +217,13 @@ def _decode_filters(body: bytes, content: bytes) -> bytes | None:
                 content = _ascii_hex_decode(content)
             elif name == b"ASCII85Decode":
                 content = _ascii85_decode(content)
+            elif name == b"LZWDecode":
+                content = _lzw_decode(content)
+            elif name == b"RunLengthDecode":
+                content = _runlength_decode(content)
             else:
-                return None  # unsupported filter (LZW/DCT/...)
-        except (ValueError, zlib.error):
+                return None  # unsupported filter (DCT/JPX/CCITT image codecs)
+        except (ValueError, IndexError, zlib.error):
             return None
     return content
 
