@@ -30,14 +30,14 @@ def entry(spark: SparkSession) -> DataFrame:
     """Flagship: scan sf0.001 documents → interleaved spans → vectorized
     Goose-style extraction → per-doc summary. Driver checks rows>0."""
     from crawspark.bundle import ensure_shipped
-    from crawspark.operators.extract import extract_documents, interleave_documents
+    from crawspark.operators.extract import interleave_and_extract
     from crawspark.sources import read_testdata
 
     ensure_shipped(spark)
     docs = read_testdata(spark, "/root/testdata/sf0.001", "documents")
     from pyspark.sql import functions as F
 
-    return (extract_documents(interleave_documents(docs))
+    return (interleave_and_extract(docs)
             .select("doc_id", "lang", "n_spans",
                     F.element_at("spans", 1)["kind"].alias("first_kind"),
                     F.element_at("spans", 1)["text"].alias("title")))

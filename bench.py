@@ -54,7 +54,7 @@ def main() -> None:
     from crawspark.bundle import ensure_shipped
     from crawspark.operators.extract import (
         extract_documents,
-        interleave_documents,
+        interleave_and_extract,
         synthetic_corpus,
     )
     from crawspark.operators.partitioning import salted_repartition
@@ -139,7 +139,7 @@ def main() -> None:
     for _ in range(3):  # headline metric: give it one extra shot at an
         # unimpeded window (co-tenant spikes documented in BENCH/BASELINE.md)
         t0 = time.perf_counter()
-        _materialize(extract_documents(interleave_documents(docs)))
+        _materialize(interleave_and_extract(docs))
         ext_times.append(time.perf_counter() - t0)
     t_ext = min(ext_times)
     timings["extract_testdata"] = round(t_ext, 3)

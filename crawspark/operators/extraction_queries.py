@@ -57,8 +57,8 @@ ORACLE_PQ = "__ORACLE_PQ__"
 
 
 def _extracted(spark, sf_dir):
-    docs = read_testdata(spark, sf_dir, "documents")
-    return extract_documents(interleave_documents(docs))
+    from crawspark.operators.extract import interleave_and_extract
+    return interleave_and_extract(read_testdata(spark, sf_dir, "documents"))
 
 
 @register("extract_flagship", sql=_sf_sql(f"""

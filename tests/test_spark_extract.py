@@ -74,3 +74,17 @@ def test_synthetic_corpus_distributed(spark):
     # determinism: regenerating gives identical doc_ids
     ids = sorted(r["doc_id"] for r in df.select("doc_id").collect())
     assert ids[0] == "d42-000000000000" and len(set(ids)) == 50
+
+
+def test_fused_path_equals_two_stage(spark, sf_dir):
+    # interleave_and_extract (one Arrow hop) must be row-identical to
+    # extract_documents(interleave_documents(df)) — both pure functions.
+    from crawspark.operators.extract import interleave_and_extract
+    from crawspark.sources import read_testdata
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    fused = {r["doc_id"]: r.asDict(recursive=True)
+             for r in interleave_and_extract(docs).collect()}
+    staged = {r["doc_id"]: r.asDict(recursive=True)
+              for r in extract_documents(interleave_documents(docs)).collect()}
+    assert fused == staged
