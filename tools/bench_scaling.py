@@ -112,18 +112,33 @@ def shard_work(args):
     path, out_dir = args
     import pyarrow as pa
     import pyarrow.parquet as pq
-    from crawspark.operators.extract import _extract_rows
+    from crawspark.operators.extract import (
+        TARGET_BATCH_BYTES,
+        _extract_rows,
+        _rechunk_rows,
+    )
     # mirror the Spark worker's arrow-thread cap (one worker per core);
     # without it every Pool worker spawns os.cpu_count() arrow threads.
     pa.set_cpu_count(1)
     pa.set_io_thread_count(2)
-    tbl = pq.read_table(path)
-    outs = [_extract_rows(rb.to_pylist())
-            for rb in tbl.to_batches(max_chunksize=1000)]
-    res = pa.Table.from_batches(outs)
-    pq.write_table(res, os.path.join(out_dir, os.path.basename(path)),
-                   compression="snappy")
-    return res.num_rows
+    # like-for-like with the r4 streaming worker: iter_batches in,
+    # byte-bounded re-chunks through extraction, ParquetWriter out
+    pf = pq.ParquetFile(path)
+    writer = None
+    n = 0
+    for rows in _rechunk_rows(pf.iter_batches(batch_size=1000),
+                              TARGET_BATCH_BYTES):
+        out = _extract_rows(rows)
+        if writer is None:
+            writer = pq.ParquetWriter(
+                os.path.join(out_dir, os.path.basename(path)), out.schema,
+                compression="snappy")
+        writer.write_batch(out)
+        n += out.num_rows
+    if writer is not None:
+        writer.close()
+    pf.close()
+    return n
 
 if __name__ == "__main__":
     cpus = {cpus}
