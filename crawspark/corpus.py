@@ -267,6 +267,11 @@ _SCAFFOLDS = {
     "zh": ["的", "{w}", "了", "是", "在", "{w}", "我", "有", "和", "就",
            "{w}", "不", "人", "都", "这", "{w}", "中", "上", "个",
            "{w}", "到"],
+    "ru": ["и", "{w}", "в", "не", "{w}", "на", "что", "он", "с", "{w}",
+           "как", "это", "а", "{w}", "то", "все", "по", "{w}", "же"],
+    "nl": ["de", "{w}", "het", "een", "{w}", "en", "van", "dat", "{w}",
+           "die", "in", "is", "op", "{w}", "aan", "met", "voor",
+           "{w}", "er"],
 }
 
 

@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import re
 
-RULES_VERSION = "rules_v2"  # v2: + de/es/it/pt/zh stopword tables
+RULES_VERSION = "rules_v3"  # v2: + de/es/it/pt/zh tables; v3: + ru/nl
 
 # ---------------------------------------------------------------------------
 # Stopwords (compact, frozen subsets; enough for stopword-weighted scoring).
@@ -95,6 +95,28 @@ STOPWORDS_ZH = frozenset(
     "下 去 过 还 可 地 年 月 日".split()
 )
 
+# Russian: cyrillic survives the \w-based tokenizer unchanged, so ru needs
+# no tokenizer variant (unlike zh) — just its table.
+STOPWORDS_RU = frozenset(
+    """и в не на я что он с как это а то все она так его но да ты к у же
+    вы за бы по ее мне было вот от меня еще нет о из ему теперь когда уже
+    для вас был него до кто чтобы мы тебя их чем была сам чтоб без будто
+    человек чего раз тоже себе под жизнь будет тогда кого этот того потому
+    этого какой ним здесь есть надо ней где мой почти мой тем нее сейчас
+    были куда зачем всех можно при об хотя них более всегда конечно всю
+    между это нас про они или если только себя том быть том""".split()
+)
+
+STOPWORDS_NL = frozenset(
+    """de het een en van ik te dat die in is je niet zijn op aan met als
+    voor had er maar om hem dan zou of wat mijn men dit zo door over ze
+    zich bij ook tot je mij uit der daar haar naar heb hoe heeft hebben
+    deze u want nog zal me zij nu ge geen omdat iets worden toch al waren
+    veel meer doen toen moet ben zonder kan hun dus alles onder ja eens
+    hier wie werd altijd doch wordt wezen kunnen ons zelf tegen na reeds
+    wil kon niets uw iemand geweest andere""".split()
+)
+
 STOPWORDS = {
     "en": STOPWORDS_EN,
     "fr": STOPWORDS_FR,
@@ -103,11 +125,14 @@ STOPWORDS = {
     "it": STOPWORDS_IT,
     "pt": STOPWORDS_PT,
     "zh": STOPWORDS_ZH,
+    "ru": STOPWORDS_RU,
+    "nl": STOPWORDS_NL,
 }
 
 # Deterministic vote order for language detection when no meta lang exists:
-# earlier wins ties (en first keeps the pre-v2 "tie → en" behavior).
-VOTE_LANGS = ("en", "fr", "de", "es", "it", "pt", "zh")
+# earlier wins ties (en first keeps the pre-v2 "tie → en" behavior; new
+# languages append so existing vote outcomes never flip on a tie).
+VOTE_LANGS = ("en", "fr", "de", "es", "it", "pt", "zh", "ru", "nl")
 
 # ---------------------------------------------------------------------------
 # Boilerplate: node dropped when id/class matches (cleaner stage).

@@ -98,6 +98,11 @@ def test_detect_lang_multilingual_rules_v2():
     assert detect_lang(
         "", "o mercado foi em a aldeia e os que estavam para um") == "pt"
     assert detect_lang("", "这个市场是在村里的地方了我们都有一个问题") == "zh"
+    # rules_v3: cyrillic needs no tokenizer variant (\w keeps it); Dutch
+    # must beat the es/de tables despite sharing "de"/"en"/"in"
+    assert detect_lang("", "и рынок был в деревне не на месте что он") == "ru"
+    assert detect_lang(
+        "", "de markt was in het dorp een vraag en de mensen van dat") == "nl"
     # empty / no-signal text keeps the tie→en default
     assert detect_lang("", "") == "en"
 

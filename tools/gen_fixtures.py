@@ -195,6 +195,12 @@ def handcrafted() -> dict[str, list[dict]]:
                "partilhava em o jardim para quem estava. "),
         "zh": ("这个市场是在村里的地方了我们都有一个问题是关于能源的历史和冬天"
                "的故事就在花园里的人都到了这里上面有很多的人了。"),
+        "ru": ("и рынок был в деревне не на месте что он с вопросом как "
+               "это а история то все она так его энергия но да зима к "
+               "саду у же все вы за столом бы по дороге. "),
+        "nl": ("de markt was in het dorp een vraag en de mensen van dat "
+               "die in de tuin is je verhaal niet zijn op de winter aan "
+               "de energie met als voor had er maar om hem dan. "),
     }
     for lg, lorem in LOREM.items():
         lpara = f"<p>{lorem}</p>"
