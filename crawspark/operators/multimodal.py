@@ -2,10 +2,14 @@
 columns with typed metadata; decode / resize / frame-sample /
 feature-extract run as Arrow-batched mapInPandas stages.
 
-The DECODE ITSELF IS A STUB — this container ships no PIL/ffmpeg/soundfile
+The PIXEL decode is a stub — this container ships no PIL/ffmpeg/soundfile
 (`_REAL_DECODE` stays False and the real branch raises
-NotImplementedError exactly where a deployment drops its codec in). What
-IS real, and tested: the Spark-side plumbing — binary column schema,
+NotImplementedError exactly where a deployment drops its codec in).
+HEADER-level decode is REAL (r4): container headers are public byte
+layouts, so width/height/format extraction for PNG/GIF/JPEG/BMP is
+implemented from the specs in oracle/imagemeta.py with zero
+dependencies, round-tripped through `multimodal_image_dims`'s oracle.
+Also real, and tested: the Spark-side plumbing — binary column schema,
 deterministic payload synthesis, batch shapes, UDF signatures, explode
 fanout for frames, and the aggregation contracts. Frame sampling and
 resize arithmetic are pure functions of the payload metadata, so those
@@ -187,3 +191,43 @@ def multimodal_feature_stats(spark, sf_dir):
                              "(a, x) -> a + x)"), 4).alias("f_sum"))
             .groupBy("dim").agg(F.count("*").alias("n_media"),
                                 F.round(F.avg("f_sum"), 4).alias("avg_sum")))
+
+
+# ---------------------------------------------------------------------------
+# REAL header-level decode (r4): container headers are public byte layouts
+# — no codec library needed. Spark synthesizes genuine PNG/GIF/JPEG bytes
+# per doc and round-trips them through oracle/imagemeta.parse_image_dims;
+# the DuckDB oracle reproduces the dims arithmetic in closed form, so a
+# parser bug on EITHER side flips per-document hashes.
+# ---------------------------------------------------------------------------
+
+@register("multimodal_image_dims", sql="""
+    SELECT doc_id,
+           CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+                ELSE 'jpeg' END AS fmt,
+           CAST(100 + (doc_id % 40) * 7 AS INT) AS width,
+           CAST(80 + (doc_id % 25) * 9 AS INT) AS height
+    FROM documents WHERE doc_id % 5 = 1
+""")
+def multimodal_image_dims(spark, sf_dir):
+    def synth_parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from crawspark.oracle.imagemeta import make_image_bytes, parse_image_dims
+        fmts = ("png", "gif", "jpeg")
+        for pdf in batches:
+            out = {"doc_id": [], "fmt": [], "width": [], "height": []}
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                payload = make_image_bytes(
+                    fmts[d % 3], 100 + (d % 40) * 7, 80 + (d % 25) * 9)
+                parsed = parse_image_dims(payload)  # REAL header parse
+                fmt, w, h = parsed if parsed else ("", -1, -1)
+                out["doc_id"].append(d)
+                out["fmt"].append(fmt)
+                out["width"].append(w)
+                out["height"].append(h)
+            yield pd.DataFrame(out)
+
+    docs = (read_testdata(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") % 5 == 1).select("doc_id"))
+    return docs.mapInPandas(
+        synth_parse, "doc_id long, fmt string, width int, height int")

@@ -53,3 +53,51 @@ def test_frame_sample_fanout(spark):
         frames.sort()
         ms = [m for _, m in frames]
         assert ms == sorted(ms) and len(set(ms)) == N_FRAMES  # spaced
+
+
+# --- r4: real container-header parsing (no codec libs needed) -------------
+
+
+def test_image_header_hand_vectors():
+    import struct
+
+    from crawspark.oracle.imagemeta import make_image_bytes, parse_image_dims
+
+    png = (b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR"
+           + struct.pack(">II", 640, 480) + b"\x08\x06\x00\x00\x00"
+           + b"\xaa\xbb\xcc\xdd")
+    assert parse_image_dims(png) == ("png", 640, 480)
+    assert parse_image_dims(
+        b"GIF87a" + struct.pack("<HH", 320, 200) + b"\x00") == ("gif", 320, 200)
+    # progressive JPEG (SOF2), dims after an APP0 segment
+    jpg = (b"\xff\xd8\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01"
+           + b"\x00" + struct.pack(">HH", 72, 72) + b"\x00\x00"
+           + b"\xff\xc2" + struct.pack(">H", 17) + b"\x08"
+           + struct.pack(">HH", 1080, 1920)
+           + b"\x03\x01\x22\x00\x02\x11\x01\x03\x11\x01" + b"\xff\xd9")
+    assert parse_image_dims(jpg) == ("jpeg", 1920, 1080)
+    # top-down BMP (negative height) normalizes to positive
+    bmp = (b"BM" + struct.pack("<IHHI", 54, 0, 0, 54)
+           + struct.pack("<Iii", 40, 800, -600) + b"\x00" * 20)
+    assert parse_image_dims(bmp) == ("bmp", 800, 600)
+    # non-images and truncations are None, never an exception
+    for junk in (b"", b"not an image", b"\xff\xd8\xff", png[:10],
+                 b"GIF89a\x01", b"\xff\xd8\xff\xc0\x00\x03\x08"):
+        assert parse_image_dims(junk) is None
+    # synthesis round-trips through the parser for every format
+    for fmt in ("png", "gif", "jpeg", "bmp"):
+        assert parse_image_dims(make_image_bytes(fmt, 123, 45)) \
+            == (fmt, 123, 45)
+
+
+def test_jpeg_fill_bytes_and_restart_markers():
+    import struct
+
+    from crawspark.oracle.imagemeta import parse_image_dims
+
+    # marker stream with fill 0xFF bytes and a restart marker before SOF0
+    jpg = (b"\xff\xd8" + b"\xff\xff" + b"\xff\xd0"
+           + b"\xff\xc0" + struct.pack(">H", 17) + b"\x08"
+           + struct.pack(">HH", 10, 20)
+           + b"\x03\x01\x22\x00\x02\x11\x01\x03\x11\x01")
+    assert parse_image_dims(jpg) == ("jpeg", 20, 10)
