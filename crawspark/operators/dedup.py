@@ -180,12 +180,9 @@ def minhash_signatures(df: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
     return _signatures_from_rows(_raw_shingle_rows(df), n_hashes)
 
 
-def band_table_from_rows(sh_rows: DataFrame, n_hashes: int,
+def _band_table_from_sig(sig: DataFrame, n_hashes: int,
                          bands: int) -> DataFrame:
-    """(doc_id, band_id, band_hash): one row per (doc, band). Docs agreeing
-    on any full band hash become candidate pairs — the 100 TB near-dup
-    candidate generation shuffles only these small derived keys."""
-    sig = _signatures_from_rows(sh_rows, n_hashes)
+    """doc_id + mh0..mhN columns → (doc_id, band_id, band_hash) rows."""
     rows_per_band = n_hashes // bands
     # One pass: band hashes as columns, then a single stack() explode —
     # a per-band union would recompute the signature aggregation B times.
@@ -196,6 +193,15 @@ def band_table_from_rows(sh_rows: DataFrame, n_hashes: int,
     stack_expr = "stack({}, {}) as (band_id, band_hash)".format(
         bands, ", ".join(f"{b}, bh{b}" for b in range(bands)))
     return wide.select("doc_id", F.expr(stack_expr))
+
+
+def band_table_from_rows(sh_rows: DataFrame, n_hashes: int,
+                         bands: int) -> DataFrame:
+    """(doc_id, band_id, band_hash): one row per (doc, band). Docs agreeing
+    on any full band hash become candidate pairs — the 100 TB near-dup
+    candidate generation shuffles only these small derived keys."""
+    return _band_table_from_sig(
+        _signatures_from_rows(sh_rows, n_hashes), n_hashes, bands)
 
 
 def lsh_band_table(df: DataFrame, n_hashes: int = N_HASHES,
@@ -215,6 +221,11 @@ def candidates_from_rows(sh_rows: DataFrame, n_hashes: int,
     recompute-on-executor-loss concern doesn't apply to local mode.)"""
     exploded = band_table_from_rows(
         sh_rows, n_hashes, bands).localCheckpoint(eager=True)
+    return _candidates_from_bands(exploded)
+
+
+def _candidates_from_bands(exploded: DataFrame) -> DataFrame:
+    """Distinct (doc_a < doc_b) pairs from a band-table self-join."""
     a = exploded.alias("a")
     b = exploded.alias("b")
     return (a.join(b, (F.col("a.band_id") == F.col("b.band_id"))
@@ -397,15 +408,24 @@ def dedup_minhash_resolve(spark, sf_dir):
     # banding the candidate set provably contains every capped-jaccard
     # >=0.8 pair (see RESOLVE_* constants), so the verified edge set —
     # and hence the components — equal the exact all-pairs oracle.
-    sh = _shingle_table(spark, sf_dir).localCheckpoint(eager=True)
-    cands = candidates_from_rows(sh, RESOLVE_N_HASHES, RESOLVE_BANDS)
+    sh = _shingle_table(spark, sf_dir)
+    # ONE doc_id aggregation computes the 32 minhashes AND the distinct
+    # shingle set (r4: signatures and verify-sets previously ran two
+    # separate groupBys over the same checkpointed shingle table — same
+    # key, same rows, double shuffle). The combined table is checkpointed
+    # once and feeds both the band self-join and the verify join.
+    h = sh.withColumn("h", F.xxhash64("shingle"))
+    mh_aggs = [F.min(F.xxhash64(F.col("h"), F.lit(i))).alias(f"mh{i}")
+               for i in range(RESOLVE_N_HASHES)]
+    combined = (h.groupBy("doc_id")
+                .agg(*mh_aggs, F.collect_set("shingle").alias("shingles"))
+                .localCheckpoint(eager=True))
+    cands = _candidates_from_bands(_band_table_from_sig(
+        combined, RESOLVE_N_HASHES, RESOLVE_BANDS))
     # Exact verify on candidates only: join each side to its (small,
     # post-cap) distinct-shingle array and intersect in-memory — the
-    # heavy inverted-index self-join never runs here. Materialized once:
-    # sa and sb are two branches of the same table.
-    sets = (sh.groupBy("doc_id")
-            .agg(F.collect_set("shingle").alias("shingles"))
-            .localCheckpoint(eager=True))
+    # heavy inverted-index self-join never runs here.
+    sets = combined.select("doc_id", "shingles")
     sa = sets.select(F.col("doc_id").alias("doc_a"),
                      F.col("shingles").alias("sh_a"))
     sb = sets.select(F.col("doc_id").alias("doc_b"),
