@@ -231,3 +231,68 @@ def multimodal_image_dims(spark, sf_dir):
             .filter(F.col("doc_id") % 5 == 1).select("doc_id"))
     return docs.mapInPandas(
         synth_parse, "doc_id long, fmt string, width int, height int")
+
+
+@register("multimodal_av_meta", sql="""
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'wav' ELSE 'mp4' END AS container,
+           CASE WHEN doc_id % 2 = 0
+                THEN CAST(1 + (doc_id % 4) / 2 AS INT) ELSE 0 END AS channels,
+           CASE WHEN doc_id % 2 = 0
+                THEN CAST(8000 * (1 + doc_id % 3) AS INT) ELSE 0 END
+             AS sample_rate,
+           CASE WHEN doc_id % 2 = 0
+                THEN CAST(500 + (doc_id % 20) * 250 AS BIGINT)
+                ELSE CAST(1000 + (doc_id % 30) * 777 AS BIGINT)
+           END AS duration_ms,
+           CASE WHEN doc_id % 2 = 1
+                THEN CAST(640 + (doc_id % 10) * 64 AS INT) ELSE 0 END AS width,
+           CASE WHEN doc_id % 2 = 1
+                THEN CAST(360 + (doc_id % 8) * 45 AS INT) ELSE 0 END AS height
+    FROM documents WHERE doc_id % 5 = 2
+""")
+def multimodal_av_meta(spark, sf_dir):
+    # REAL audio/video header decode (WAV RIFF chunk walk; MP4 box tree):
+    # genuine container bytes synthesized per doc, parsed back, per-doc
+    # rows hashed against the closed-form oracle. The WAV duration
+    # round-trip is exact because every synthesized byte rate is a
+    # multiple of 1000 (sample rates are multiples of 8000).
+    def synth_parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from crawspark.oracle.imagemeta import (
+            make_mp4_bytes,
+            make_wav_bytes,
+            parse_mp4_meta,
+            parse_wav_meta,
+        )
+        for pdf in batches:
+            out = {"doc_id": [], "container": [], "channels": [],
+                   "sample_rate": [], "duration_ms": [], "width": [],
+                   "height": []}
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                if d % 2 == 0:
+                    payload = make_wav_bytes(
+                        1 + (d % 4) // 2, 8000 * (1 + d % 3),
+                        500 + (d % 20) * 250)
+                    parsed = parse_wav_meta(payload)
+                    ch, sr, dur = parsed if parsed else (-1, -1, -1)
+                    row = ("wav", ch, sr, dur, 0, 0)
+                else:
+                    payload = make_mp4_bytes(
+                        1000 + (d % 30) * 777, 640 + (d % 10) * 64,
+                        360 + (d % 8) * 45)
+                    parsed = parse_mp4_meta(payload)
+                    dur, w, h = parsed if parsed else (-1, -1, -1)
+                    row = ("mp4", 0, 0, dur, w, h)
+                out["doc_id"].append(d)
+                for k, v in zip(("container", "channels", "sample_rate",
+                                 "duration_ms", "width", "height"), row):
+                    out[k].append(v)
+            yield pd.DataFrame(out)
+
+    docs = (read_testdata(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") % 5 == 2).select("doc_id"))
+    return docs.mapInPandas(
+        synth_parse, "doc_id long, container string, channels int, "
+                     "sample_rate int, duration_ms long, width int, "
+                     "height int")

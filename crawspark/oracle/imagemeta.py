@@ -103,3 +103,118 @@ def make_image_bytes(fmt: str, w: int, h: int) -> bytes:
         header = b"BM" + struct.pack("<IHHI", 14 + 40, 0, 0, 14 + 40)
         return header + info
     raise ValueError(f"unknown format {fmt!r}")
+
+
+# ---------------------------------------------------------------------------
+# Audio/video container headers (r4): WAV RIFF chunks and the ISO BMFF
+# (MP4) box tree are equally library-free byte layouts — real duration /
+# rate / dimension metadata without any codec.
+# ---------------------------------------------------------------------------
+
+def parse_wav_meta(payload: bytes) -> tuple[int, int, int] | None:
+    """(channels, sample_rate, duration_ms) from a RIFF/WAVE header:
+    walks chunks for "fmt " (format fields) and "data" (payload size →
+    duration via byte rate). Never raises; None on non-WAV bytes."""
+    try:
+        if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+            return None
+        channels = sample_rate = byte_rate = None
+        data_size = None
+        i = 12
+        n = len(payload)
+        while i + 8 <= n:
+            cid = payload[i:i + 4]
+            size = struct.unpack("<I", payload[i + 4:i + 8])[0]
+            if cid == b"fmt " and size >= 16:
+                channels, sample_rate, byte_rate = struct.unpack(
+                    "<HII", payload[i + 10:i + 20])
+            elif cid == b"data":
+                data_size = size
+            i += 8 + size + (size & 1)  # chunks are word-aligned
+        if None in (channels, sample_rate, byte_rate, data_size) \
+                or byte_rate == 0:
+            return None
+        return channels, sample_rate, data_size * 1000 // byte_rate
+    except (struct.error, IndexError):
+        return None
+
+
+def parse_mp4_meta(payload: bytes) -> tuple[int, int, int] | None:
+    """(duration_ms, width, height) from an ISO BMFF (MP4) box tree:
+    moov/mvhd gives timescale+duration (version 0 or 1); moov/trak/tkhd
+    gives 16.16 fixed-point presentation dims. Never raises."""
+    try:
+        mvhd = _find_box(payload, 0, len(payload), (b"moov", b"mvhd"))
+        if mvhd is None:
+            return None
+        ver = payload[mvhd]
+        if ver == 1:
+            timescale = struct.unpack(">I", payload[mvhd + 20:mvhd + 24])[0]
+            duration = struct.unpack(">Q", payload[mvhd + 24:mvhd + 32])[0]
+        else:
+            timescale, duration = struct.unpack(
+                ">II", payload[mvhd + 12:mvhd + 20])
+        if timescale == 0:
+            return None
+        w = h = 0
+        tkhd = _find_box(payload, 0, len(payload), (b"moov", b"trak", b"tkhd"))
+        if tkhd is not None:
+            off = tkhd + (92 if payload[tkhd] == 1 else 80)
+            w16, h16 = struct.unpack(">II", payload[off:off + 8])
+            w, h = w16 >> 16, h16 >> 16
+        return duration * 1000 // timescale, w, h
+    except (struct.error, IndexError):
+        return None
+
+
+def _find_box(data: bytes, start: int, end: int, path: tuple) -> int | None:
+    """Byte offset of the BODY of the box at ``path`` (nested fourccs),
+    walking [size u32be][type 4cc] headers (size 0 = to-end, size 1 =
+    64-bit largesize)."""
+    i = start
+    while i + 8 <= end:
+        size = struct.unpack(">I", data[i:i + 4])[0]
+        box_type = data[i + 4:i + 8]
+        body = i + 8
+        if size == 1:
+            size = struct.unpack(">Q", data[i + 8:i + 16])[0]
+            body = i + 16
+        elif size == 0:
+            size = end - i
+        if size < 8:
+            return None
+        if box_type == path[0]:
+            if len(path) == 1:
+                return body
+            return _find_box(data, body, min(i + size, end), path[1:])
+        i += size
+    return None
+
+
+def make_wav_bytes(channels: int, sample_rate: int,
+                   duration_ms: int) -> bytes:
+    """Minimal RIFF/WAVE (PCM16) header + truncated data chunk sized for
+    the requested duration (header-level synthesis; no samples)."""
+    byte_rate = sample_rate * channels * 2
+    data_size = byte_rate * duration_ms // 1000
+    fmt = struct.pack("<HHIIHH", 1, channels, sample_rate, byte_rate,
+                      channels * 2, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt \
+        + b"data" + struct.pack("<I", data_size)
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + body
+
+
+def make_mp4_bytes(duration_ms: int, w: int, h: int,
+                   timescale: int = 1000) -> bytes:
+    """Minimal ISO BMFF: ftyp + moov{mvhd v0, trak{tkhd v0}}."""
+    def box(t: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(body)) + t + body
+
+    duration = duration_ms * timescale // 1000
+    mvhd = box(b"mvhd", b"\x00\x00\x00\x00" + b"\x00" * 8
+               + struct.pack(">II", timescale, duration) + b"\x00" * 80)
+    tkhd = box(b"tkhd", b"\x00\x00\x00\x07" + b"\x00" * 76
+               + struct.pack(">II", w << 16, h << 16))
+    moov = box(b"moov", mvhd + box(b"trak", tkhd))
+    ftyp = box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
+    return ftyp + moov

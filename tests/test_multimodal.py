@@ -101,3 +101,38 @@ def test_jpeg_fill_bytes_and_restart_markers():
            + struct.pack(">HH", 10, 20)
            + b"\x03\x01\x22\x00\x02\x11\x01\x03\x11\x01")
     assert parse_image_dims(jpg) == ("jpeg", 20, 10)
+
+
+def test_av_header_hand_vectors():
+    import struct
+
+    from crawspark.oracle.imagemeta import (
+        make_mp4_bytes,
+        make_wav_bytes,
+        parse_mp4_meta,
+        parse_wav_meta,
+    )
+
+    # hand-written PCM WAV: stereo 44100 Hz, 176400-byte data = 1000 ms
+    fmt = struct.pack("<HHIIHH", 1, 2, 44100, 176400, 4, 16)
+    wav = (b"RIFF" + struct.pack("<I", 36 + 176400) + b"WAVE"
+           + b"fmt " + struct.pack("<I", 16) + fmt
+           + b"data" + struct.pack("<I", 176400))
+    assert parse_wav_meta(wav) == (2, 44100, 1000)
+    # odd-sized junk chunk before fmt exercises word alignment
+    wav2 = (b"RIFF" + struct.pack("<I", 100) + b"WAVE"
+            + b"junk" + struct.pack("<I", 3) + b"abc\x00"
+            + b"fmt " + struct.pack("<I", 16) + fmt
+            + b"data" + struct.pack("<I", 88200))
+    assert parse_wav_meta(wav2) == (2, 44100, 500)
+    for junk in (b"", b"RIFF", b"RIFF1234WAVX", b"\x00" * 40):
+        assert parse_wav_meta(junk) is None
+    # mp4 round-trip + version-0 mvhd arithmetic
+    assert parse_mp4_meta(make_mp4_bytes(90000, 1280, 720)) \
+        == (90000, 1280, 720)
+    assert parse_mp4_meta(b"\x00\x00\x00\x08ftyp") is None
+    # round-trips across the synthesis grid
+    for ch in (1, 2):
+        for sr in (8000, 16000, 24000):
+            assert parse_wav_meta(make_wav_bytes(ch, sr, 1250)) \
+                == (ch, sr, 1250)
