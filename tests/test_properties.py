@@ -63,3 +63,35 @@ def test_extract_document_total_and_sound(spans: list[dict]) -> None:
 def test_pdf_parse_total(data: str) -> None:
     pages = extract_pdf_text(data)
     assert all(isinstance(p, str) for p in pages)
+
+
+# r4: multilingual script soup — CJK + cyrillic codepoints through the
+# full extractor (the original payload alphabet stops at 0x2FF, so the
+# zh per-character tokenizer and ru tables were never fuzzed).
+ml_payload = st.text(
+    alphabet=st.one_of(
+        st.characters(min_codepoint=0x20, max_codepoint=0x2FF),
+        st.characters(min_codepoint=0x400, max_codepoint=0x4FF),   # cyrillic
+        st.characters(min_codepoint=0x4E00, max_codepoint=0x4FFF),  # CJK
+        st.characters(min_codepoint=0x3000, max_codepoint=0x303F),  # CJK punct
+    ), max_size=300)
+
+ml_tagged = st.lists(
+    st.one_of(
+        ml_payload,
+        st.sampled_from(["<p>", "</p>", "<div>", "</div>",
+                         "<html lang='zh'>", "<html lang='ru'>",
+                         "<a href='/x'>", "</a>", "<title>", "</title>"]),
+    ), max_size=40).map("".join)
+
+
+@settings(max_examples=150, deadline=None)
+@given(ml_tagged)
+def test_extract_multilingual_soup_total(html: str) -> None:
+    from crawspark.rules import VOTE_LANGS
+    spans = [{"kind": "html", "text": html, "media_ref": None, "offset": 0}]
+    a = extract_document("ml-doc", spans)
+    b = extract_document("ml-doc", spans)
+    assert a == b
+    assert a["lang"] in VOTE_LANGS
+    assert [s["offset"] for s in a["spans"]] == list(range(a["n_spans"]))
