@@ -93,3 +93,50 @@ def extract_outlinks_q(spark, sf_dir):
 
     docs = interleave_documents(read_testdata(spark, sf_dir, "documents"))
     return docs.mapInArrow(links, "doc_id string, n_outlinks long")
+
+
+@register("scan_csv_json_sources", sql="""
+    SELECT source, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_from_csv
+    FROM documents GROUP BY source
+""")
+def scan_csv_json_sources(spark, sf_dir):
+    # Source-format surface: the documents table round-trips through BOTH
+    # non-parquet readers — even doc_ids via CSV (header + explicit
+    # schema; text column excluded: CSV is for flat typed columns),
+    # odd doc_ids via JSON lines — then unions back and aggregates. The
+    # oracle reads the parquet directly, so any reader/writer mangling
+    # (type drift, quoting, header loss) flips the hash. Explicit schemas
+    # on read: schema inference is an extra full scan at 100 TB and can
+    # widen types nondeterministically.
+    import atexit
+    import os
+    import shutil
+    import tempfile
+    import zlib
+
+    from crawspark.sources import read_testdata
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"crawspark_srcfmt_{os.getpid()}_{zlib.crc32(sf_dir.encode()):08x}")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    csv_dir, json_dir = os.path.join(base, "csv"), os.path.join(base, "json")
+    docs = read_testdata(spark, sf_dir, "documents")
+    flat = docs.select("doc_id", "lang", "source", "n_chars")
+    (flat.filter(F.col("doc_id") % 2 == 0)
+     .write.mode("overwrite").option("header", True).csv(csv_dir))
+    (flat.filter(F.col("doc_id") % 2 == 1)
+     .write.mode("overwrite").json(json_dir))
+    schema = "doc_id long, lang string, source string, n_chars long"
+    from_csv = (spark.read.schema(schema).option("header", True).csv(csv_dir)
+                .withColumn("from_csv", F.lit(1)))
+    from_json = (spark.read.schema(schema).json(json_dir)
+                 .withColumn("from_csv", F.lit(0)))
+    both = from_csv.unionByName(from_json)
+    return (both.groupBy("source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_chars").cast("long").alias("total_chars"),
+                 F.sum("from_csv").cast("long").alias("n_from_csv")))
