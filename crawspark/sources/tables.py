@@ -156,7 +156,8 @@ class SnapshotParquetBackend(TableBackend):
             return json.load(fh)
 
     def _commit(self, name: str, entries: list[dict],
-                schema_json: str | None = None) -> int:
+                schema_json: str | None = None,
+                props: dict | None = None) -> int:
         """Write manifest v(N+1) and flip the pointer, both atomically.
         The committed DataFrame's schema rides in the manifest so a
         ZERO-entry snapshot (overwrite with an empty frame, or an
@@ -171,7 +172,7 @@ class SnapshotParquetBackend(TableBackend):
         fd, tmp = tempfile.mkstemp(dir=mdir, suffix=".tmp")
         with os.fdopen(fd, "w") as fh:
             json.dump({"version": version, "entries": entries,
-                       "schema": schema_json}, fh)
+                       "schema": schema_json, "props": props or {}}, fh)
         os.replace(tmp, self._manifest(name, version))
         fd, tmp = tempfile.mkstemp(dir=self._dir(name), suffix=".tmp")
         with os.fdopen(fd, "w") as fh:
@@ -247,7 +248,19 @@ class SnapshotParquetBackend(TableBackend):
         v = self.current_version(name)
         return [] if v == 0 else self._load_manifest(name, v)["entries"]
 
-    def append(self, df: DataFrame, name: str) -> None:
+    def table_props(self, name: str) -> dict:
+        """Application properties recorded with the CURRENT committed
+        snapshot (atomic with the data flip — the idempotence hook for
+        streaming sinks: a replayed microbatch compares its batch id
+        against the committed one). Iceberg twin: snapshot summary
+        properties."""
+        v = self.current_version(name)
+        if v == 0:
+            return {}
+        return self._load_manifest(name, v).get("props") or {}
+
+    def append(self, df: DataFrame, name: str,
+               props: dict | None = None) -> None:
         prev = self._live_entries(name)
         if any(e["partition"] is not None for e in prev):
             # Unpartitioned entries are invisible to overwrite_partitions'
@@ -259,7 +272,7 @@ class SnapshotParquetBackend(TableBackend):
                 f"outside the partition bookkeeping — use "
                 f"overwrite_partitions (or overwrite to reset)")
         new = self._write_commit_files(df, name, None)
-        self._commit(name, prev + new, df.schema.json())
+        self._commit(name, prev + new, df.schema.json(), props)
 
     def overwrite(self, df: DataFrame, name: str) -> None:
         self._commit(name, self._write_commit_files(df, name, None),

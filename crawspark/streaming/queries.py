@@ -111,3 +111,42 @@ def stream_join_user_activity(spark, sf_dir):
     return (spark.read.parquet(out)
             .groupBy("user_id")
             .agg(F.count("*").alias("n_pairs")))
+
+
+@register("stream_extract_snapshot", sql=_sf_sql(f"""
+    SELECT lang, count(*) AS n_docs,
+           CAST(sum(n_spans) AS BIGINT) AS total_spans
+    FROM {ORACLE_PQ} GROUP BY lang
+"""))
+def stream_extract_snapshot(spark, sf_dir):
+    """Streaming extraction into a TRANSACTIONAL table: availableNow
+    drain split into multiple microbatches (maxFilesPerTrigger=1), one
+    SnapshotParquetBackend commit per batch with manifest-props
+    idempotence (the Iceberg txnAppId pattern), final snapshot
+    hash-checked against the frozen extraction oracle. Complements
+    stream_extract_incremental (plain parquet sink) with the
+    exactly-once-under-replay lakehouse path."""
+    import atexit
+
+    from crawspark.operators.extract import interleave_documents
+    from crawspark.sources import read_testdata
+    from crawspark.sources.tables import SnapshotParquetBackend
+    from crawspark.streaming.snapshot_sink import run_extract_to_snapshot
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"crawspark_ssnap_{os.getpid()}_{zlib.crc32(sf_dir.encode()):08x}")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    inp, ck, troot = (os.path.join(base, d) for d in ("in", "ck", "tbl"))
+    for d in (ck, troot):
+        shutil.rmtree(d, ignore_errors=True)
+    (interleave_documents(read_testdata(spark, sf_dir, "documents"))
+     .coalesce(3).write.mode("overwrite").parquet(inp))
+    backend = SnapshotParquetBackend(troot)
+    if not run_extract_to_snapshot(spark, inp, ck, backend, "extracted",
+                                   timeout_sec=600, files_per_trigger=1):
+        raise RuntimeError("snapshot stream did not complete within timeout")
+    return (backend.read(spark, "extracted")
+            .groupBy("lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_spans").cast("long").alias("total_spans")))

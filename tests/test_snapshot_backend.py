@@ -139,3 +139,52 @@ def test_overwrite_partitions_to_nothing_stays_readable(spark, be):
     be.overwrite_partitions(
         spark.createDataFrame([], "id long, part string"), "t_drain", "part")
     assert be.read(spark, "t_drain").count() == 2
+
+
+def test_stream_snapshot_sink_exactly_once_and_replay(spark, tmp_path, be):
+    # Multi-microbatch drain commits once per batch; a replayed batch id
+    # commits NOTHING; a second drain picks up only new files; time
+    # travel sees each ingestion step.
+    from pyspark.sql import functions as F
+
+    from crawspark.corpus import make_doc
+    from crawspark.schema import DOCUMENTS_INTERLEAVED
+    from crawspark.streaming.snapshot_sink import (
+        commit_batch,
+        run_extract_to_snapshot,
+    )
+
+    inp = str(tmp_path / "in")
+    ck = str(tmp_path / "ck")
+    docs = [make_doc(11, i) for i in range(20)]
+    df = spark.createDataFrame([(d["doc_id"], d["spans"]) for d in docs],
+                               schema=DOCUMENTS_INTERLEAVED)
+    df.coalesce(2).write.mode("overwrite").parquet(inp)
+    assert run_extract_to_snapshot(spark, inp, ck, be, "t_stream",
+                                   files_per_trigger=1)
+    got = be.read(spark, "t_stream")
+    assert got.count() == 20
+    assert got.select("doc_id").distinct().count() == 20
+    v_after_first = be.current_version("t_stream")
+    assert v_after_first >= 2  # one commit per microbatch
+
+    # replayed batch id: idempotent no-op
+    extra = spark.createDataFrame(
+        [(d["doc_id"], d["spans"]) for d in docs[:3]],
+        schema=DOCUMENTS_INTERLEAVED)
+    assert commit_batch(be, "t_stream", extra, 0) is False
+    assert be.current_version("t_stream") == v_after_first
+    assert be.read(spark, "t_stream").count() == 20
+
+    # new files → only the delta is processed
+    more = [make_doc(12, i) for i in range(5)]
+    (spark.createDataFrame([(d["doc_id"], d["spans"]) for d in more],
+                           schema=DOCUMENTS_INTERLEAVED)
+     .coalesce(1).write.mode("append").parquet(inp))
+    assert run_extract_to_snapshot(spark, inp, ck, be, "t_stream",
+                                   files_per_trigger=1)
+    final = be.read(spark, "t_stream")
+    assert final.count() == 25
+    assert final.agg(F.countDistinct("doc_id")).collect()[0][0] == 25
+    # time travel: the pre-delta version still reads 20 docs
+    assert be.read_version(spark, "t_stream", v_after_first).count() == 20
