@@ -1,0 +1,91 @@
+"""MERGE INTO (upsert) over the transactional table layer.
+
+The reference persists crawl/extraction results with per-URL upserts
+[R: database.py store/update — matched rows replaced, new rows
+inserted]. Spark-native shape: MERGE INTO target USING updates ON key —
+WHEN MATCHED THEN UPDATE, WHEN NOT MATCHED THEN INSERT. With a real
+Iceberg runtime this is one `MERGE INTO` SQL statement (copy-on-write);
+the SnapshotParquetBackend emulation rewrites the table as one atomic
+snapshot commit: anti-join keeps unmatched current rows, the updates
+frame supplies matched replacements and inserts.
+
+Scale note (10^12 rows): the anti-join shuffles on the merge key only;
+with the target bucketed by key the join co-locates and the rewrite
+cost is bounded by the touched buckets (Iceberg's merge-on-read shifts
+it further to read time). The emulation rewrites everything — correct,
+and the commit is still atomic — while the IcebergBackend path would
+delegate to the engine's MERGE.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from crawspark.registry import register
+from crawspark.sources import read_testdata
+from crawspark.sources.tables import SnapshotParquetBackend
+
+
+def merge_upsert(spark: SparkSession, backend: SnapshotParquetBackend,
+                 table: str, updates: DataFrame, key: str) -> None:
+    """Upsert ``updates`` into ``table`` on ``key`` (whole-row replace
+    for matches, insert for new keys) as ONE atomic snapshot commit."""
+    if not backend.exists(spark, table):
+        backend.overwrite(updates, table)
+        return
+    current = backend.read(spark, table)
+    kept = current.join(updates.select(key).distinct(), key, "left_anti")
+    backend.overwrite(kept.unionByName(updates), table)
+
+
+@register("merge_upsert_documents", sql="""
+    SELECT source, count(*) AS n_docs,
+           CAST(sum(CASE WHEN doc_id < 10000000 AND doc_id % 3 = 0
+                         THEN n_chars + 1000 ELSE n_chars END) AS BIGINT)
+             AS total_chars,
+           CAST(sum(CASE WHEN doc_id >= 10000000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_inserted
+    FROM (
+      SELECT doc_id, source, n_chars FROM documents
+      UNION ALL
+      SELECT 10000000 + doc_id, 'merge-insert', 77
+      FROM documents WHERE doc_id % 50 = 0
+    ) GROUP BY source
+""")
+def merge_upsert_documents(spark, sf_dir):
+    # Seed the table with the documents rows, then one MERGE that updates
+    # every doc_id%3==0 row (n_chars += 1000) AND inserts a synthetic row
+    # per doc_id%50==0 under a new key range; the final per-source
+    # aggregate is closed-form in SQL. Pins: matched rows replaced not
+    # duplicated, unmatched rows kept, inserts landed, all in one commit.
+    import atexit
+    import os
+    import shutil
+    import tempfile
+    import zlib
+
+    from pyspark.sql import functions as F
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"crawspark_merge_{os.getpid()}_{zlib.crc32(sf_dir.encode()):08x}")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    shutil.rmtree(base, ignore_errors=True)
+    backend = SnapshotParquetBackend(base)
+    docs = (read_testdata(spark, sf_dir, "documents")
+            .select("doc_id", "source", "n_chars"))
+    backend.overwrite(docs, "docs")
+    updates = (docs.filter(F.col("doc_id") % 3 == 0)
+               .withColumn("n_chars", F.col("n_chars") + 1000)
+               .unionByName(
+                   docs.filter(F.col("doc_id") % 50 == 0)
+                   .select((F.col("doc_id") + 10_000_000).alias("doc_id"),
+                           F.lit("merge-insert").alias("source"),
+                           F.lit(77).cast("long").alias("n_chars"))))
+    merge_upsert(spark, backend, "docs", updates, "doc_id")
+    return (backend.read(spark, "docs")
+            .groupBy("source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_chars").cast("long").alias("total_chars"),
+                 F.sum((F.col("doc_id") >= 10_000_000).cast("int"))
+                 .cast("long").alias("n_inserted")))

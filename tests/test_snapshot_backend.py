@@ -188,3 +188,24 @@ def test_stream_snapshot_sink_exactly_once_and_replay(spark, tmp_path, be):
     assert final.agg(F.countDistinct("doc_id")).collect()[0][0] == 25
     # time travel: the pre-delta version still reads 20 docs
     assert be.read_version(spark, "t_stream", v_after_first).count() == 20
+
+
+def test_merge_upsert_semantics(spark, be):
+    from crawspark.operators.merge import merge_upsert
+
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)],
+        "k long, v string, n long")
+    merge_upsert(spark, be, "m", base, "k")      # not-exists → create
+    updates = spark.createDataFrame(
+        [(2, "B", 99), (4, "d", 40)], "k long, v string, n long")
+    merge_upsert(spark, be, "m", updates, "k")   # update k=2, insert k=4
+    got = sorted(tuple(r) for r in be.read(spark, "m").collect())
+    assert got == [(1, "a", 10), (2, "B", 99), (3, "c", 30), (4, "d", 40)]
+    # one atomic commit per merge; pre-merge state time-travels
+    assert be.snapshots("m") == [1, 2]
+    old = sorted(tuple(r) for r in be.read_version(spark, "m", 1).collect())
+    assert old == [(1, "a", 10), (2, "b", 20), (3, "c", 30)]
+    # idempotent re-merge of the same updates: same content, new snapshot
+    merge_upsert(spark, be, "m", updates, "k")
+    assert sorted(tuple(r) for r in be.read(spark, "m").collect()) == got
