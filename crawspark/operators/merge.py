@@ -89,3 +89,50 @@ def merge_upsert_documents(spark, sf_dir):
                  F.sum("n_chars").cast("long").alias("total_chars"),
                  F.sum((F.col("doc_id") >= 10_000_000).cast("int"))
                  .cast("long").alias("n_inserted")))
+
+
+def delete_where(spark: SparkSession, backend: SnapshotParquetBackend,
+                 table: str, condition) -> int:
+    """DELETE FROM table WHERE condition, as one atomic snapshot commit.
+    Returns the number of rows deleted. With real Iceberg this is the
+    engine's DELETE (positional/equality deletes); the emulation rewrites
+    the survivors — prior snapshots still time-travel to the full data."""
+    current = backend.read(spark, table)
+    survivors = current.filter(~condition)
+    n_deleted = current.count() - survivors.count()
+    backend.overwrite(survivors, table)
+    return n_deleted
+
+
+@register("delete_where_documents", sql="""
+    SELECT source, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents WHERE NOT (n_chars < 100 OR doc_id % 7 = 0)
+    GROUP BY source
+""")
+def delete_where_documents(spark, sf_dir):
+    # DELETE of short docs + a key stripe, then aggregate the survivors;
+    # oracle is the complementary filter over the source parquet.
+    import atexit
+    import os
+    import shutil
+    import tempfile
+    import zlib
+
+    from pyspark.sql import functions as F
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"crawspark_del_{os.getpid()}_{zlib.crc32(sf_dir.encode()):08x}")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    shutil.rmtree(base, ignore_errors=True)
+    backend = SnapshotParquetBackend(base)
+    docs = (read_testdata(spark, sf_dir, "documents")
+            .select("doc_id", "source", "n_chars"))
+    backend.overwrite(docs, "docs")
+    delete_where(spark, backend, "docs",
+                 (F.col("n_chars") < 100) | (F.col("doc_id") % 7 == 0))
+    return (backend.read(spark, "docs")
+            .groupBy("source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_chars").cast("long").alias("total_chars")))

@@ -242,7 +242,23 @@ class SnapshotParquetBackend(TableBackend):
                     f"schema (pre-r4 manifest)")
             schema = T.StructType.fromJson(json.loads(schema_json))
             return spark.createDataFrame([], schema)
-        return spark.read.parquet(*paths)
+        schema_json = manifest.get("schema")
+        if schema_json is not None:
+            # Iceberg-style schema evolution: the SNAPSHOT's recorded
+            # schema governs the scan — data files from older commits
+            # that predate an added column null-fill it; a column absent
+            # from the snapshot schema is not served even if old files
+            # carry it (drop-column semantics). Without an explicit
+            # schema, spark.read.parquet would pick one file's footer
+            # arbitrarily.
+            import json
+
+            from pyspark.sql import types as T
+
+            return (spark.read
+                    .schema(T.StructType.fromJson(json.loads(schema_json)))
+                    .parquet(*paths))
+        return spark.read.parquet(*paths)  # pre-r4 manifest (no schema)
 
     def _live_entries(self, name: str) -> list[dict]:
         v = self.current_version(name)

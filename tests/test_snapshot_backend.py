@@ -209,3 +209,19 @@ def test_merge_upsert_semantics(spark, be):
     # idempotent re-merge of the same updates: same content, new snapshot
     merge_upsert(spark, be, "m", updates, "k")
     assert sorted(tuple(r) for r in be.read(spark, "m").collect()) == got
+
+
+def test_schema_evolution_add_column(spark, be):
+    # Append with an added column: the new snapshot's schema governs the
+    # scan (old rows null-fill); time travel to the pre-evolution
+    # snapshot serves the OLD schema without the column.
+    v1 = spark.createDataFrame([(1, "a")], "k long, v string")
+    be.append(v1, "evo")
+    v2 = spark.createDataFrame([(2, "b", 9.5)], "k long, v string, score double")
+    be.append(v2, "evo")
+    cur = be.read(spark, "evo")
+    assert set(cur.columns) == {"k", "v", "score"}
+    got = {r["k"]: r["score"] for r in cur.collect()}
+    assert got == {1: None, 2: 9.5}
+    old = be.read_version(spark, "evo", 1)
+    assert set(old.columns) == {"k", "v"}
