@@ -311,6 +311,52 @@ class SnapshotParquetBackend(TableBackend):
     def exists(self, spark: SparkSession, name: str) -> bool:
         return self.current_version(name) > 0
 
+    # -- table maintenance (Iceberg rewrite_data_files / expire_snapshots)
+
+    def compact(self, spark: SparkSession, name: str,
+                target_files: int = 1) -> int:
+        """Rewrite the current snapshot's (unpartitioned) data into
+        ``target_files`` files as a new commit — content-identical, small
+        files folded away (Iceberg rewrite_data_files). Returns the new
+        version. Streaming sinks make one commit per microbatch, so file
+        counts grow linearly with ingestion until compaction runs."""
+        live = self._live_entries(name)
+        if any(e["partition"] is not None for e in live):
+            raise ValueError(
+                f"table '{name}' is partitioned; compact per partition "
+                f"via overwrite_partitions instead")
+        df = self.read(spark, name).coalesce(target_files)
+        self.overwrite(df, name)
+        return self.current_version(name)
+
+    def expire_snapshots(self, name: str, keep_last: int = 1) -> list[int]:
+        """Drop all but the newest ``keep_last`` snapshots and DELETE data
+        files no longer referenced by any surviving snapshot (Iceberg
+        expire_snapshots + remove_orphan_files). Returns expired version
+        numbers. Time travel to expired versions stops working — that is
+        the point: bounded storage under continuous commits."""
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        versions = self.snapshots(name)
+        expire = versions[:-keep_last]
+        if not expire:
+            return []
+        keep = versions[-keep_last:]
+        referenced = set()
+        for v in keep:
+            for e in self._load_manifest(name, v)["entries"]:
+                referenced.add(e["path"])
+        for v in expire:
+            for e in self._load_manifest(name, v)["entries"]:
+                p = e["path"]
+                if p not in referenced:
+                    try:
+                        os.remove(os.path.join(self.root, p))
+                    except FileNotFoundError:
+                        pass
+            os.remove(self._manifest(name, v))
+        return expire
+
 
 class IcebergBackend(TableBackend):
     """Iceberg catalog tables (``catalog.db.name``). Requires the runtime

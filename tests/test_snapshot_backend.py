@@ -225,3 +225,46 @@ def test_schema_evolution_add_column(spark, be):
     assert got == {1: None, 2: 9.5}
     old = be.read_version(spark, "evo", 1)
     assert set(old.columns) == {"k", "v"}
+
+
+def test_compact_and_expire_snapshots(spark, be):
+    import glob
+    import os as _os
+
+    # many small commits (the streaming regime) → compact folds the
+    # files; expire removes old manifests + newly-unreferenced data
+    # files but keeps files still referenced by surviving snapshots.
+    for i in range(4):
+        be.append(spark.createDataFrame([(i, f"v{i}")], "k long, v string"),
+                  "t_c")
+    files_of = lambda: glob.glob(  # noqa: E731
+        _os.path.join(str(be.root), "t_c", "data", "**", "*.parquet"),
+        recursive=True)
+    assert be.current_version("t_c") == 4
+    n_before = len(files_of())
+    v = be.compact(spark, "t_c", target_files=1)
+    assert v == 5
+    got = sorted(r["k"] for r in be.read(spark, "t_c").collect())
+    assert got == [0, 1, 2, 3]
+    # pre-compaction snapshot still time-travels (files not yet expired)
+    assert be.read_version(spark, "t_c", 4).count() == 4
+
+    expired = be.expire_snapshots("t_c", keep_last=1)
+    assert expired == [1, 2, 3, 4]
+    assert be.snapshots("t_c") == [5]
+    # only the compacted file(s) survive on disk
+    assert len(files_of()) < n_before
+    assert sorted(r["k"] for r in be.read(spark, "t_c").collect()) \
+        == [0, 1, 2, 3]
+    import pytest as _pytest
+    with _pytest.raises((ValueError, FileNotFoundError)):
+        be.read_version(spark, "t_c", 2)
+
+
+def test_expire_keeps_files_shared_with_survivors(spark, be):
+    # append-chain: v2's manifest references v1's data files too; expiring
+    # v1 must NOT delete files v2 still reads.
+    be.append(spark.createDataFrame([(1, "a")], "k long, v string"), "t_s")
+    be.append(spark.createDataFrame([(2, "b")], "k long, v string"), "t_s")
+    assert be.expire_snapshots("t_s", keep_last=1) == [1]
+    assert sorted(r["k"] for r in be.read(spark, "t_s").collect()) == [1, 2]
