@@ -67,3 +67,31 @@ def test_extract_job_mainline_synthetic(tmp_path):
     stats = json.loads(out)
     assert stats["run_id"] == "smoke"
     assert stats["docs_out"] == 400 and stats["spans_out"] > 0
+
+
+def test_maintain_job_mainline(spark, tmp_path):
+    import json
+    import os
+    import subprocess
+    import sys
+
+    from crawspark.sources.tables import SnapshotParquetBackend
+
+    root = str(tmp_path / "tables")
+    be = SnapshotParquetBackend(root)
+    for i in range(3):
+        be.append(spark.createDataFrame(
+            [(i * 10 + j, j) for j in range(5)], "k long, n long"), "t")
+    code = subprocess.run(
+        [sys.executable, os.path.join("/root/repo", "jobs", "maintain.py"),
+         "--table-root", root, "--table", "t",
+         "--delete-where", "n = 0",
+         "--compact-target", "1", "--expire-keep", "1",
+         "--master", "local[2]"],
+        capture_output=True, text=True, timeout=600, cwd="/tmp")
+    assert code.returncode == 0, code.stderr[-2000:]
+    out = json.loads(code.stdout.strip().splitlines()[-1])
+    assert out["rows_deleted"] == 3
+    assert out["expired_versions"]
+    assert be.snapshots("t") == [be.current_version("t")]
+    assert be.read(spark, "t").count() == 12  # 15 - 3 deleted
