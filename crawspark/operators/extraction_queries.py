@@ -369,3 +369,28 @@ def multimodal_media_meta(spark, sf_dir):
             .agg(F.count("*").alias("n_media"),
                  F.sum("n_bytes").cast("long").alias("total_bytes"),
                  F.max("width").alias("max_width")))
+
+
+@register("extract_top_image", sql=_sf_sql(f"""
+    SELECT doc_id,
+           coalesce(list_filter(spans, s -> s.kind = 'image')[1].media_ref,
+                    '') AS top_image,
+           CAST(len(list_filter(spans, s -> s.kind = 'image')) AS INT)
+             AS n_images
+    FROM {ORACLE_PQ}
+"""))
+def extract_top_image(spark, sf_dir):
+    # Doc-level top_image surface [R: goose/images/extractors.py::
+    # get_best_image — the Article field]: the first image span in the
+    # output sequence IS the best-scored one (resolve_media emits images
+    # in scored DOM order), so top_image is a projection of the span
+    # sequence, per-doc hash-checked against the frozen oracle.
+    ext = _extracted(spark, sf_dir)
+    imgs = F.filter("spans", lambda s: s["kind"] == F.lit("image"))
+    # try_element_at: ANSI mode makes element_at THROW on an empty array
+    # (docs with no images) rather than return NULL
+    return ext.select(
+        "doc_id",
+        F.coalesce(F.try_element_at(imgs, F.lit(1))["media_ref"], F.lit(""))
+        .alias("top_image"),
+        F.size(imgs).cast("int").alias("n_images"))
