@@ -40,6 +40,54 @@ _FR_STOP = (
     "par il au avec ne se ce son sont mais nous vous leur cette"
 ).split()
 
+# rules_v2/v3 languages (opt-in via make_doc/make_corpus ``langs`` —
+# the default ("en","fr") corpus stays byte-frozen). Stop pools draw
+# from the shipped stopword tables so scoring sees realistic densities.
+_DE_CONTENT = (
+    "markt forschung signal wachstum archiv gruppe fenster politik bericht "
+    "geschichte dorf garten winter nachricht frage tier energie wissen "
+    "kultur leiter moment welt zeit stadt projekt".split())
+_DE_STOP = ("der die das und in den von zu mit sich des auf ist im dem "
+            "nicht ein eine als auch es an aus er hat dass sie nach bei "
+            "einer um am sind noch wie einem".split())
+_ES_CONTENT = (
+    "mercado investigacion senal crecimiento archivo grupo ventana politica "
+    "informe historia pueblo jardin invierno mensaje pregunta animal "
+    "energia ciencia cultura lider momento mundo tiempo ciudad proyecto"
+    .split())
+_ES_STOP = ("de la que el en y a los del se las por un para con no una su "
+            "al lo como mas pero sus le ya o este si porque esta entre"
+            .split())
+_IT_CONTENT = (
+    "mercato ricerca segnale crescita archivio gruppo finestra politica "
+    "rapporto storia paese giardino inverno messaggio domanda animale "
+    "energia scienza cultura capo momento mondo tempo citta progetto"
+    .split())
+_IT_STOP = ("di a da in con su per tra il lo la i gli le un uno una che e "
+            "non si sono come ma anche questo questa dei delle della del al"
+            .split())
+_PT_CONTENT = (
+    "mercado pesquisa sinal crescimento arquivo grupo janela politica "
+    "relatorio historia aldeia jardim inverno mensagem pergunta animal "
+    "energia ciencia cultura lider momento mundo tempo cidade projeto"
+    .split())
+_PT_STOP = ("de a o que e do da em um para com nao uma os no se na por "
+            "mais as dos como mas foi ao ele das tem seu sua ou ser".split())
+_ZH_CONTENT = ("市场 研究 信号 增长 档案 集群 窗口 政策 报告 故事 村庄 花园 "
+               "冬天 消息 问题 动物 历史 科学 领导 能源 系统 文化 世界 时间"
+               .split())
+_ZH_STOP = ("的 了 是 在 我 有 和 就 不 人 都 这 中 大 为 来 个 到 说 们 "
+            "要 也 他 会 着 好 自 能 对 她".split())
+
+_WORDS = {
+    "en": None,  # resolved in _sentence (frozen en/fr fast path)
+    "de": (_DE_CONTENT, _DE_STOP),
+    "es": (_ES_CONTENT, _ES_STOP),
+    "it": (_IT_CONTENT, _IT_STOP),
+    "pt": (_PT_CONTENT, _PT_STOP),
+    "zh": (_ZH_CONTENT, _ZH_STOP),
+}
+
 _AD_TOKENS = ["sidebar", "advert", "sponsor", "footer-links", "nav-menu",
               "share-toolbar", "comment-box", "newsletter-promo"]
 _GOOD_IMGS = ["photo_{i}.jpg", "figure-{i}.png", "chart{i}.jpeg"]
@@ -54,12 +102,21 @@ _VIDEO_URLS = [
 
 
 def _sentence(rng: random.Random, lang: str, n_words: int) -> str:
-    content = _EN_CONTENT if lang == "en" else _FR_CONTENT
-    stop = _EN_STOP if lang == "en" else _FR_STOP
+    # frozen v1 path: en uses the en pools, ANY other lang used the fr
+    # pools — preserved byte-for-byte for en/fr corpora; the v4 languages
+    # resolve their own pools via _WORDS.
+    pools = _WORDS.get(lang)
+    if pools is None:
+        content = _EN_CONTENT if lang == "en" else _FR_CONTENT
+        stop = _EN_STOP if lang == "en" else _FR_STOP
+    else:
+        content, stop = pools
     words = []
     for _ in range(n_words):
         pool = stop if rng.random() < 0.45 else content
         words.append(rng.choice(pool))
+    if lang == "zh":
+        return "".join(words) + "。"  # CJK: no whitespace word boundaries
     s = " ".join(words)
     return s[0].upper() + s[1:] + "."
 
@@ -191,14 +248,20 @@ def make_pdf(rng: random.Random, lang: str, n_pages: int | None = None,
 # ---------------------------------------------------------------------------
 
 def make_doc(seed: int, i: int, heavy_tail: bool = False,
-             min_paras: int = 1, max_paras: int = 12) -> dict:
-    """One interleaved document — pure function of (seed, i).
+             min_paras: int = 1, max_paras: int = 12,
+             langs: tuple = ("en", "fr")) -> dict:
+    """One interleaved document — pure function of (seed, i, langs).
 
     min/max_paras control document weight: defaults give small fixture
-    docs; bench corpora use 15-45 (≈10-40 KB — realistic web pages)."""
+    docs; bench corpora use 15-45 (≈10-40 KB — realistic web pages).
+    ``langs`` opts into a multilingual corpus (uniform pick); the default
+    ("en","fr") keeps the v1 75/25 split and rng stream byte-frozen."""
     rng = random.Random(seed ^ i)
     doc_id = f"d{seed}-{i:012d}"
-    lang = "fr" if rng.random() < 0.25 else "en"
+    if langs == ("en", "fr"):
+        lang = "fr" if rng.random() < 0.25 else "en"
+    else:
+        lang = langs[min(int(rng.random() * len(langs)), len(langs) - 1)]
     roll = rng.random()
     spans: list[dict] = []
     if roll < 0.78:  # html doc
@@ -216,7 +279,11 @@ def make_doc(seed: int, i: int, heavy_tail: bool = False,
             spans.append({"kind": "html", "text": html,
                           "media_ref": None, "offset": 0})
     elif roll < 0.90:  # pdf doc
-        spans.append({"kind": "pdf", "text": make_pdf(rng, lang),
+        # PDF literal strings are latin-1 byte streams in our model (CID
+        # fonts for CJK are a documented parse gap) — zh PDFs fall back
+        # to English body text, like real zh sites serving latin PDFs.
+        spans.append({"kind": "pdf",
+                      "text": make_pdf(rng, "en" if lang == "zh" else lang),
                       "media_ref": None, "offset": 0})
     else:  # plain text doc
         spans.append({"kind": "text", "text": _paragraph(rng, lang, 4),
@@ -234,10 +301,11 @@ def make_doc(seed: int, i: int, heavy_tail: bool = False,
 
 
 def make_corpus(n_docs: int, seed: int = 42, heavy_tail: bool = False,
-                min_paras: int = 1, max_paras: int = 12):
+                min_paras: int = 1, max_paras: int = 12,
+                langs: tuple = ("en", "fr")):
     """Yield interleaved documents deterministically."""
     for i in range(n_docs):
-        yield make_doc(seed, i, heavy_tail, min_paras, max_paras)
+        yield make_doc(seed, i, heavy_tail, min_paras, max_paras, langs)
 
 
 # Per-language stopword scaffolds for weaving driver-row word soup into

@@ -191,7 +191,8 @@ def interleave_and_extract(df: DataFrame) -> DataFrame:
 
 def synthetic_corpus(spark, n_docs: int, seed: int = 42,
                      heavy_tail: bool = True, partitions: int = 64,
-                     min_paras: int = 1, max_paras: int = 12) -> DataFrame:
+                     min_paras: int = 1, max_paras: int = 12,
+                     langs: tuple = ("en", "fr")) -> DataFrame:
     from crawspark.schema import DOCUMENTS_INTERLEAVED
 
     def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
@@ -202,7 +203,8 @@ def synthetic_corpus(spark, n_docs: int, seed: int = 42,
             chunk_bytes = 0
             for i in idx:
                 d = make_doc(seed, int(i), heavy_tail=heavy_tail,
-                             min_paras=min_paras, max_paras=max_paras)
+                             min_paras=min_paras, max_paras=max_paras,
+                             langs=langs)
                 chunk.append(d)
                 chunk_bytes += sum(len(s["text"] or "") for s in d["spans"])
                 if chunk_bytes >= TARGET_BATCH_BYTES:

@@ -186,3 +186,29 @@ def test_extract_document_date_and_tags_fields():
     assert res["tags"] == ["story"]
     # tag-bar anchors must NOT leak into content spans
     assert all("story" != s["text"] for s in res["spans"])
+
+
+def test_multilingual_synthetic_corpus():
+    # Opt-in langs: every language detected via its own material, content
+    # extracted; the DEFAULT corpus stays byte-frozen (first fixture doc
+    # must equal the committed golden input).
+    import json
+    import pathlib
+
+    from crawspark.corpus import make_corpus, make_doc
+    from crawspark.oracle import extract_document
+
+    exp = json.loads((pathlib.Path(__file__).parent / "fixtures"
+                      / "gen_d42-000000000000" / "input.json").read_text())
+    assert make_doc(42, 0)["spans"] == exp
+
+    langs = ("en", "fr", "de", "es", "it", "pt", "zh")
+    seen = {}
+    for doc in make_corpus(150, seed=7, langs=langs):
+        res = extract_document(doc["doc_id"], doc["spans"])
+        seen.setdefault(res["lang"], 0)
+        seen[res["lang"]] += 1
+        # html docs must carry real content under their language's scorer
+        if doc["spans"][0]["kind"] == "html":
+            assert res["n_spans"] >= 2, (res["lang"], doc["doc_id"])
+    assert set(seen) == set(langs), seen
