@@ -167,6 +167,23 @@ def main() -> None:
     extra["extract_synthetic_docs_per_sec"] = round(SYN_DOCS / t_syn, 1)
     extra["extract_synthetic_spread"] = round(max(syn_times) / t_syn, 2)
 
+    # 2b) Multilingual corpus rate (extra-only — keeps the headline suite
+    # comparable across rounds): 7-language synthetic docs including the
+    # per-character zh scoring path.
+    ml = synthetic_corpus(
+        spark, SYN_DOCS // 2, seed=43, heavy_tail=False,
+        partitions=CPUS * 2,
+        langs=("en", "fr", "de", "es", "it", "pt", "zh")).persist()
+    ml.count()
+    t_ml = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _materialize(extract_documents(ml))
+        t_ml = min(t_ml, time.perf_counter() - t0)
+    ml.unpersist()
+    extra["extract_multilingual_docs_per_sec"] = round(
+        (SYN_DOCS // 2) / t_ml, 1)
+
     # 3) Relational / dedup / similarity headliners from the registry.
     for name in NAMES:
         bench(name, lambda n=name: registry[n].spark(spark, SF_DIR))
