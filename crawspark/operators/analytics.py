@@ -119,3 +119,31 @@ def embedding_quantize_stats(spark, sf_dir):
             .agg(F.count("*").alias("n_vectors"),
                  F.round(F.avg("scale"), 6).alias("avg_scale"),
                  F.round(F.max("max_err"), 6).alias("worst_abs_err")))
+
+
+@register("zorder_events", sql="""
+    -- closed-form Morton interleave of (user_id % 256, hour-of-month
+    -- bucket % 256): bit i of x at position 2i, of y at 2i+1
+    SELECT event_id,
+           CAST((SELECT sum(
+               (((user_id % 256) // (1 << i.i)) % 2) * (1 << (2 * i.i))
+             + (((CAST(floor(date_part('epoch', ts
+                       - TIMESTAMP '2024-01-01') / 3600) AS BIGINT) % 256)
+                 // (1 << i.i)) % 2) * (1 << (2 * i.i + 1))
+           ) FROM (SELECT unnest(range(8)) AS i) i) AS BIGINT) AS zval
+    FROM events
+""")
+def zorder_events(spark, sf_dir):
+    # Z-order layout key for the events table: user stripe x hour-of-month
+    # bucket, both folded to 8 bits. Per-event z-values are hash-checked
+    # against the SQL interleave; the clustering PROPERTY (narrow per-file
+    # min/max in both dimensions after repartitionByRange+sort) is pinned
+    # in tests/test_scale_plans.py.
+    from crawspark.operators.partitioning import zvalue_expr
+
+    ev = read_testdata(spark, sf_dir, "events")
+    x = (F.col("user_id") % 256).cast("long")
+    y = (F.floor((F.unix_timestamp("ts")
+                  - F.unix_timestamp(F.lit("2024-01-01").cast("timestamp")))
+                 / 3600) % 256).cast("long")
+    return ev.select("event_id", zvalue_expr(x, y).cast("long").alias("zval"))

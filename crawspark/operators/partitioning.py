@@ -55,3 +55,45 @@ def salted_repartition(df: DataFrame, partitions: int, salt_buckets: int = 64,
     df = df.withColumn(
         "salt", F.pmod(F.xxhash64(F.col(key)), F.lit(salt_buckets)).cast("int"))
     return df.repartition(partitions, F.col("bucket"), F.col("salt"))
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout (r4): multi-dimensional clustering for range pruning.
+# ---------------------------------------------------------------------------
+
+Z_BITS = 8  # bits per dimension (2 dims → 16-bit z-value)
+
+
+def zvalue_expr(x, y, bits: int = Z_BITS):
+    """Morton/Z-order interleave of two pre-bucketed dimensions (each in
+    [0, 2^bits)): bit i of x lands at position 2i, of y at 2i+1. Pure
+    JVM bit arithmetic (whole-stage codegen) — the layout key that lets
+    ONE sorted file order serve range predicates on EITHER dimension
+    (file-level min/max stay narrow in both). At 10^12 rows this is the
+    write-time `repartitionByRange(zvalue).sortWithinPartitions(zvalue)`
+    before the parquet/Iceberg sink."""
+    from pyspark.sql import functions as F
+
+    # disjoint bit positions → plain addition == bitwise OR (Column `|`
+    # is BOOLEAN or in PySpark, not bitwise)
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = (z
+             + F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)),
+                           2 * i).cast("long")
+             + F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)),
+                           2 * i + 1).cast("long"))
+    return z
+
+
+def zorder_layout(df, x_col: str, y_col: str, partitions: int,
+                  bits: int = Z_BITS):
+    """Cluster ``df`` for 2-D range pruning: bucket both columns must
+    already be ints in [0, 2^bits); rows land range-partitioned AND
+    sorted by their z-value."""
+    from pyspark.sql import functions as F
+
+    z = zvalue_expr(F.col(x_col), F.col(y_col), bits)
+    return (df.withColumn("__z", z)
+            .repartitionByRange(partitions, "__z")
+            .sortWithinPartitions("__z"))

@@ -186,3 +186,38 @@ def test_hot_band_resolve_single_component(spark):
               for r in connected_components(verified).collect()}
     assert all(labels[d] == 0 for d in range(n))
     assert not any(d >= 10_000 for d in labels)
+
+
+def test_zorder_layout_clusters_both_dimensions(spark):
+    # The point of Z-order: after repartitionByRange+sort on the z-value,
+    # every partition covers a NARROW range of BOTH dimensions (a curve
+    # tile), so file-level min/max prunes range predicates on either
+    # column. A single-column sort clusters only its own dimension.
+    from pyspark.sql import functions as F
+
+    from crawspark.operators.partitioning import zorder_layout
+
+    n = 40_000
+    df = (spark.range(n)
+          .select((F.xxhash64("id").bitwiseAND(F.lit(255))).alias("x"),
+                  (F.xxhash64("id", F.lit(1)).bitwiseAND(F.lit(255)))
+                  .alias("y")))
+
+    def widths(laid_out):
+        per = (laid_out.withColumn("p", F.spark_partition_id())
+               .groupBy("p")
+               .agg((F.max("x") - F.min("x")).alias("wx"),
+                    (F.max("y") - F.min("y")).alias("wy"))
+               .agg(F.avg("wx"), F.avg("wy")).collect()[0])
+        return per[0], per[1]
+
+    zx, zy = widths(zorder_layout(df, "x", "y", partitions=16))
+    sx, sy = widths(df.repartitionByRange(16, "y"))
+    # 16 partitions over a 16-bit z-space = 4096 z-values/partition: a
+    # ~64x64 tile (boundary tiles can span wider; avg stays low)
+    assert zx < 140 and zy < 140, (zx, zy)
+    # y-only layout clusters y but leaves x at full range
+    assert sy < 64 and sx > 200, (sx, sy)
+    # both dimensions simultaneously narrower than the one-column layout's
+    # unclustered dimension
+    assert max(zx, zy) < sx
