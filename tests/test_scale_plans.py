@@ -221,3 +221,45 @@ def test_zorder_layout_clusters_both_dimensions(spark):
     # both dimensions simultaneously narrower than the one-column layout's
     # unclustered dimension
     assert max(zx, zy) < sx
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark, tmp_path):
+    # Catalyst's runtime row-level filter: a selective dim-side predicate
+    # injects might_contain(bloom_filter_agg(...)) into the FACT side's
+    # scan filter — at 100 TB this prunes fact rows before the join
+    # shuffle (the engine-native form of a hand-built semi-join bloom).
+    from pyspark.sql import functions as F
+
+    fact = str(tmp_path / "fact")
+    dim = str(tmp_path / "dim")
+    (spark.range(0, 500_000)
+     .select((F.col("id") % 50_000).alias("k"), F.col("id").alias("v"))
+     .write.mode("overwrite").parquet(fact))
+    (spark.range(0, 50_000)
+     .select(F.col("id").alias("k"), (F.col("id") % 7).alias("cat"))
+     .write.mode("overwrite").parquet(dim))
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter"
+        ".applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter"
+        ".creationSideThreshold": "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        j = (spark.read.parquet(fact)
+             .join(spark.read.parquet(dim).filter(F.col("cat") == 3), "k"))
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan and "bloom_filter_agg" in plan, \
+            plan[:1500]
+        # correctness unchanged: cat==3 keys are id%7==3 → 7143 keys x 10
+        assert j.count() == 71_430
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
