@@ -147,3 +147,92 @@ def zorder_events(spark, sf_dir):
                   - F.unix_timestamp(F.lit("2024-01-01").cast("timestamp")))
                  / 3600) % 256).cast("long")
     return ev.select("event_id", zvalue_expr(x, y).cast("long").alias("zval"))
+
+
+# ---------------------------------------------------------------------------
+# PageRank over the crawl graph (r4): source → outlink-host edges from the
+# extraction, ranked iteratively — the frontier-prioritization signal a
+# crawler derives from its own link graph [R: crawtext relevance loop +
+# database.py queue-by-domain]. Iterative DataFrame loop on the Spark
+# side; the DuckDB oracle UNROLLS the same K iterations as chained CTEs
+# (the k-means replay pattern), so every rank value is hash-compared.
+# ---------------------------------------------------------------------------
+
+PR_ITERS = 5
+PR_DAMPING = 0.85
+_PR_HOST_RE = "^[a-z][a-z0-9+.-]*://([^/?#]+)"
+
+
+def _pagerank_oracle_sql(sf_dir: str) -> str:
+    from crawspark.operators.extraction_queries import extract_oracle_path
+
+    pq = f"read_parquet('{extract_oracle_path(sf_dir)}')"
+    base = f"""
+    WITH raw_links AS (
+      SELECT e.doc_id,
+             lower(regexp_extract(unnest(e.outlinks), '{_PR_HOST_RE}', 1))
+               AS host
+      FROM {pq} e
+    ), edges AS (
+      SELECT DISTINCT d.source AS src, l.host AS dst
+      FROM raw_links l JOIN documents d ON d.doc_id = CAST(l.doc_id AS BIGINT)
+      WHERE l.host <> ''
+    ), nodes AS (
+      SELECT src AS node FROM edges UNION SELECT dst FROM edges
+    ), nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+    outdeg AS (SELECT src, CAST(count(*) AS DOUBLE) AS d
+               FROM edges GROUP BY src),
+    pr0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes)"""
+    steps = []
+    for k in range(PR_ITERS):
+        steps.append(f"""
+    pr{k + 1} AS (
+      SELECT n.node,
+             (1 - {PR_DAMPING}) / (SELECT n FROM nn)
+             + {PR_DAMPING} * coalesce(c.acc, 0) AS rank
+      FROM nodes n LEFT JOIN (
+        SELECT e.dst AS node, sum(p.rank / o.d) AS acc
+        FROM edges e
+        JOIN pr{k} p ON p.node = e.src
+        JOIN outdeg o ON o.src = e.src
+        GROUP BY e.dst
+      ) c ON c.node = n.node)""")
+    return (base + "," + ",".join(steps)
+            + f"\n    SELECT node, rank FROM pr{PR_ITERS}")
+
+
+@register("pagerank_hosts", sql=_pagerank_oracle_sql)
+def pagerank_hosts(spark, sf_dir):
+    from crawspark.operators.extraction_queries import _extracted
+
+    ext = _extracted(spark, sf_dir)
+    links = (ext.select("doc_id", F.explode("outlinks").alias("link"))
+             .select("doc_id",
+                     F.lower(F.regexp_extract("link", _PR_HOST_RE, 1))
+                     .alias("host"))
+             .filter(F.col("host") != ""))
+    docs = (read_testdata(spark, sf_dir, "documents")
+            .select(F.col("doc_id").cast("string").alias("doc_id"), "source"))
+    edges = (links.join(docs, "doc_id")
+             .select(F.col("source").alias("src"), F.col("host").alias("dst"))
+             .distinct()
+             .localCheckpoint(eager=True))  # reused every iteration
+    nodes = (edges.select(F.col("src").alias("node"))
+             .union(edges.select(F.col("dst").alias("node")))
+             .distinct().localCheckpoint(eager=True))
+    n = nodes.count()
+    outdeg = edges.groupBy("src").agg(F.count("*").cast("double").alias("d"))
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    for _ in range(PR_ITERS):
+        contrib = (edges.join(ranks, edges["src"] == ranks["node"])
+                   .join(outdeg, "src")
+                   .select(F.col("dst").alias("node"),
+                           (F.col("rank") / F.col("d")).alias("c"))
+                   .groupBy("node").agg(F.sum("c").alias("acc")))
+        ranks = (nodes.join(contrib, "node", "left")
+                 .select("node",
+                         (F.lit((1 - PR_DAMPING) / n)
+                          + PR_DAMPING * F.coalesce("acc", F.lit(0.0)))
+                         .alias("rank"))
+                 .localCheckpoint(eager=True))  # cut the growing lineage
+    return ranks

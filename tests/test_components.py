@@ -81,3 +81,25 @@ def test_star_random_graphs_match_union_find(spark):
         star = {r["node"]: r["label"] for r in
                 connected_components(df, max_driver_edges=0).collect()}
         assert star == exact, f"trial {trial}"
+
+
+def test_pagerank_hosts_properties(spark):
+    # Structural sanity at sf0.001: probability-like ranks (positive,
+    # sum <= 1 — dangling hosts leak mass by design, same formula both
+    # engines), and hosts with more distinct in-edges outrank the floor.
+    from crawspark.registry import load_all
+
+    reg = load_all()
+    rows = reg["pagerank_hosts"].spark(
+        spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) >= 10
+    ranks = {r["node"]: r["rank"] for r in rows}
+    assert all(v > 0 for v in ranks.values())
+    assert sum(ranks.values()) <= 1.0 + 1e-9
+    floor = (1 - 0.85) / len(ranks)
+    # sources receive no in-links → exactly the floor; linked hosts above
+    srcs = [v for k, v in ranks.items() if k.startswith("src")]
+    hosts = [v for k, v in ranks.items() if not k.startswith("src")]
+    assert srcs and hosts
+    assert all(abs(v - floor) < 1e-12 for v in srcs)
+    assert max(hosts) > floor * 1.5
