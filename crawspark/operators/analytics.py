@@ -236,3 +236,53 @@ def pagerank_hosts(spark, sf_dir):
                          .alias("rank"))
                  .localCheckpoint(eager=True))  # cut the growing lineage
     return ranks
+
+
+@register("approx_quantile_bound", sql="""
+    -- the sketch's accuracy CONTRACT rendered as data: the approx value's
+    -- RANK interval must intersect [(p-eps)n, (p+eps)n], eps=1/accuracy.
+    -- DuckDB pins all-TRUE per lang.
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_quantiles,
+           CAST(count(*) AS BIGINT) AS n_within_bounds
+    FROM (SELECT lang FROM documents GROUP BY lang)
+    CROSS JOIN (SELECT unnest([0.5, 0.9, 0.99]) AS p)
+    GROUP BY lang
+""")
+def approx_quantile_bound(spark, sf_dir):
+    # approx_percentile (Greenwald-Khanna) is the 100 TB path for the
+    # heavy-tail size distribution (exact percentile() sorts per group).
+    # Its guarantee is RANK-space: the returned element's rank interval
+    # [count(<v)+1, count(<=v)] must intersect [(p-eps)n, (p+eps)n].
+    # Spark computes the booleans (sketch + two conditional counts per
+    # lang via one broadcast join); the oracle pins every row TRUE —
+    # "we use a sketch" becomes a driver-hashed accuracy claim.
+    acc = 1000  # eps = 0.1% rank error
+    qs = [0.5, 0.9, 0.99]
+    eps = 1.0 / acc
+    docs = read_testdata(spark, sf_dir, "documents").select("lang", "n_chars")
+    appx = (docs.groupBy("lang")
+            .agg(F.percentile_approx("n_chars", qs, acc).alias("approx")))
+    per_q = (appx.select(
+        "lang", F.posexplode("approx").alias("qi", "a"))
+        .withColumn("p", F.element_at(F.array(*[F.lit(q) for q in qs]),
+                                      F.col("qi") + 1)))
+    joined = docs.join(F.broadcast(per_q), "lang")
+    ranks = (joined.groupBy("lang", "qi", "p", "a")
+             .agg(F.count("*").alias("n"),
+                  F.sum((F.col("n_chars") < F.col("a")).cast("int"))
+                  .alias("rank_lt"),
+                  F.sum((F.col("n_chars") <= F.col("a")).cast("int"))
+                  .alias("rank_le")))
+    # Tolerance = max(1, eps*n) ranks: GK's bound is eps*n but its
+    # discrete summary cannot beat one rank (measured: Spark lands one
+    # rank off the ceil(p*n) target on testdata-sized groups), plus the
+    # ceil-vs-interpolation convention — so the band is [p*n - tol,
+    # p*n + tol] against the value's occupied rank interval.
+    tol = F.greatest(F.lit(1.0), F.lit(eps) * F.col("n"))
+    ok = ((F.col("rank_lt") <= F.col("p") * F.col("n") + tol)
+          & (F.col("rank_le") >= F.col("p") * F.col("n") - tol))
+    return (ranks.select("lang", ok.alias("ok"))
+            .groupBy("lang")
+            .agg(F.count("*").cast("long").alias("n_quantiles"),
+                 F.sum(F.col("ok").cast("int")).cast("long")
+                 .alias("n_within_bounds")))
