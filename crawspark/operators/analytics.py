@@ -286,3 +286,77 @@ def approx_quantile_bound(spark, sf_dir):
             .agg(F.count("*").cast("long").alias("n_quantiles"),
                  F.sum(F.col("ok").cast("int")).cast("long")
                  .alias("n_within_bounds")))
+
+
+# ---------------------------------------------------------------------------
+# Exact heavy hitters in two passes (r4): per-partition Misra-Gries
+# summaries → exact verify on the candidate set. At 10^12 rows a naive
+# groupBy(key) shuffles EVERY key; pass 1 shuffles only <= k candidates
+# per partition (the union of per-partition MG(k) summaries is a superset
+# of every global freq > n/k item, by pigeonhole over partition counts),
+# and pass 2 exact-counts candidates alone via a broadcast semi-join.
+# ---------------------------------------------------------------------------
+
+def _misra_gries_partition(col: str, k: int):
+    import pyarrow as _pa
+
+    def run(batches):
+        counters: dict = {}
+        for batch in batches:
+            for v in batch.column(col).to_pylist():
+                if v in counters:
+                    counters[v] += 1
+                elif len(counters) < k:
+                    counters[v] = 1
+                else:  # decrement-all step (dict compaction)
+                    dead = []
+                    for key in counters:
+                        counters[key] -= 1
+                        if counters[key] == 0:
+                            dead.append(key)
+                    for key in dead:
+                        del counters[key]
+        if counters:
+            yield _pa.RecordBatch.from_pydict(
+                {"candidate": list(counters)})
+
+    return run
+
+
+def heavy_hitters(df, col: str, k: int):
+    """Exact items with frequency > n/k: MG(k) candidates per partition,
+    then exact counts over the (broadcast-small) candidate set only."""
+    from pyspark.sql import functions as F
+
+    cands = (df.select(F.col(col).cast("long").alias(col))
+             .mapInArrow(_misra_gries_partition(col, k),
+                         "candidate long")
+             .distinct())
+    n = df.count()
+    return (df.join(F.broadcast(cands),
+                    df[col].cast("long") == F.col("candidate"), "leftsemi")
+            .groupBy(col)
+            .agg(F.count("*").alias("freq"))
+            .filter(F.col("freq") > n / k))
+
+
+@register("heavy_hitters_users", sql="""
+    SELECT k AS hot_key, count(*) AS freq FROM (
+      SELECT CASE WHEN event_id % 3 < 2 THEN 777777 ELSE user_id END AS k
+      FROM events
+    ) GROUP BY k
+    HAVING count(*) > (SELECT count(*) FROM events) / 20.0
+""")
+def heavy_hitters_users(spark, sf_dir):
+    # Deterministic skew: two thirds of events collapse onto one synthetic
+    # hot key; every real user stays far below n/20. The 2-pass MG path
+    # must return EXACTLY the brute-force group-by-filter result (the
+    # oracle) — candidates superset property + exact verify, end to end.
+    ev = read_testdata(spark, sf_dir, "events")
+    keyed = ev.select(
+        F.when(F.col("event_id") % 3 < 2, 777777)
+        .otherwise(F.col("user_id")).cast("long").alias("hot_key"))
+    # repartition: a single-file scan would make MG a single-partition
+    # exact pass (still correct, but the multi-summary union is the point)
+    keyed = keyed.repartition(spark.sparkContext.defaultParallelism)
+    return heavy_hitters(keyed, "hot_key", 20)

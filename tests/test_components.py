@@ -103,3 +103,24 @@ def test_pagerank_hosts_properties(spark):
     assert srcs and hosts
     assert all(abs(v - floor) < 1e-12 for v in srcs)
     assert max(hosts) > floor * 1.5
+
+
+def test_heavy_hitters_superset_survives_thin_spread(spark):
+    # Adversarial: the heavy hitter is spread EVENLY across partitions
+    # (never locally dominant) among high-cardinality noise — the MG(k)
+    # union must still contain it (pigeonhole: global freq > n/k implies
+    # partition freq > n_p/k somewhere), and the exact pass must emit
+    # exactly the brute-force answer.
+    from pyspark.sql import functions as F
+
+    from crawspark.operators.analytics import heavy_hitters
+
+    # 90k unique noise keys + 10k copies of key 42; k=12 → threshold
+    # n/k = 8333 < 10000 (global ratio 0.1 > 1/13, so MG(12) must keep it
+    # in its best partition even though 625 copies never dominate any
+    # 6250-row partition locally)
+    noise = spark.range(100, 90_100).select(F.col("id").alias("k"))
+    hot = spark.range(10_000).select(F.lit(42).cast("long").alias("k"))
+    df = noise.unionByName(hot).repartition(16)  # hot rows scatter evenly
+    got = heavy_hitters(df, "k", 12).collect()
+    assert [(r["k"], r["freq"]) for r in got] == [(42, 10_000)]
