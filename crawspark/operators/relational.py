@@ -326,6 +326,40 @@ def rollup_lang_source(spark, sf_dir):
             .rollup("lang", "source").agg(F.count("*").alias("n_docs")))
 
 
+@register("cube_lang_source", sql="""
+    SELECT lang, source, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents GROUP BY CUBE (lang, source)
+""")
+def cube_lang_source(spark, sf_dir):
+    # Full CUBE (all four grouping sets) — the OLAP companion to the
+    # rollup query; one pass, Catalyst expands the sets.
+    return (_t(spark, sf_dir, "documents")
+            .cube("lang", "source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_chars").cast("long").alias("total_chars")))
+
+
+@register("pivot_source_by_lang", sql="""
+    SELECT source,
+           CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS en,
+           CAST(sum(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS BIGINT) AS fr,
+           CAST(sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS de,
+           CAST(sum(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) AS BIGINT) AS es,
+           CAST(sum(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS BIGINT) AS zh
+    FROM documents GROUP BY source
+""")
+def pivot_source_by_lang(spark, sf_dir):
+    # Pivot with an EXPLICIT value list: without it Spark runs an extra
+    # distinct-collection job AND the output schema depends on the data —
+    # both wrong at 100 TB (and vs a fixed-schema oracle).
+    return (_t(spark, sf_dir, "documents")
+            .groupBy("source")
+            .pivot("lang", ["en", "fr", "de", "es", "zh"])
+            .agg(F.count(F.lit(1)))  # count(*) star is invalid inside pivot
+            .na.fill(0))
+
+
 # ---------------------------------------------------------------------------
 # Joins (§2.4)
 # ---------------------------------------------------------------------------
