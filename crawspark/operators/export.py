@@ -111,18 +111,12 @@ def scan_csv_json_sources(spark, sf_dir):
     # (type drift, quoting, header loss) flips the hash. Explicit schemas
     # on read: schema inference is an extra full scan at 100 TB and can
     # widen types nondeterministically.
-    import atexit
     import os
-    import shutil
-    import tempfile
-    import zlib
 
+    from crawspark.scratch import scratch_dir
     from crawspark.sources import read_testdata
 
-    base = os.path.join(
-        tempfile.gettempdir(),
-        f"crawspark_srcfmt_{os.getpid()}_{zlib.crc32(sf_dir.encode()):08x}")
-    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    base = scratch_dir("srcfmt", sf_dir)
     csv_dir, json_dir = os.path.join(base, "csv"), os.path.join(base, "json")
     docs = read_testdata(spark, sf_dir, "documents")
     flat = docs.select("doc_id", "lang", "source", "n_chars")

@@ -74,24 +74,32 @@ def _iter_rows(batch: pa.RecordBatch) -> Iterator[dict]:
         yield from batch.slice(start, _SLICE_ROWS).to_pylist()
 
 
-def _rechunk_rows(batches: Iterator[pa.RecordBatch],
-                  target_bytes: int) -> Iterator[list[dict]]:
-    """Stream rows out of Arrow batches, regrouped into lists bounded by
-    cumulative payload bytes (last doc may overshoot: a single monster
-    document always travels alone rather than splitting)."""
+def _chunk_docs(docs: Iterator[dict],
+                target_bytes: int) -> Iterator[list[dict]]:
+    """Regroup interleaved-doc dicts into lists bounded by cumulative
+    payload bytes (last doc may overshoot: a single monster document
+    always travels alone rather than splitting). THE accumulation loop —
+    shared by the batch, fused, and worker-native paths."""
     pending: list[dict] = []
     pending_bytes = 0
-    for batch in batches:
-        for row in _iter_rows(batch):
-            row_bytes = sum(len(s.get("text") or "")
-                            for s in (row.get("spans") or []))
-            pending.append(row)
-            pending_bytes += row_bytes
-            if pending_bytes >= target_bytes:
-                yield pending
-                pending, pending_bytes = [], 0
+    for row in docs:
+        pending.append(row)
+        pending_bytes += sum(len(s.get("text") or "")
+                             for s in (row.get("spans") or []))
+        if pending_bytes >= target_bytes:
+            yield pending
+            pending, pending_bytes = [], 0
     if pending:
         yield pending
+
+
+def _rechunk_rows(batches: Iterator[pa.RecordBatch],
+                  target_bytes: int) -> Iterator[list[dict]]:
+    """Arrow batches → byte-bounded row-dict chunks (slice-wise
+    conversion + _chunk_docs accumulation)."""
+    return _chunk_docs(
+        (row for batch in batches for row in _iter_rows(batch)),
+        target_bytes)
 
 
 def _extract_arrow(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
@@ -152,19 +160,12 @@ def interleave_documents(df: DataFrame) -> DataFrame:
 
 def _interleave_extract_arrow(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
     from crawspark.corpus import interleave_from_text
-    pending: list[dict] = []
-    pending_bytes = 0
-    for batch in batches:
-        for r in _iter_rows(batch):
-            d = interleave_from_text(r["doc_id"], r.get("text") or "",
-                                     r.get("lang") or "en")
-            pending.append(d)
-            pending_bytes += sum(len(s["text"] or "") for s in d["spans"])
-            if pending_bytes >= TARGET_BATCH_BYTES:
-                yield _extract_rows(pending)
-                pending, pending_bytes = [], 0
-    if pending:
-        yield _extract_rows(pending)
+
+    docs = (interleave_from_text(r["doc_id"], r.get("text") or "",
+                                 r.get("lang") or "en")
+            for batch in batches for r in _iter_rows(batch))
+    for rows in _chunk_docs(docs, TARGET_BATCH_BYTES):
+        yield _extract_rows(rows)
 
 
 def interleave_and_extract(df: DataFrame) -> DataFrame:

@@ -270,24 +270,13 @@ def extract_metrics_summary(spark, sf_dir):
     # docs_in/docs_out/spans_out against the frozen extraction. This makes
     # the §2.5 agg_extraction_metrics / §2.1 sink_checkpoint surface
     # driver-verified, not just unit-tested.
-    import atexit
     import os
-    import shutil
-    import tempfile
 
     from crawspark.operators.native_extract import native_extract_job
+    from crawspark.scratch import scratch_dir
 
-    # pid-scoped (like crawspark/bundle.py): two concurrent processes
-    # running this query must not clobber each other's snapshot mid-job.
-    # atexit removes this process's dir so repeated driver runs don't
-    # accumulate corpus snapshots in tempdir.
-    base = os.path.join(
-        tempfile.gettempdir(),
-        f"crawspark_native_{os.getpid()}_"
-        + os.path.basename(sf_dir.rstrip("/")))
-    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    base = scratch_dir("native", sf_dir, clean=("out",))
     inp, out = os.path.join(base, "in"), os.path.join(base, "out")
-    shutil.rmtree(out, ignore_errors=True)
     (interleave_documents(read_testdata(spark, sf_dir, "documents"))
      .repartition(4)  # fixed shard count -> deterministic n_files
      .write.mode("overwrite").parquet(inp))

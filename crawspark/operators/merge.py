@@ -35,7 +35,9 @@ def merge_upsert(spark: SparkSession, backend: SnapshotParquetBackend,
         return
     current = backend.read(spark, table)
     kept = current.join(updates.select(key).distinct(), key, "left_anti")
-    backend.overwrite(kept.unionByName(updates), table)
+    # preserve commit props (e.g. the streaming sink's batch-id marker)
+    backend.overwrite(kept.unionByName(updates), table,
+                      props=backend.table_props(table))
 
 
 @register("merge_upsert_documents", sql="""
@@ -58,20 +60,11 @@ def merge_upsert_documents(spark, sf_dir):
     # per doc_id%50==0 under a new key range; the final per-source
     # aggregate is closed-form in SQL. Pins: matched rows replaced not
     # duplicated, unmatched rows kept, inserts landed, all in one commit.
-    import atexit
-    import os
-    import shutil
-    import tempfile
-    import zlib
-
     from pyspark.sql import functions as F
 
-    base = os.path.join(
-        tempfile.gettempdir(),
-        f"crawspark_merge_{os.getpid()}_{zlib.crc32(sf_dir.encode()):08x}")
-    atexit.register(shutil.rmtree, base, ignore_errors=True)
-    shutil.rmtree(base, ignore_errors=True)
-    backend = SnapshotParquetBackend(base)
+    from crawspark.scratch import scratch_dir_fresh
+
+    backend = SnapshotParquetBackend(scratch_dir_fresh("merge", sf_dir))
     docs = (read_testdata(spark, sf_dir, "documents")
             .select("doc_id", "source", "n_chars"))
     backend.overwrite(docs, "docs")
@@ -97,11 +90,13 @@ def delete_where(spark: SparkSession, backend: SnapshotParquetBackend,
     Returns the number of rows deleted. With real Iceberg this is the
     engine's DELETE (positional/equality deletes); the emulation rewrites
     the survivors — prior snapshots still time-travel to the full data."""
-    current = backend.read(spark, table)
-    survivors = current.filter(~condition)
-    n_deleted = current.count() - survivors.count()
-    backend.overwrite(survivors, table)
-    return n_deleted
+    total = backend.read(spark, table).count()
+    survivors = backend.read(spark, table).filter(~condition)
+    # preserve commit props; count the survivors from the NEW snapshot
+    # (already rewritten, smaller) instead of a third full source scan
+    # (r4 review: three scans per delete)
+    backend.overwrite(survivors, table, props=backend.table_props(table))
+    return total - backend.read(spark, table).count()
 
 
 @register("delete_where_documents", sql="""
@@ -113,20 +108,11 @@ def delete_where(spark: SparkSession, backend: SnapshotParquetBackend,
 def delete_where_documents(spark, sf_dir):
     # DELETE of short docs + a key stripe, then aggregate the survivors;
     # oracle is the complementary filter over the source parquet.
-    import atexit
-    import os
-    import shutil
-    import tempfile
-    import zlib
-
     from pyspark.sql import functions as F
 
-    base = os.path.join(
-        tempfile.gettempdir(),
-        f"crawspark_del_{os.getpid()}_{zlib.crc32(sf_dir.encode()):08x}")
-    atexit.register(shutil.rmtree, base, ignore_errors=True)
-    shutil.rmtree(base, ignore_errors=True)
-    backend = SnapshotParquetBackend(base)
+    from crawspark.scratch import scratch_dir_fresh
+
+    backend = SnapshotParquetBackend(scratch_dir_fresh("del", sf_dir))
     docs = (read_testdata(spark, sf_dir, "documents")
             .select("doc_id", "source", "n_chars"))
     backend.overwrite(docs, "docs")

@@ -159,7 +159,12 @@ def parse_mp4_meta(payload: bytes) -> tuple[int, int, int] | None:
         w = h = 0
         tkhd = _find_box(payload, 0, len(payload), (b"moov", b"trak", b"tkhd"))
         if tkhd is not None:
-            off = tkhd + (92 if payload[tkhd] == 1 else 80)
+            # ISO 14496-12 §8.3.2: after version+flags (4), v0 carries
+            # 20 bytes of times/id/duration (v1: 32), then 8 reserved,
+            # 8 layer/group/volume/reserved, 36 matrix → width at
+            # verflags + 72 (v0) / + 84 (v1). (r4 review: was +76/+88
+            # off-by-4, self-consistent only with the old generator.)
+            off = tkhd + (88 if payload[tkhd] == 1 else 76)
             w16, h16 = struct.unpack(">II", payload[off:off + 8])
             w, h = w16 >> 16, h16 >> 16
         return duration * 1000 // timescale, w, h
@@ -213,7 +218,7 @@ def make_mp4_bytes(duration_ms: int, w: int, h: int,
     duration = duration_ms * timescale // 1000
     mvhd = box(b"mvhd", b"\x00\x00\x00\x00" + b"\x00" * 8
                + struct.pack(">II", timescale, duration) + b"\x00" * 80)
-    tkhd = box(b"tkhd", b"\x00\x00\x00\x07" + b"\x00" * 76
+    tkhd = box(b"tkhd", b"\x00\x00\x00\x07" + b"\x00" * 72
                + struct.pack(">II", w << 16, h << 16))
     moov = box(b"moov", mvhd + box(b"trak", tkhd))
     ftyp = box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")

@@ -163,12 +163,21 @@ def _lzw_decode(content: bytes) -> bytes:
                 continue
             if code == 257:
                 return bytes(out)
+            if code > len(table):
+                # KwKwK is only valid for code == len(table); anything
+                # beyond means a desynchronized stream (corrupt data or
+                # an EarlyChange=0 encoder) — raise so _decode_filters
+                # skips the stream like every other corrupt-filter case
+                # instead of emitting garbage text (r4 review finding)
+                raise ValueError("LZW code out of range")
             if prev is None:
+                if code == len(table):
+                    raise ValueError("LZW KwKwK with no previous entry")
                 entry = table[code]
             elif code < len(table):
                 entry = table[code]
                 table.append(prev + entry[:1])
-            else:  # KwKwK case
+            else:  # KwKwK case (code == len(table))
                 entry = prev + prev[:1]
                 table.append(entry)
             out += entry
@@ -201,8 +210,14 @@ def _runlength_decode(content: bytes) -> bytes:
 def _decode_filters(body: bytes, content: bytes) -> bytes | None:
     """Apply the object's /Filter chain (name or array, in order) to raw
     stream bytes. Returns None on an unsupported filter or corrupt data —
-    callers skip the stream, matching the old Flate-only behavior."""
-    fm = _RE_FILTER.search(body)
+    callers skip the stream, matching the old Flate-only behavior.
+
+    The /Filter search is bounded to the DICT region (before the stream
+    keyword): a literal "/Filter /DCTDecode" inside an unfiltered content
+    stream's text must not be mistaken for the object's filter chain
+    (r4 review finding — reproduced dropping a valid stream)."""
+    km = _RE_STREAM_KW.search(body)
+    fm = _RE_FILTER.search(body, 0, km.start() if km else len(body))
     if not fm:
         return content
     if fm.group(1) is not None:

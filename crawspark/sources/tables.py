@@ -290,9 +290,10 @@ class SnapshotParquetBackend(TableBackend):
         new = self._write_commit_files(df, name, None)
         self._commit(name, prev + new, df.schema.json(), props)
 
-    def overwrite(self, df: DataFrame, name: str) -> None:
+    def overwrite(self, df: DataFrame, name: str,
+                  props: dict | None = None) -> None:
         self._commit(name, self._write_commit_files(df, name, None),
-                     df.schema.json())
+                     df.schema.json(), props)
 
     def overwrite_partitions(self, df: DataFrame, name: str,
                              partition_col: str) -> None:
@@ -326,7 +327,11 @@ class SnapshotParquetBackend(TableBackend):
                 f"table '{name}' is partitioned; compact per partition "
                 f"via overwrite_partitions instead")
         df = self.read(spark, name).coalesce(target_files)
-        self.overwrite(df, name)
+        # carry the current snapshot's props forward: compaction must not
+        # erase the streaming sink's batch-id idempotence marker (r4
+        # review — a maintenance run between a commit and a checkpoint
+        # write would otherwise reopen the duplicate-replay window)
+        self.overwrite(df, name, props=self.table_props(name))
         return self.current_version(name)
 
     def expire_snapshots(self, name: str, keep_last: int = 1) -> list[int]:

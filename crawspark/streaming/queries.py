@@ -13,9 +13,6 @@ compare verifies on every run.
 from __future__ import annotations
 
 import os
-import shutil
-import tempfile
-import zlib
 
 from pyspark.sql import functions as F
 
@@ -33,25 +30,15 @@ def stream_extract_incremental(spark, sf_dir):
     from crawspark.sources import read_testdata
     from crawspark.streaming.extract_stream import run_available_now
 
-    # crc32, not builtin hash() (salted per process); pid-scoped so a
-    # concurrent driver + pytest pair cannot clobber each other's
-    # snapshot or streaming checkpoint mid-drain. Re-runs within one
-    # process reuse the same dir; atexit removes it so driver runs don't
-    # accumulate corpus snapshots in tempdir.
-    import atexit
+    from crawspark.scratch import scratch_dir
 
-    base = os.path.join(
-        tempfile.gettempdir(),
-        f"crawspark_stream_{os.getpid()}_{zlib.crc32(sf_dir.encode()):08x}")
-    atexit.register(shutil.rmtree, base, ignore_errors=True)
-    inp, out, ck = (os.path.join(base, d) for d in ("in", "out", "ck"))
     # fresh drain per invocation: clear sink + stream checkpoint, rewrite
     # the input snapshot (a second invocation with the checkpoint kept
     # would correctly drain zero new files — tested in
     # tests/test_streaming.py — but the registry contract wants the
     # full result every run).
-    for d in (out, ck):
-        shutil.rmtree(d, ignore_errors=True)
+    base = scratch_dir("stream", sf_dir, clean=("out", "ck"))
+    inp, out, ck = (os.path.join(base, d) for d in ("in", "out", "ck"))
     (interleave_documents(read_testdata(spark, sf_dir, "documents"))
      .write.mode("overwrite").parquet(inp))
     if not run_available_now(spark, inp, out, ck, timeout_sec=600):
@@ -76,19 +63,13 @@ def stream_join_user_activity(spark, sf_dir):
     inner join pairs same-user events within 10 minutes, and the drained
     sink aggregates per user — hash-checked against the equivalent batch
     join in DuckDB (stream/batch parity is the correctness claim)."""
-    import atexit
-
+    from crawspark.scratch import scratch_dir
     from crawspark.sources import read_testdata
     from crawspark.streaming.joined import run_join_available_now
 
-    base = os.path.join(
-        tempfile.gettempdir(),
-        f"crawspark_sjoin_{os.getpid()}_{zlib.crc32(sf_dir.encode()):08x}")
-    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    base = scratch_dir("sjoin", sf_dir, clean=("out", "ck"))
     left, right, out, ck = (os.path.join(base, d)
                             for d in ("left", "right", "out", "ck"))
-    for d in (out, ck):
-        shutil.rmtree(d, ignore_errors=True)
     events = read_testdata(spark, sf_dir, "events")
     (events.filter(F.col("event_id") % 2 == 0)
      .coalesce(2).write.mode("overwrite").parquet(left))
@@ -126,20 +107,14 @@ def stream_extract_snapshot(spark, sf_dir):
     hash-checked against the frozen extraction oracle. Complements
     stream_extract_incremental (plain parquet sink) with the
     exactly-once-under-replay lakehouse path."""
-    import atexit
-
     from crawspark.operators.extract import interleave_documents
+    from crawspark.scratch import scratch_dir
     from crawspark.sources import read_testdata
     from crawspark.sources.tables import SnapshotParquetBackend
     from crawspark.streaming.snapshot_sink import run_extract_to_snapshot
 
-    base = os.path.join(
-        tempfile.gettempdir(),
-        f"crawspark_ssnap_{os.getpid()}_{zlib.crc32(sf_dir.encode()):08x}")
-    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    base = scratch_dir("ssnap", sf_dir, clean=("ck", "tbl"))
     inp, ck, troot = (os.path.join(base, d) for d in ("in", "ck", "tbl"))
-    for d in (ck, troot):
-        shutil.rmtree(d, ignore_errors=True)
     (interleave_documents(read_testdata(spark, sf_dir, "documents"))
      .coalesce(3).write.mode("overwrite").parquet(inp))
     backend = SnapshotParquetBackend(troot)

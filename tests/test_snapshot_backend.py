@@ -268,3 +268,31 @@ def test_expire_keeps_files_shared_with_survivors(spark, be):
     be.append(spark.createDataFrame([(2, "b")], "k long, v string"), "t_s")
     assert be.expire_snapshots("t_s", keep_last=1) == [1]
     assert sorted(r["k"] for r in be.read(spark, "t_s").collect()) == [1, 2]
+
+
+def test_maintenance_preserves_stream_idempotence_marker(spark, be):
+    # r4 review finding: compact()/merge/delete between a stream commit
+    # and its checkpoint write must NOT erase the batch-id marker —
+    # otherwise a replayed microbatch duplicates rows.
+    from crawspark.corpus import make_doc
+    from crawspark.operators.merge import delete_where, merge_upsert
+    from crawspark.schema import DOCUMENTS_INTERLEAVED
+    from crawspark.streaming.snapshot_sink import commit_batch
+
+    docs = [make_doc(21, i) for i in range(6)]
+    df = spark.createDataFrame([(d["doc_id"], d["spans"]) for d in docs],
+                               schema=DOCUMENTS_INTERLEAVED)
+    assert commit_batch(be, "t_m", df, 3) is True
+    n = be.read(spark, "t_m").count()
+    be.compact(spark, "t_m", target_files=1)
+    assert be.table_props("t_m").get("stream_batch_id") == 3
+    assert commit_batch(be, "t_m", df, 3) is False  # replay still no-op
+    from pyspark.sql import functions as F
+    delete_where(spark, be, "t_m", F.col("n_spans") < 0)  # deletes nothing
+    assert be.table_props("t_m").get("stream_batch_id") == 3
+    assert commit_batch(be, "t_m", df, 2) is False
+    assert be.read(spark, "t_m").count() == n
+    # merge preserves it too
+    merge_upsert(spark, be, "t_m",
+                 be.read(spark, "t_m").limit(1), "doc_id")
+    assert be.table_props("t_m").get("stream_batch_id") == 3
