@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
+from crawspark.operators.extraction_queries import _sf_sql
 from crawspark.registry import register
 from crawspark.sources import read_testdata
 
@@ -634,3 +635,84 @@ def events_json_extract(spark, sf_dir):
             .groupBy("k_mod")
             .agg(F.count("*").alias("n_events"),
                  F.round(F.sum("value"), 2).alias("sum_value")))
+
+
+@register("robots_filter_frontier", sql=_sf_sql("""
+    -- closed form of the synthesized per-host robots (see the Spark
+    -- side): len(host)%3==0 → all disallowed; ==1 → /d... disallowed
+    -- unless /d1... (longest-match); ==2 → crawspark group, empty
+    -- Disallow (all allowed) with Crawl-delay 2.
+    SELECT host, count(*) AS n_urls,
+           CAST(sum(CASE
+             WHEN length(host) % 3 = 0 THEN 0
+             WHEN length(host) % 3 = 1
+               THEN CASE WHEN path LIKE '/d1%' THEN 1 ELSE 0 END
+             ELSE 1 END) AS BIGINT) AS n_allowed,
+           CAST(CASE WHEN length(host) % 3 = 2 THEN 2.0 END AS DOUBLE)
+             AS crawl_delay
+    FROM (
+      SELECT lower(regexp_extract(link, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1))
+               AS host,
+             regexp_extract(link, '^[a-z][a-z0-9+.-]*://[^/?#]+([^?#]*)', 1)
+               AS path
+      FROM (SELECT unnest(outlinks) AS link FROM __ORACLE_PQ__)
+    ) WHERE host <> '' GROUP BY host
+"""))
+def robots_filter_frontier(spark, sf_dir):
+    """Politeness gate for the crawl frontier [R: crawtext fetch loop;
+    RFC 9309]: every outlink URL from the extraction is decided against
+    its host's robots.txt by the from-scratch parser (user-agent group
+    selection, longest-match Allow/Disallow, empty-Disallow, crawl
+    delay). Robots texts are synthesized deterministically per host so
+    the DuckDB oracle can state the expected decisions in closed form —
+    the PARSER is the thing under test, per-host rows hashed."""
+    from collections.abc import Iterator as _Iter
+
+    import pandas as pd
+
+    from crawspark.operators.extraction_queries import _extracted
+
+    def robots_text_for(host: str) -> str:
+        m = len(host) % 3
+        if m == 0:
+            return "User-agent: *\nDisallow: /\n"
+        if m == 1:
+            return ("# tag pages are fine\nUser-agent: googlebot\n"
+                    "Disallow: /\n\nUser-agent: *\nDisallow: /d\n"
+                    "Allow: /d1\n")
+        return ("User-agent: crawspark\nCrawl-delay: 2\nDisallow:\n\n"
+                "User-agent: *\nDisallow: /\n")
+
+    def decide(batches: _Iter[pd.DataFrame]) -> _Iter[pd.DataFrame]:
+        from crawspark.oracle.robots import parse_robots, robots_allowed
+        cache: dict = {}
+        for pdf in batches:
+            allowed, delays = [], []
+            for host, path in zip(pdf["host"], pdf["path"]):
+                if host not in cache:
+                    cache[host] = parse_robots(robots_text_for(host),
+                                               "crawspark")
+                g = cache[host]
+                allowed.append(bool(robots_allowed(g["rules"], path)))
+                delays.append(g["crawl_delay"])
+            yield pd.DataFrame({"host": pdf["host"],
+                                "allowed": allowed,
+                                "crawl_delay": delays})
+
+    ext = _extracted(spark, sf_dir)
+    urls = (ext.select(F.explode("outlinks").alias("link"))
+            .select(
+                F.lower(F.regexp_extract(
+                    "link", r"^[a-z][a-z0-9+.-]*://([^/?#]+)", 1))
+                .alias("host"),
+                F.regexp_extract(
+                    "link", r"^[a-z][a-z0-9+.-]*://[^/?#]+([^?#]*)", 1)
+                .alias("path"))
+            .filter(F.col("host") != ""))
+    decided = urls.mapInPandas(
+        decide, "host string, allowed boolean, crawl_delay double")
+    return (decided.groupBy("host")
+            .agg(F.count("*").alias("n_urls"),
+                 F.sum(F.col("allowed").cast("int")).cast("long")
+                 .alias("n_allowed"),
+                 F.max("crawl_delay").alias("crawl_delay")))

@@ -212,3 +212,55 @@ def test_multilingual_synthetic_corpus():
         if doc["spans"][0]["kind"] == "html":
             assert res["n_spans"] >= 2, (res["lang"], doc["doc_id"])
     assert set(seen) == set(langs), seen
+
+
+def test_robots_parser_rfc_semantics():
+    from crawspark.oracle.robots import parse_robots, robots_allowed
+
+    txt = """# comment
+User-agent: googlebot
+Disallow: /
+
+User-agent: crawspark-news
+User-agent: other
+Crawl-delay: 1.5
+Disallow: /private
+Allow: /private/ok
+Disallow: /*.pdf$
+
+User-agent: *
+Disallow: /tmp
+"""
+    # longest substring UA match: 'crawspark-news' group (not * / googlebot)
+    g = parse_robots(txt, "Crawspark-News/1.0")
+    assert g["crawl_delay"] == 1.5
+    r = g["rules"]
+    assert robots_allowed(r, "/public/page") is True
+    assert robots_allowed(r, "/private/secret") is False
+    # longest-match: Allow /private/ok (len 11) beats Disallow /private (8)
+    assert robots_allowed(r, "/private/ok/page") is True
+    # wildcard + end anchor
+    assert robots_allowed(r, "/docs/file.pdf") is False
+    assert robots_allowed(r, "/docs/file.pdfx") is True
+    # fallback group for unknown agents
+    g2 = parse_robots(txt, "SomethingElse")
+    assert robots_allowed(g2["rules"], "/tmp/x") is False
+    assert robots_allowed(g2["rules"], "/ok") is True
+    # googlebot fully blocked
+    assert robots_allowed(parse_robots(txt, "googlebot")["rules"], "/") \
+        is False
+
+
+def test_robots_edge_cases():
+    from crawspark.oracle.robots import parse_robots, robots_allowed
+
+    # empty Disallow = allow all; rules before any UA line ignored;
+    # garbage lines skipped; no matching group = allow all
+    txt = "Disallow: /orphan\nUser-agent: *\nDisallow:\nnot a rule line\n"
+    g = parse_robots(txt, "anybot")
+    assert robots_allowed(g["rules"], "/orphan/x") is True
+    assert parse_robots("", "x") == {"rules": [], "crawl_delay": None}
+    assert robots_allowed([], "/anything") is True
+    # Allow wins a specificity tie (RFC 9309 §2.2.2)
+    rules = [(False, "/a"), (True, "/a")]
+    assert robots_allowed(rules, "/a/page") is True
