@@ -716,3 +716,52 @@ def robots_filter_frontier(spark, sf_dir):
                  F.sum(F.col("allowed").cast("int")).cast("long")
                  .alias("n_allowed"),
                  F.max("crawl_delay").alias("crawl_delay")))
+
+
+@register("canonicalize_outlinks", sql=_sf_sql("""
+    -- same normalization chain as the Spark side, step by step
+    SELECT canon, count(*) AS n_urls FROM (
+      SELECT
+        CASE WHEN path_q = '' THEN base || '/' ELSE base || path_q END AS canon
+      FROM (
+        SELECT lower(regexp_extract(u, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1))
+               || '://' ||
+               lower(regexp_extract(u, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1))
+               AS base0,
+               regexp_extract(u, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^#]*)', 1)
+               AS pq
+        FROM (SELECT regexp_replace(unnest(outlinks), '#.*$', '') AS u
+              FROM __ORACLE_PQ__)
+      ), LATERAL (
+        SELECT regexp_replace(regexp_replace(base0, ':80$', ''),
+                              ':443$', '') AS base,
+               regexp_replace(pq, '\\?$', '') AS path_q
+      )
+      WHERE base0 LIKE '%://%' AND base0 NOT LIKE '://%'
+    ) GROUP BY canon
+"""))
+def canonicalize_outlinks(spark, sf_dir):
+    """URL canonicalization before frontier dedup [R: url.py normalize —
+    the reference lowercases scheme/host, strips fragments, drops default
+    ports so the same page never enters the queue twice]: lowercase
+    scheme+host, drop #fragment, drop :80/:443 default ports, drop a
+    trailing empty '?', empty path → '/'. One shared step order with the
+    oracle SQL, per-canonical-URL counts hashed."""
+    from crawspark.operators.extraction_queries import _extracted
+
+    ext = _extracted(spark, sf_dir)
+    u = F.regexp_replace(F.col("link"), r"#.*$", "")
+    scheme = F.lower(F.regexp_extract(u, r"^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
+    host = F.lower(F.regexp_extract(
+        u, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)", 1))
+    pq = F.regexp_extract(u, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^#]*)", 1)
+    base0 = F.concat(scheme, F.lit("://"), host)
+    base = F.regexp_replace(F.regexp_replace(base0, r":80$", ""),
+                            r":443$", "")
+    path_q = F.regexp_replace(pq, r"\?$", "")
+    canon = F.when(path_q == "", F.concat(base, F.lit("/"))) \
+        .otherwise(F.concat(base, path_q))
+    return (ext.select(F.explode("outlinks").alias("link"))
+            .select(canon.alias("canon"), scheme.alias("s"))
+            .filter(F.col("s") != "")
+            .groupBy("canon").agg(F.count("*").alias("n_urls")))
