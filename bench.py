@@ -189,14 +189,28 @@ def main() -> None:
         bench(name, lambda n=name: registry[n].spark(spark, SF_DIR))
 
     total = round(sum(timings.values()), 3)
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(json.dumps({
         "metric": "headline_suite_sec",
         "value": total,
         "unit": "sec",
         "queries": timings,
-        "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
+        "sf": sf,
         "cpus": CPUS,
         "extra": extra,
+    }))
+    # The full record above has grown past what the driver's output-tail
+    # capture keeps (BENCH_r04.json arrived `parsed: null` — its HEAD was
+    # truncated mid-line). Emit a second, minimal record LAST so the tail
+    # always ends with a complete parseable JSON line carrying the
+    # headline fields plus the per-query map (small: name -> seconds).
+    print(json.dumps({
+        "metric": "headline_suite_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": CPUS,
     }))
     spark.stop()
 
