@@ -35,6 +35,13 @@ def _iceberg_available(spark: SparkSession) -> bool:
         return False
 
 
+class CommitFailedException(RuntimeError):
+    """Optimistic-concurrency conflict: the table's current snapshot moved
+    between this writer's read and its commit (Iceberg's
+    CommitFailedException). The write left no visible state — re-read the
+    table and retry the operation on the new base."""
+
+
 class TableBackend:
     """Minimal table interface used by all jobs."""
 
@@ -108,10 +115,17 @@ class SnapshotParquetBackend(TableBackend):
     - dynamic partition overwrite: replaces exactly the partition values
       present in the incoming frame, like Iceberg's
       ``overwritePartitions`` (the partition column is kept IN the data
-      files; the ``__pv=`` directory layer is manifest bookkeeping only).
-
-    Single-writer optimistic model (last pointer flip wins) — matching
-    how the pipeline's checkpointed jobs use tables.
+      files; the ``__pv=`` directory layer is manifest bookkeeping only);
+    - optimistic concurrency (r5, VERDICT r4 #5): every write records the
+      base version it read; the commit CLAIMS version base+1 by
+      atomically hard-linking its manifest into place (``os.link`` fails
+      if the name exists — a filesystem compare-and-swap, the same
+      rename-without-overwrite arbitration Iceberg's Hadoop catalog
+      uses), and raises ``CommitFailedException`` when the pointer moved
+      or another writer claimed the version first. Lost updates are
+      impossible; the loser re-reads and retries. Each attempt writes to
+      a unique ``data/v{N}-{token}/`` dir so two racing writers can
+      never clobber each other's uncommitted files.
     """
 
     def __init__(self, root: str):
@@ -157,39 +171,102 @@ class SnapshotParquetBackend(TableBackend):
 
     def _commit(self, name: str, entries: list[dict],
                 schema_json: str | None = None,
-                props: dict | None = None) -> int:
+                props: dict | None = None,
+                expected_base: int | None = None) -> int:
         """Write manifest v(N+1) and flip the pointer, both atomically.
         The committed DataFrame's schema rides in the manifest so a
         ZERO-entry snapshot (overwrite with an empty frame, or an
         overwrite_partitions that replaces everything with nothing) stays
-        readable as an empty scan — Iceberg semantics (ADVICE r3)."""
+        readable as an empty scan — Iceberg semantics (ADVICE r3).
+
+        ``expected_base``: the version this writer READ when it planned
+        the commit (r5). If the pointer has moved since, the entries list
+        was computed against a stale snapshot (lost update) — refuse with
+        CommitFailedException. The manifest itself is claimed with
+        ``os.link`` (fails if the name exists): of two racers at the same
+        base, exactly one wins the version number; the other gets
+        CommitFailedException and must replan. None = legacy single-writer
+        call (streaming sink's commit_batch serializes externally)."""
         import json
         import tempfile
 
-        version = self.current_version(name) + 1
+        current = self.current_version(name)
+        if expected_base is not None and current != expected_base:
+            raise CommitFailedException(
+                f"table '{name}': base snapshot moved v{expected_base} -> "
+                f"v{current} since this write was planned; re-read and retry")
+        version = current + 1
         mdir = os.path.join(self._dir(name), "manifests")
         os.makedirs(mdir, exist_ok=True)
         fd, tmp = tempfile.mkstemp(dir=mdir, suffix=".tmp")
         with os.fdopen(fd, "w") as fh:
             json.dump({"version": version, "entries": entries,
                        "schema": schema_json, "props": props or {}}, fh)
-        os.replace(tmp, self._manifest(name, version))
+        try:
+            # CAS: hard-link refuses to overwrite — exactly one writer can
+            # claim manifests/v{N}.json. (os.replace would let the second
+            # racer silently clobber the winner's manifest.)
+            os.link(tmp, self._manifest(name, version))
+        except FileExistsError:
+            raise CommitFailedException(
+                f"table '{name}': version v{version} already claimed by a "
+                f"concurrent writer (or crash debris — run "
+                f"recover_failed_commit to clean an abandoned attempt)")
+        finally:
+            os.unlink(tmp)
         fd, tmp = tempfile.mkstemp(dir=self._dir(name), suffix=".tmp")
         with os.fdopen(fd, "w") as fh:
             fh.write(str(version))
         os.replace(tmp, self._version_ptr(name))
         return version
 
+    def recover_failed_commit(self, name: str) -> list[int]:
+        """Maintenance: drop manifests above the VERSION pointer (claimed
+        by writers that died before their pointer flip) and their
+        now-orphaned data dirs, so the version numbers become claimable
+        again. Iceberg twin: cleanup of a failed commit's metadata file.
+        Only safe when no writer is live on this table. Returns the
+        removed manifest versions."""
+        import shutil
+
+        current = self.current_version(name)
+        mdir = os.path.join(self._dir(name), "manifests")
+        if not os.path.isdir(mdir):
+            return []
+        removed = []
+        referenced: set[str] = set()
+        for v in self.snapshots(name):
+            for e in self._load_manifest(name, v)["entries"]:
+                referenced.add(e["path"])
+        for f in sorted(os.listdir(mdir)):
+            if not (f.startswith("v") and f.endswith(".json")):
+                continue
+            v = int(f[1:-5])
+            if v <= current:
+                continue
+            for e in self._load_manifest(name, v)["entries"]:
+                if e["path"] not in referenced:
+                    d = os.path.dirname(os.path.join(self.root, e["path"]))
+                    shutil.rmtree(d, ignore_errors=True)
+            os.remove(os.path.join(mdir, f))
+            removed.append(v)
+        return removed
+
     def _write_commit_files(self, df: DataFrame, name: str,
-                            partition_col: str | None) -> list[dict]:
-        """Materialize df into the NEXT commit's immutable directory and
-        return its manifest entries."""
+                            partition_col: str | None,
+                            base: int | None = None) -> list[dict]:
+        """Materialize df into a fresh immutable attempt directory and
+        return its manifest entries. The dir name carries a random token
+        (like Iceberg's UUID data-file names) so two writers racing from
+        the same base version can never clobber each other's uncommitted
+        files; an abandoned attempt leaves an unreferenced dir that
+        recover_failed_commit / expire_snapshots can sweep."""
+        import uuid
+
+        if base is None:
+            base = self.current_version(name)
         commit_dir = os.path.join(
-            self._dir(name), "data", f"v{self.current_version(name) + 1}")
-        # mode=overwrite: committed dirs are immutable because the version
-        # counter never reuses a number AFTER a successful pointer flip —
-        # but a crashed (uncommitted, unreferenced) attempt leaves this
-        # same dir behind, and the retry must be able to clobber it.
+            self._dir(name), "data", f"v{base + 1}-{uuid.uuid4().hex[:8]}")
         if partition_col is None:
             df.write.mode("overwrite").parquet(commit_dir)
         else:
@@ -260,8 +337,8 @@ class SnapshotParquetBackend(TableBackend):
                     .parquet(*paths))
         return spark.read.parquet(*paths)  # pre-r4 manifest (no schema)
 
-    def _live_entries(self, name: str) -> list[dict]:
-        v = self.current_version(name)
+    def _live_entries(self, name: str, version: int | None = None) -> list[dict]:
+        v = self.current_version(name) if version is None else version
         return [] if v == 0 else self._load_manifest(name, v)["entries"]
 
     def table_props(self, name: str) -> dict:
@@ -277,7 +354,8 @@ class SnapshotParquetBackend(TableBackend):
 
     def append(self, df: DataFrame, name: str,
                props: dict | None = None) -> None:
-        prev = self._live_entries(name)
+        base = self.current_version(name)
+        prev = self._live_entries(name, base)
         if any(e["partition"] is not None for e in prev):
             # Unpartitioned entries are invisible to overwrite_partitions'
             # replaced-set matching — mixing the modes would later KEEP
@@ -287,27 +365,30 @@ class SnapshotParquetBackend(TableBackend):
                 f"table '{name}' is partitioned; append would write rows "
                 f"outside the partition bookkeeping — use "
                 f"overwrite_partitions (or overwrite to reset)")
-        new = self._write_commit_files(df, name, None)
-        self._commit(name, prev + new, df.schema.json(), props)
+        new = self._write_commit_files(df, name, None, base)
+        self._commit(name, prev + new, df.schema.json(), props,
+                     expected_base=base)
 
     def overwrite(self, df: DataFrame, name: str,
                   props: dict | None = None) -> None:
-        self._commit(name, self._write_commit_files(df, name, None),
-                     df.schema.json(), props)
+        base = self.current_version(name)
+        self._commit(name, self._write_commit_files(df, name, None, base),
+                     df.schema.json(), props, expected_base=base)
 
     def overwrite_partitions(self, df: DataFrame, name: str,
                              partition_col: str) -> None:
-        prev = self._live_entries(name)
+        base = self.current_version(name)
+        prev = self._live_entries(name, base)
         if any(e["partition"] is None for e in prev):
             raise ValueError(
                 f"table '{name}' holds unpartitioned commits whose rows "
                 f"cannot be matched to replaced partitions — silent "
                 f"duplication instead of Iceberg overwritePartitions "
                 f"semantics; overwrite the table or keep one write mode")
-        new = self._write_commit_files(df, name, partition_col)
+        new = self._write_commit_files(df, name, partition_col, base)
         replaced = {e["partition"] for e in new}
         kept = [e for e in prev if e["partition"] not in replaced]
-        self._commit(name, kept + new, df.schema.json())
+        self._commit(name, kept + new, df.schema.json(), expected_base=base)
 
     def exists(self, spark: SparkSession, name: str) -> bool:
         return self.current_version(name) > 0

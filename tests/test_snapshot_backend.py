@@ -67,6 +67,55 @@ def test_crash_between_write_and_commit_is_invisible(spark, be):
     assert be.snapshots("t") == [1, 2]
 
 
+def test_optimistic_concurrency_rejects_lost_update(spark, be):
+    # Two writers interleave from the same base snapshot: the first
+    # commit wins; the second gets CommitFailedException instead of
+    # silently flattening the winner's rows (the lost-update Iceberg's
+    # optimistic model forbids). A retry from the new base keeps BOTH.
+    from crawspark.sources.tables import CommitFailedException
+
+    a = spark.createDataFrame([(1, "a")], "k long, v string")
+    be.append(a, "t")                                          # v1
+    base = be.current_version("t")
+    # writer A plans its commit against v1...
+    prev_a = be._live_entries("t", base)
+    new_a = be._write_commit_files(
+        spark.createDataFrame([(2, "b")], "k long, v string"), "t", None,
+        base)
+    # ...but writer B (also from v1) commits first
+    be.append(spark.createDataFrame([(3, "c")], "k long, v string"), "t")
+    with pytest.raises(CommitFailedException, match="moved"):
+        be._commit("t", prev_a + new_a, a.schema.json(), expected_base=base)
+    # nothing of A became visible; B's commit is intact
+    assert _rows(be.read(spark, "t")) == [(1, "a"), (3, "c")]
+    # A retries on the new base and both writes survive
+    be.append(spark.createDataFrame([(2, "b")], "k long, v string"), "t")
+    assert _rows(be.read(spark, "t")) == [(1, "a"), (2, "b"), (3, "c")]
+
+
+def test_commit_version_claim_is_cas(spark, be):
+    # The version-number claim itself is a filesystem CAS (os.link): a
+    # manifest already holding the number — crash debris from a writer
+    # that died between claim and pointer flip — blocks the commit with
+    # CommitFailedException rather than being clobbered; recovery makes
+    # the number claimable again.
+    import json
+
+    from crawspark.sources.tables import CommitFailedException
+
+    a = spark.createDataFrame([(1, "a")], "k long, v string")
+    be.append(a, "t")                                          # v1
+    mdir = os.path.join(str(be.root), "t", "manifests")
+    with open(os.path.join(mdir, "v2.json"), "w") as fh:
+        json.dump({"version": 2, "entries": [], "schema": None,
+                   "props": {}}, fh)
+    with pytest.raises(CommitFailedException, match="claimed"):
+        be.append(spark.createDataFrame([(2, "b")], "k long, v string"), "t")
+    assert be.recover_failed_commit("t") == [2]
+    be.append(spark.createDataFrame([(2, "b")], "k long, v string"), "t")
+    assert _rows(be.read(spark, "t")) == [(1, "a"), (2, "b")]
+
+
 def test_mixed_write_modes_refused(spark, be):
     # r3 review finding: an appended (unpartitioned) commit is invisible
     # to overwrite_partitions' replaced-set matching — silent duplication
