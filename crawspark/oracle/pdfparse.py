@@ -22,10 +22,14 @@ forms. Stream filters: ``FlateDecode``, ``ASCIIHexDecode``,
 ``ASCII85Decode``, ``LZWDecode`` (EarlyChange=1), ``RunLengthDecode``
 (chained in /Filter order); streams are delimited by a direct
 ``/Length`` when present (raw deflate bytes may contain the
-``endstream``/``endobj`` keywords), textual scan otherwise. Not handled:
-image codec filters (DCT/JPX/CCITT), LZW EarlyChange=0, font encodings
-beyond latin-1 (CID/Type0) — real-corpus gaps documented in
-SURVEY.md §2.3.
+``endstream``/``endobj`` keywords), textual scan otherwise. Simple-font
+encodings (r5): /WinAnsiEncoding, /MacRomanEncoding, /StandardEncoding
+and /Encoding dicts with /BaseEncoding + /Differences resolve
+character-code bytes through an Adobe Glyph List subset, selected per
+show operator by ``Tf``; fonts without a recognized /Encoding keep the
+latin-1 byte mapping. Not handled: image codec filters (DCT/JPX/CCITT),
+LZW EarlyChange=0, CID/Type0 composite fonts (multi-byte codes,
+/ToUnicode CMaps) — real-corpus gaps documented in SURVEY.md §2.3.
 
 Input transport: raw PDF bytes arrive latin-1-mapped into the ``text``
 field of a ``kind='pdf'`` span (FIXTURES.md §1.1) — lossless bytes 0-255.
@@ -50,6 +54,7 @@ _RE_TOKEN = re.compile(
     rb"(?P<num>" + _NUM + rb")\s+(?P<num2>" + _NUM + rb")\s+(?P<op>Td|TD)"
     rb"|(?P<tm>(?:" + _NUM + rb"\s+){6})Tm"
     rb"|(?P<tl>" + _NUM + rb")\s+TL"
+    rb"|/(?P<fname>[^\s/<>()\[\]]+)\s+" + _NUM + rb"\s+Tf"
     rb"|(?P<tstar>T\*)"
     rb"|(?P<bt>BT)"
     rb"|\((?P<str>" + _STR + rb")\)\s*Tj"
@@ -68,20 +73,22 @@ _ESCAPES = {b"n": b"\n", b"r": b"\r", b"t": b"\t", b"b": b"\b", b"f": b"\f",
             b"(": b"(", b")": b")", b"\\": b"\\"}
 
 
-def _unhex(raw: bytes) -> str:
-    """Hex string ``<48656C6C6F>`` → text. Whitespace is ignored and an
-    odd final digit takes an implied trailing 0 (PDF 32000-1 §7.3.4.3);
-    bytes map via latin-1 like literal strings."""
+def _unhex_b(raw: bytes) -> bytes:
+    """Hex string ``<48656C6C6F>`` → raw character-code bytes. Whitespace
+    is ignored and an odd final digit takes an implied trailing 0
+    (PDF 32000-1 §7.3.4.3)."""
     digits = re.sub(rb"\s+", b"", raw)
     if len(digits) % 2:
         digits += b"0"
     try:
-        return bytes.fromhex(digits.decode("ascii")).decode("latin-1")
+        return bytes.fromhex(digits.decode("ascii"))
     except ValueError:
-        return ""
+        return b""
 
 
-def _unescape(raw: bytes) -> str:
+def _unescape_b(raw: bytes) -> bytes:
+    """Literal string ``(...)`` → raw character-code bytes (escape and
+    octal sequences resolved; §7.3.4.2)."""
     out = bytearray()
     i = 0
     while i < len(raw):
@@ -103,7 +110,232 @@ def _unescape(raw: bytes) -> str:
             continue
         out += c
         i += 1
-    return out.decode("latin-1")
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Simple-font encodings (PDF 32000-1 §9.6.5 + Annex D): a font's
+# /Encoding maps character-code bytes to glyphs. Supported:
+# /WinAnsiEncoding (≡ Windows code page 1252 — Python's cp1252 codec),
+# /MacRomanEncoding (Python's mac_roman, patched where Annex D differs:
+# 0xDB is "currency" — the pre-euro Mac OS Roman — and 0xF0, the Apple
+# logo, has no glyph name), /StandardEncoding (Adobe's table, hand-built
+# from Annex D), and encoding DICTS with /BaseEncoding + /Differences
+# overrides. Glyph names resolve through a hand-written Adobe Glyph List
+# subset plus the AGL uniXXXX/uXXXXXX algorithmic names. A font with no
+# recognized /Encoding keeps the historical latin-1 byte mapping (its
+# built-in encoding is unknowable without the font program). Remaining
+# gap: CID/Type0 composite fonts (multi-byte codes, /ToUnicode CMaps).
+# ---------------------------------------------------------------------------
+
+_AGL: dict[str, str] = {
+    # ASCII punctuation / digits (AGL names)
+    "space": " ", "exclam": "!", "quotedbl": '"', "numbersign": "#",
+    "dollar": "$", "percent": "%", "ampersand": "&", "quotesingle": "'",
+    "parenleft": "(", "parenright": ")", "asterisk": "*", "plus": "+",
+    "comma": ",", "hyphen": "-", "period": ".", "slash": "/",
+    "zero": "0", "one": "1", "two": "2", "three": "3", "four": "4",
+    "five": "5", "six": "6", "seven": "7", "eight": "8", "nine": "9",
+    "colon": ":", "semicolon": ";", "less": "<", "equal": "=",
+    "greater": ">", "question": "?", "at": "@", "bracketleft": "[",
+    "backslash": "\\", "bracketright": "]", "asciicircum": "^",
+    "underscore": "_", "grave": "`", "braceleft": "{", "bar": "|",
+    "braceright": "}", "asciitilde": "~",
+    # Latin-1 letters (AGL names = PostScript glyph names)
+    "Agrave": "À", "Aacute": "Á", "Acircumflex": "Â",
+    "Atilde": "Ã", "Adieresis": "Ä", "Aring": "Å",
+    "AE": "Æ", "Ccedilla": "Ç", "Egrave": "È",
+    "Eacute": "É", "Ecircumflex": "Ê", "Edieresis": "Ë",
+    "Igrave": "Ì", "Iacute": "Í", "Icircumflex": "Î",
+    "Idieresis": "Ï", "Eth": "Ð", "Ntilde": "Ñ",
+    "Ograve": "Ò", "Oacute": "Ó", "Ocircumflex": "Ô",
+    "Otilde": "Õ", "Odieresis": "Ö", "multiply": "×",
+    "Oslash": "Ø", "Ugrave": "Ù", "Uacute": "Ú",
+    "Ucircumflex": "Û", "Udieresis": "Ü", "Yacute": "Ý",
+    "Thorn": "Þ", "germandbls": "ß",
+    "agrave": "à", "aacute": "á", "acircumflex": "â",
+    "atilde": "ã", "adieresis": "ä", "aring": "å",
+    "ae": "æ", "ccedilla": "ç", "egrave": "è",
+    "eacute": "é", "ecircumflex": "ê", "edieresis": "ë",
+    "igrave": "ì", "iacute": "í", "icircumflex": "î",
+    "idieresis": "ï", "eth": "ð", "ntilde": "ñ",
+    "ograve": "ò", "oacute": "ó", "ocircumflex": "ô",
+    "otilde": "õ", "odieresis": "ö", "divide": "÷",
+    "oslash": "ø", "ugrave": "ù", "uacute": "ú",
+    "ucircumflex": "û", "udieresis": "ü", "yacute": "ý",
+    "thorn": "þ", "ydieresis": "ÿ",
+    # Latin-1 signs
+    "exclamdown": "¡", "cent": "¢", "sterling": "£",
+    "currency": "¤", "yen": "¥", "brokenbar": "¦",
+    "section": "§", "dieresis": "¨", "copyright": "©",
+    "ordfeminine": "ª", "guillemotleft": "«",
+    "logicalnot": "¬", "registered": "®", "macron": "¯",
+    "degree": "°", "plusminus": "±", "twosuperior": "²",
+    "threesuperior": "³", "acute": "´", "mu": "µ",
+    "paragraph": "¶", "periodcentered": "·", "cedilla": "¸",
+    "onesuperior": "¹", "ordmasculine": "º",
+    "guillemotright": "»", "onequarter": "¼",
+    "onehalf": "½", "threequarters": "¾", "questiondown": "¿",
+    # Typographic / Annex D names beyond Latin-1
+    "quoteleft": "‘", "quoteright": "’",
+    "quotedblleft": "“", "quotedblright": "”",
+    "quotesinglbase": "‚", "quotedblbase": "„",
+    "dagger": "†", "daggerdbl": "‡", "bullet": "•",
+    "ellipsis": "…", "perthousand": "‰",
+    "guilsinglleft": "‹", "guilsinglright": "›",
+    "fraction": "⁄", "florin": "ƒ", "endash": "–",
+    "emdash": "—", "trademark": "™", "Euro": "€",
+    "fi": "ﬁ", "fl": "ﬂ", "circumflex": "ˆ",
+    "caron": "ˇ", "breve": "˘", "dotaccent": "˙",
+    "ring": "˚", "ogonek": "˛", "tilde": "˜",
+    "hungarumlaut": "˝", "Scaron": "Š", "scaron": "š",
+    "Zcaron": "Ž", "zcaron": "ž", "Ydieresis": "Ÿ",
+    "OE": "Œ", "oe": "œ", "Lslash": "Ł", "lslash": "ł",
+    "dotlessi": "ı", "minus": "−",
+}
+for _c in "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ":
+    _AGL[_c] = _c
+
+
+def _glyph_char(name: str) -> str:
+    """Glyph name → text via the AGL subset, the AGL algorithmic
+    uniXXXX / uXXXX[XX] forms, or '' for an unknown name (notdef)."""
+    got = _AGL.get(name)
+    if got is not None:
+        return got
+    try:
+        if name.startswith("uni") and len(name) == 7:
+            return chr(int(name[3:], 16))
+        if name.startswith("u") and len(name) in (5, 7):
+            return chr(int(name[1:], 16))
+    except ValueError:
+        pass
+    return ""
+
+
+# StandardEncoding's deviations from ASCII (Annex D.2, octal codes; all
+# codes outside ASCII and this table are unmapped in StandardEncoding).
+_STD_HIGH = {
+    0o47: "quoteright", 0o140: "quoteleft",
+    0o241: "exclamdown", 0o242: "cent", 0o243: "sterling",
+    0o244: "fraction", 0o245: "yen", 0o246: "florin", 0o247: "section",
+    0o250: "currency", 0o251: "quotesingle", 0o252: "quotedblleft",
+    0o253: "guillemotleft", 0o254: "guilsinglleft",
+    0o255: "guilsinglright", 0o256: "fi", 0o257: "fl",
+    0o261: "endash", 0o262: "dagger", 0o263: "daggerdbl",
+    0o264: "periodcentered", 0o266: "paragraph", 0o267: "bullet",
+    0o270: "quotesinglbase", 0o271: "quotedblbase", 0o272: "quotedblright",
+    0o273: "guillemotright", 0o274: "ellipsis", 0o275: "perthousand",
+    0o277: "questiondown", 0o301: "grave", 0o302: "acute",
+    0o303: "circumflex", 0o304: "tilde", 0o305: "macron", 0o306: "breve",
+    0o307: "dotaccent", 0o310: "dieresis", 0o312: "ring", 0o313: "cedilla",
+    0o315: "hungarumlaut", 0o316: "ogonek", 0o317: "caron",
+    0o320: "emdash", 0o341: "AE", 0o343: "ordfeminine", 0o350: "Lslash",
+    0o351: "Oslash", 0o352: "OE", 0o353: "ordmasculine", 0o361: "ae",
+    0o365: "dotlessi", 0o370: "lslash", 0o371: "oslash", 0o372: "oe",
+    0o373: "germandbls",
+}
+
+
+def _base_table(name: bytes) -> list[str] | None:
+    """256-entry code→text table for a named base encoding, or None for
+    an unrecognized name (callers fall back to latin-1)."""
+    if name == b"WinAnsiEncoding":
+        table = []
+        for i in range(256):
+            try:
+                table.append(bytes([i]).decode("cp1252"))
+            except UnicodeDecodeError:
+                # Annex D note: unused WinAnsi codes map to bullet
+                table.append("•")
+        return table
+    if name == b"MacRomanEncoding":
+        table = [bytes([i]).decode("mac_roman") for i in range(256)]
+        table[0xDB] = "¤"  # Annex D: "currency" (pre-euro Mac Roman)
+        table[0xF0] = ""        # Apple logo — no glyph in Annex D
+        return table
+    if name == b"StandardEncoding":
+        table = [chr(i) if 0x20 <= i <= 0x7E else "" for i in range(256)]
+        for code, glyph in _STD_HIGH.items():
+            table[code] = _glyph_char(glyph)
+        return table
+    return None
+
+
+_RE_RESOURCES_REF = re.compile(rb"/Resources\s+(\d+)\s+0\s+R")
+_RE_FONT_DICT = re.compile(rb"/Font\s*<<(.*?)>>", re.DOTALL)
+_RE_FONT_PAIR = re.compile(rb"/([^\s/<>()\[\]]+)\s+(\d+)\s+0\s+R")
+_RE_ENC_NAME = re.compile(rb"/Encoding\s*/([A-Za-z]+)")
+_RE_ENC_REF = re.compile(rb"/Encoding\s+(\d+)\s+0\s+R")
+_RE_BASE_ENC = re.compile(rb"/BaseEncoding\s*/([A-Za-z]+)")
+_RE_DIFFS = re.compile(rb"/Differences\s*\[(.*?)\]", re.DOTALL)
+_RE_DIFF_TOK = re.compile(rb"(\d+)|/([^\s/\[\]<>()]+)")
+
+
+def _font_table(font_body: bytes,
+                objs: dict[int, bytes]) -> list[str] | None:
+    """Decode table for one font object: named base encoding, or an
+    encoding dict (inline or by reference) with /BaseEncoding +
+    /Differences. None → no recognized /Encoding (latin-1 passthrough)."""
+    enc_body = None
+    nm = _RE_ENC_NAME.search(font_body)
+    if nm:
+        return _base_table(nm.group(1))
+    rm = _RE_ENC_REF.search(font_body)
+    if rm:
+        enc_body = objs.get(int(rm.group(1)))
+    elif b"/Encoding" in font_body:
+        dm = re.search(rb"/Encoding\s*<<(.*?)>>", font_body, re.DOTALL)
+        if dm:
+            enc_body = dm.group(0)
+    if enc_body is None:
+        return None
+    bm = _RE_BASE_ENC.search(enc_body)
+    table = _base_table(bm.group(1)) if bm else None
+    if table is None:
+        # /BaseEncoding absent (or unrecognized): the spec defaults to the
+        # font's built-in encoding; keep the historical latin-1 mapping as
+        # the base under the /Differences overrides.
+        table = [chr(i) for i in range(256)]
+    dm = _RE_DIFFS.search(enc_body)
+    if dm:
+        code = 0
+        for tok in _RE_DIFF_TOK.finditer(dm.group(1)):
+            if tok.group(1) is not None:
+                code = int(tok.group(1))
+            else:
+                if 0 <= code <= 255:
+                    table[code] = _glyph_char(
+                        tok.group(2).decode("latin-1"))
+                code += 1
+    return table
+
+
+def _page_fonts(page_body: bytes,
+                objs: dict[int, bytes]) -> dict[bytes, list[str] | None]:
+    """Font-resource name → decode table for one page. /Resources may be
+    inline in the page dict or an indirect object; the /Font dict's
+    entries are refs to font objects."""
+    region = page_body
+    fm = _RE_FONT_DICT.search(region)
+    if not fm:
+        rm = _RE_RESOURCES_REF.search(page_body)
+        if rm:
+            region = objs.get(int(rm.group(1)), b"")
+            fm = _RE_FONT_DICT.search(region)
+    if not fm:
+        return {}
+    fonts: dict[bytes, list[str] | None] = {}
+    for pm in _RE_FONT_PAIR.finditer(fm.group(1)):
+        body = objs.get(int(pm.group(2)))
+        fonts[pm.group(1)] = _font_table(body, objs) if body else None
+    return fonts
+
+
+def _apply_enc(bs: bytes, enc: list[str] | None) -> str:
+    if enc is None:
+        return bs.decode("latin-1")
+    return "".join(enc[b] for b in bs)
 
 
 # ---------------------------------------------------------------------------
@@ -594,6 +826,8 @@ def extract_pdf_text(payload: str) -> list[str]:
         if not parts:
             continue
         content = b"\n".join(parts)
+        fonts = _page_fonts(body, objs)
+        enc: list[str] | None = None  # current font's decode table
         chunks: list[tuple[float, float, str]] = []  # (y, x, text)
         x = y = leading = 0.0
         for tok in _RE_TOKEN.finditer(content):
@@ -607,6 +841,11 @@ def extract_pdf_text(payload: str) -> list[str]:
                 x, y = float(parts6[4]), float(parts6[5])
             elif tok.group("tl"):
                 leading = float(tok.group("tl"))
+            elif tok.group("fname") is not None:
+                # Tf selects the font — and with it the byte→glyph
+                # encoding for every following show operator. Text
+                # STATE: persists across BT/ET (§9.3.1).
+                enc = fonts.get(tok.group("fname"))
             elif tok.group("tstar"):
                 y -= leading
             elif tok.group("bt"):
@@ -615,25 +854,32 @@ def extract_pdf_text(payload: str) -> list[str]:
                 # §9.3.1) — do not zero the leading here.
                 x = y = 0.0
             elif tok.group("str") is not None:
-                chunks.append((y, x, _unescape(tok.group("str"))))
+                chunks.append((y, x, _apply_enc(_unescape_b(tok.group("str")),
+                                                enc)))
             elif tok.group("hstr") is not None:
-                chunks.append((y, x, _unhex(tok.group("hstr"))))
+                chunks.append((y, x, _apply_enc(_unhex_b(tok.group("hstr")),
+                                                enc)))
             elif tok.group("qstr") is not None:  # ' = T* + show
                 y -= leading
-                chunks.append((y, x, _unescape(tok.group("qstr"))))
+                chunks.append((y, x, _apply_enc(_unescape_b(tok.group("qstr")),
+                                                enc)))
             elif tok.group("hqstr") is not None:
                 y -= leading
-                chunks.append((y, x, _unhex(tok.group("hqstr"))))
+                chunks.append((y, x, _apply_enc(_unhex_b(tok.group("hqstr")),
+                                                enc)))
             elif tok.group("qqstr") is not None:  # " = spacing + T* + show
                 y -= leading
-                chunks.append((y, x, _unescape(tok.group("qqstr"))))
+                chunks.append((y, x, _apply_enc(
+                    _unescape_b(tok.group("qqstr")), enc)))
             elif tok.group("hqqstr") is not None:
                 y -= leading
-                chunks.append((y, x, _unhex(tok.group("hqqstr"))))
+                chunks.append((y, x, _apply_enc(_unhex_b(tok.group("hqqstr")),
+                                                enc)))
             elif tok.group("arr") is not None:
                 text = "".join(
-                    _unescape(s.group("s")) if s.group("s") is not None
-                    else _unhex(s.group("h"))
+                    _apply_enc(_unescape_b(s.group("s")), enc)
+                    if s.group("s") is not None
+                    else _apply_enc(_unhex_b(s.group("h")), enc)
                     for s in _RE_ARR_STR.finditer(tok.group("arr")))
                 chunks.append((y, x, text))
         chunks.sort(key=lambda c: (-c[0], c[1]))
