@@ -78,6 +78,19 @@ _ZH_CONTENT = ("å¸‚åœº ç ”ç©¶ ä¿¡å· å¢žé•¿ æ¡£æ¡ˆ é›†ç¾¤ çª—å£ æ”¿ç­– æŠ¥å‘Š æ
                .split())
 _ZH_STOP = ("çš„ äº† æ˜¯ åœ¨ æˆ‘ æœ‰ å’Œ å°± ä¸ äºº éƒ½ è¿™ ä¸­ å¤§ ä¸º æ¥ ä¸ª åˆ° è¯´ ä»¬ "
             "è¦ ä¹Ÿ ä»– ä¼š ç€ å¥½ è‡ª èƒ½ å¯¹ å¥¹".split())
+# rules_v4: ja sentences join without spaces (kana particles are the
+# stop pool â€” the per-character tokenizer's function chars); ar is
+# space-separated like ru.
+_JA_CONTENT = ("å¸‚å ´ ç ”ç©¶ ä¿¡å· æˆé•· è¨˜éŒ² é›†å›£ çª“å£ æ”¿ç­– å ±å‘Š ç‰©èªž æ‘è½ åº­åœ’ "
+               "å†¬å­£ æ¶ˆæ¯ å•é¡Œ å‹•ç‰© æ­´å² ç§‘å­¦ æŒ‡å°Ž è³‡æº ç³»çµ± æ–‡åŒ– ä¸–ç•Œ æ™‚é–“"
+               .split())
+_JA_STOP = ("ã® ã¯ ã« ã‚’ ãŒ ã¨ ã§ ã¦ ã‚‚ ã  ãª ã„ ã— ãŸ ã‚‹ ã‹ ã‚Œ ã‚‰ "
+            "ã¸ ã° ã‚„ ã‚ˆ ã­ ã† ã“ ã ã¤ ã‚“".split())
+_AR_CONTENT = ("Ø³ÙˆÙ‚ Ø¨Ø­Ø« Ø¥Ø´Ø§Ø±Ø© Ù†Ù…Ùˆ Ø£Ø±Ø´ÙŠÙ Ù…Ø¬Ù…ÙˆØ¹Ø© Ù†Ø§ÙØ°Ø© Ø³ÙŠØ§Ø³Ø© ØªÙ‚Ø±ÙŠØ± Ù‚ØµØ© Ù‚Ø±ÙŠØ© "
+               "Ø­Ø¯ÙŠÙ‚Ø© Ø´ØªØ§Ø¡ Ø±Ø³Ø§Ù„Ø© Ø³Ø¤Ø§Ù„ Ø­ÙŠÙˆØ§Ù† Ø·Ø§Ù‚Ø© Ø¹Ù„Ù… Ø«Ù‚Ø§ÙØ© Ù‚Ø§Ø¦Ø¯ Ù„Ø­Ø¸Ø© Ø¹Ø§Ù„Ù… "
+               "ÙˆÙ‚Øª Ù…Ø¯ÙŠÙ†Ø© Ù…Ø´Ø±ÙˆØ¹".split())
+_AR_STOP = ("ÙÙŠ Ù…Ù† Ø¹Ù„Ù‰ Ø£Ù† Ø¥Ù„Ù‰ Ø¹Ù† Ù…Ø¹ Ù‡Ø°Ø§ Ù‡Ø°Ù‡ Ø°Ù„Ùƒ Ø§Ù„ØªÙŠ Ø§Ù„Ø°ÙŠ Ù…Ø§ Ù„Ø§ ÙƒØ§Ù† ÙƒØ§Ù†Øª "
+            "Ø£Ùˆ Ø«Ù… ÙƒÙ„ Ø¨ÙŠÙ† Ø¹Ù†Ø¯ Ø­ÙŠØ« ÙƒÙ…Ø§ Ù„ÙƒÙ† Ù‡Ùˆ Ù‡ÙŠ Ù‡Ù… Ù‡Ù†Ø§Ùƒ Ø¨Ø¹Ø¯ Ù‚Ø¨Ù„".split())
 
 _WORDS = {
     "en": None,  # resolved in _sentence (frozen en/fr fast path)
@@ -86,6 +99,8 @@ _WORDS = {
     "it": (_IT_CONTENT, _IT_STOP),
     "pt": (_PT_CONTENT, _PT_STOP),
     "zh": (_ZH_CONTENT, _ZH_STOP),
+    "ja": (_JA_CONTENT, _JA_STOP),
+    "ar": (_AR_CONTENT, _AR_STOP),
 }
 
 _AD_TOKENS = ["sidebar", "advert", "sponsor", "footer-links", "nav-menu",
@@ -115,7 +130,7 @@ def _sentence(rng: random.Random, lang: str, n_words: int) -> str:
     for _ in range(n_words):
         pool = stop if rng.random() < 0.45 else content
         words.append(rng.choice(pool))
-    if lang == "zh":
+    if lang in ("zh", "ja"):
         return "".join(words) + "ã€‚"  # CJK: no whitespace word boundaries
     s = " ".join(words)
     return s[0].upper() + s[1:] + "."
@@ -280,10 +295,12 @@ def make_doc(seed: int, i: int, heavy_tail: bool = False,
                           "media_ref": None, "offset": 0})
     elif roll < 0.90:  # pdf doc
         # PDF literal strings are latin-1 byte streams in our model (CID
-        # fonts for CJK are a documented parse gap) â€” zh PDFs fall back
-        # to English body text, like real zh sites serving latin PDFs.
+        # fonts for CJK/Arabic are a documented parse gap) â€” zh/ja/ar
+        # PDFs fall back to English body text, like real sites serving
+        # latin PDFs alongside non-latin HTML.
+        pdf_lang = "en" if lang in ("zh", "ja", "ar") else lang
         spans.append({"kind": "pdf",
-                      "text": make_pdf(rng, "en" if lang == "zh" else lang),
+                      "text": make_pdf(rng, pdf_lang),
                       "media_ref": None, "offset": 0})
     else:  # plain text doc
         spans.append({"kind": "text", "text": _paragraph(rng, lang, 4),
@@ -340,6 +357,13 @@ _SCAFFOLDS = {
     "nl": ["de", "{w}", "het", "een", "{w}", "en", "van", "dat", "{w}",
            "die", "in", "is", "op", "{w}", "aan", "met", "voor",
            "{w}", "er"],
+    # ja scaffold chars are the per-character tokenizer's function chars
+    # (joined with spaces here; the kana tokens match regardless)
+    "ja": ["ã®", "{w}", "ã¯", "ã«", "{w}", "ã‚’", "ãŒ", "ã¨", "{w}",
+           "ã§", "ã¦", "ã‚‚", "{w}", "ã ", "ãª", "ã—", "{w}", "ãŸ"],
+    "ar": ["ÙÙŠ", "{w}", "Ù…Ù†", "Ø¹Ù„Ù‰", "{w}", "Ø£Ù†", "Ø¥Ù„Ù‰", "Ø¹Ù†", "{w}",
+           "Ù…Ø¹", "Ù‡Ø°Ø§", "ÙƒØ§Ù†", "{w}", "ÙƒÙ„", "Ø§Ù„ØªÙŠ", "Ø§Ù„Ø°ÙŠ", "{w}",
+           "Ù‡Ù†Ø§Ùƒ"],
 }
 
 

@@ -10,8 +10,8 @@ from __future__ import annotations
 import re
 
 from crawspark.oracle.dom import Node
-from crawspark.oracle.stats import tokenize, tokenize_zh
-from crawspark.rules import STOPWORDS, STOPWORDS_ZH, TITLE_SPLITTERS, VOTE_LANGS
+from crawspark.oracle.stats import tokenize, tokenize_for_lang
+from crawspark.rules import STOPWORDS, TITLE_SPLITTERS, VOTE_LANGS
 
 _RE_LANG = re.compile(r"^[a-zA-Z]{2}")
 
@@ -157,18 +157,19 @@ def detect_lang(meta_lang: str, text: str) -> str:
     the reference honors the page-declared language when it has a
     stopword list, else falls back to english].
 
-    zh is voted on per-character tokens (CJK has no whitespace word
-    boundaries); latin languages on lowercased punctuation-split words.
-    Deterministic: pure function of (meta_lang, text)."""
+    zh and ja are voted on per-character tokens (no whitespace word
+    boundaries; ja adds the kana blocks); other languages on lowercased
+    punctuation-split words. Deterministic: pure function of
+    (meta_lang, text)."""
     if meta_lang in STOPWORDS:
         return meta_lang
     words = tokenize(text)
     best_lang, best_count = "en", -1
     for lang in VOTE_LANGS:
-        if lang == "zh":
-            count = sum(1 for t in tokenize_zh(text) if t in STOPWORDS_ZH)
+        sw = STOPWORDS[lang]
+        if lang in ("zh", "ja"):
+            count = sum(1 for t in tokenize_for_lang(text, lang) if t in sw)
         else:
-            sw = STOPWORDS[lang]
             count = sum(1 for w in words if w in sw)
         if count > best_count:
             best_lang, best_count = lang, count

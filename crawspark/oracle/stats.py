@@ -33,13 +33,28 @@ def tokenize(text: str) -> list[str]:
 # [R: goose/text.py::StopWordsChinese — per-character candidate words].
 _RE_ZH_TOKEN = re.compile(r"[一-鿿]|[a-z0-9]+")
 
+# Japanese (rules_v4): zh-style per-character handling extended to the
+# kana blocks — hiragana U+3040–309F, katakana U+30A0–30FF (includes the
+# prolonged-sound mark) — plus Han characters and latin/number runs
+# [R: goose/text.py::StopWordsKorean/Arabic siblings — per-script
+# candidate-word rules].
+_RE_JA_TOKEN = re.compile(r"[一-鿿぀-ゟ゠-ヿ]|[a-z0-9]+")
+
 
 def tokenize_zh(text: str) -> list[str]:
     return _RE_ZH_TOKEN.findall(text.lower())
 
 
+def tokenize_ja(text: str) -> list[str]:
+    return _RE_JA_TOKEN.findall(text.lower())
+
+
 def tokenize_for_lang(text: str, lang: str) -> list[str]:
-    return tokenize_zh(text) if lang == "zh" else tokenize(text)
+    if lang == "zh":
+        return tokenize_zh(text)
+    if lang == "ja":
+        return tokenize_ja(text)
+    return tokenize(text)
 
 
 def word_stats(text: str, lang: str = "en") -> tuple[int, int]:

@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import re
 
-RULES_VERSION = "rules_v3"  # v2: + de/es/it/pt/zh tables; v3: + ru/nl
+RULES_VERSION = "rules_v4"  # v2: + de/es/it/pt/zh; v3: + ru/nl; v4: + ja/ar
 
 # ---------------------------------------------------------------------------
 # Stopwords (compact, frozen subsets; enough for stopword-weighted scoring).
@@ -117,6 +117,29 @@ STOPWORDS_NL = frozenset(
     wil kon niets uw iemand geweest andere""".split()
 )
 
+# Japanese (rules_v4): like zh, Japanese has no whitespace word
+# boundaries, so ja stopword stats run on per-CHARACTER tokens — extended
+# to the kana blocks (oracle/stats.tokenize_ja). The table is kana-only
+# (particles and inflection characters): kanji are shared with Chinese,
+# and keeping them out of the ja table keeps the zh/ja vote separable
+# (ja text votes ja on its kana; zh text scores 0 here)
+# [R: goose stopwords-ja — per-character candidate words like zh].
+STOPWORDS_JA = frozenset(
+    "の は に を が と で て も だ な い し た る か れ ら ず へ ば や "
+    "よ ね う こ そ つ ん ま す り く き け お あ え".split()
+)
+
+# Arabic (rules_v4): space-separated like ru — table-only, no tokenizer
+# variant (\w matches Arabic letters). Undiacritized forms, matching the
+# tokenizer's output on real web text [R: goose stopwords-ar].
+STOPWORDS_AR = frozenset(
+    """في من على أن إلى عن مع هذا هذه ذلك التي الذي ما لا لم لن قد كان
+    كانت كانوا يكون أو ثم حتى إذا كل بعض غير بين عند منذ حيث كما لكن هو
+    هي هم أنا نحن أنت كيف أين متى لماذا هناك هنا ليس بعد قبل فوق تحت
+    أمام حول دون ضد نحو عبر خلال بسبب رغم مثل أي بل إن لقد وقد فيه فيها
+    عليه عليها إليه منه منها له لها بها به الى ان انه انها اذا هذة علي""".split()
+)
+
 STOPWORDS = {
     "en": STOPWORDS_EN,
     "fr": STOPWORDS_FR,
@@ -127,12 +150,15 @@ STOPWORDS = {
     "zh": STOPWORDS_ZH,
     "ru": STOPWORDS_RU,
     "nl": STOPWORDS_NL,
+    "ja": STOPWORDS_JA,
+    "ar": STOPWORDS_AR,
 }
 
 # Deterministic vote order for language detection when no meta lang exists:
 # earlier wins ties (en first keeps the pre-v2 "tie → en" behavior; new
 # languages append so existing vote outcomes never flip on a tie).
-VOTE_LANGS = ("en", "fr", "de", "es", "it", "pt", "zh", "ru", "nl")
+VOTE_LANGS = ("en", "fr", "de", "es", "it", "pt", "zh", "ru", "nl", "ja",
+              "ar")
 
 # ---------------------------------------------------------------------------
 # Boilerplate: node dropped when id/class matches (cleaner stage).

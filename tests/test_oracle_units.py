@@ -202,7 +202,7 @@ def test_multilingual_synthetic_corpus():
                       / "gen_d42-000000000000" / "input.json").read_text())
     assert make_doc(42, 0)["spans"] == exp
 
-    langs = ("en", "fr", "de", "es", "it", "pt", "zh")
+    langs = ("en", "fr", "de", "es", "it", "pt", "zh", "ja", "ar")
     seen = {}
     for doc in make_corpus(150, seed=7, langs=langs):
         res = extract_document(doc["doc_id"], doc["spans"])

@@ -201,6 +201,14 @@ def handcrafted() -> dict[str, list[dict]]:
         "nl": ("de markt was in het dorp een vraag en de mensen van dat "
                "die in de tuin is je verhaal niet zijn op de winter aan "
                "de energie met als voor had er maar om hem dan. "),
+        # rules_v4: ja (kana-heavy, no whitespace — per-character
+        # tokenizer over kana + Han) and ar (space-separated, RTL script)
+        "ja": ("この市場は村の中にあって人々はみなそこにいたのでエネルギーの"
+               "話と冬の物語を庭で共有していたのだということがあるのです。"
+               "研究の報告はその世界の歴史と文化の問題についてのものだった。"),
+        "ar": ("كان السوق في القرية وكان كل الناس هناك مع سؤال عن الطاقة "
+               "من التاريخ في الشتاء الذي كانوا يتشاركونه في الحديقة مع "
+               "الجميع وكانت القصة عن العالم والثقافة في ذلك الوقت. "),
     }
     for lg, lorem in LOREM.items():
         lpara = f"<p>{lorem}</p>"
