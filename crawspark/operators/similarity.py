@@ -453,6 +453,35 @@ def _probe_masks(radius: int) -> list[int]:
     return [m for m in range(1 << N_PLANES) if bin(m).count("1") <= radius]
 
 
+@register("ann_lsh_exhaustive_parity", sql="""
+    -- Containment-style oracle for the LSH search machinery (VERDICT r4
+    -- #7): at radius = N_PLANES the multi-probe search visits EVERY
+    -- bucket, so its result must equal brute-force top-k exactly —
+    -- signature computation, probe explosion, bucket join, rerank and
+    -- window ranking all sit on the hash path. The DuckDB side computes
+    -- exact top-k independently (it cannot see Spark's xxhash64 buckets
+    -- and does not need to — full-radius coverage makes the bucket
+    -- structure transparent). The SF-dependent partial-radius recall
+    -- curve stays pytest-pinned (tests/test_recall.py).
+    SELECT query_id, neighbor_id, sim, rank FROM (
+      SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+             CAST(round(list_cosine_similarity(q.embedding::DOUBLE[],
+                                               n.embedding::DOUBLE[]), 6)
+                  AS DOUBLE) AS sim,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY round(list_cosine_similarity(q.embedding::DOUBLE[],
+                                 n.embedding::DOUBLE[]), 6) DESC,
+                        n.vec_id) AS rank
+      FROM embeddings q JOIN embeddings n ON q.vec_id <> n.vec_id
+      WHERE q.vec_id < 5
+    ) WHERE rank <= 5
+""")
+def ann_lsh_exhaustive_parity(spark, sf_dir):
+    return ann_search_lsh(spark, sf_dir, query_ids=[0, 1, 2, 3, 4], k=5,
+                          radius=N_PLANES)
+
+
 def ann_search_lsh(spark, sf_dir, query_ids: list[int], k: int = 5,
                    radius: int = 2) -> DataFrame:
     """Multi-probe LSH top-k: each query probes every bucket within Hamming
