@@ -36,6 +36,43 @@ def test_native_matches_oracle(spark, tmp_path):
         assert g["lang"] == exp["lang"]
 
 
+def test_split_units_match_whole_files(spark, tmp_path):
+    # Row-group-range work units (plan_units — the wide-cluster
+    # straggler-tail fix) must produce content-identical extraction:
+    # same doc set, same spans, same metric totals as per-file tasks.
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from crawspark.operators.native_extract import plan_units
+
+    inp = str(tmp_path / "in")
+    docs = [make_doc(7, i) for i in range(40)]
+    import os
+
+    os.makedirs(inp)
+    for shard in range(4):
+        part = docs[shard * 10:(shard + 1) * 10]
+        tbl = pa.Table.from_pylist(
+            [{"doc_id": d["doc_id"], "spans": d["spans"]} for d in part])
+        # multi-RG shards (3 rows per row group -> 4 RGs each)
+        pq.write_table(tbl, f"{inp}/part-{shard}.parquet",
+                       row_group_size=3)
+    units = plan_units(sorted(f"{inp}/{f}" for f in os.listdir(inp)), 8)
+    assert len(units) == 8 and all(hi > lo for _, lo, hi in units)
+    m_whole = native_extract_job(spark, inp, str(tmp_path / "w"))
+    m_split = native_extract_job(spark, inp, str(tmp_path / "s"),
+                                 target_units=8)
+    agg = lambda m: tuple(m.agg(F.sum("docs_out"),  # noqa: E731
+                                F.sum("spans_out")).collect()[0])
+    assert agg(m_whole) == agg(m_split)
+    w = spark.read.parquet(str(tmp_path / "w")).select(
+        "doc_id", "lang", "n_spans")
+    s = spark.read.parquet(str(tmp_path / "s")).select(
+        "doc_id", "lang", "n_spans")
+    assert w.exceptAll(s).count() == 0 and s.exceptAll(w).count() == 0
+
+
 def test_native_resume_invalidates_on_drift(spark, tmp_path):
     # A checkpointed shard whose input file is rewritten must be
     # re-extracted on resume (fingerprint mismatch), while untouched

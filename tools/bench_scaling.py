@@ -54,7 +54,11 @@ def _gen_shard(args: tuple[str, int, int, int]) -> str:
         {"doc_id": [d["doc_id"] for d in docs],
          "spans": [d["spans"] for d in docs]}, schema=_INTER_SCHEMA)
     path = os.path.join(out_dir, f"part-{shard:05d}.parquet")
-    pq.write_table(tbl, path, compression="snappy")
+    # ~8 row groups per shard: real 100 TB shards carry many row groups;
+    # multi-RG files are what lets the spark job split work units below
+    # file granularity (plan_units — the straggler-tail fix).
+    pq.write_table(tbl, path, compression="snappy",
+                   row_group_size=max(1, (hi - lo) // 8))
     return path
 
 
@@ -84,7 +88,12 @@ spark = get_spark(master=f"local[{{cpus}}]", app=f"scaling-{{cpus}}",
 ensure_shipped(spark)
 
 def job(tag):
-    m = native_extract_job(spark, {inp!r}, {out_dir!r} + "/spark-" + tag)
+    # target_units = 8x cores: sub-file row-group units (plan_units)
+    # shrink the straggler tail — with one task per file the last wave
+    # idled (cores-1) slots for a whole file's duration, which WAS the
+    # r4 spark-vs-substrate gap at 32 cores (layer 0.77 -> ~0.95).
+    m = native_extract_job(spark, {inp!r}, {out_dir!r} + "/spark-" + tag,
+                           target_units=cpus * 8)
     total = m.groupBy().sum("docs_out").collect()[0][0]
     assert total == n_docs, total
 
