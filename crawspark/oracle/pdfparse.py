@@ -27,9 +27,13 @@ encodings (r5): /WinAnsiEncoding, /MacRomanEncoding, /StandardEncoding
 and /Encoding dicts with /BaseEncoding + /Differences resolve
 character-code bytes through an Adobe Glyph List subset, selected per
 show operator by ``Tf``; fonts without a recognized /Encoding keep the
-latin-1 byte mapping. Not handled: image codec filters (DCT/JPX/CCITT),
-LZW EarlyChange=0, CID/Type0 composite fonts (multi-byte codes,
-/ToUnicode CMaps) — real-corpus gaps documented in SURVEY.md §2.3.
+latin-1 byte mapping. /ToUnicode CMaps (bfchar, bfrange in both
+incrementing and array forms) are authoritative when present and carry
+Type0/CID composite fonts (2-byte Identity-H codes); LZW honors
+/DecodeParms /EarlyChange 0. Not handled: image codec filters
+(DCT/JPX/CCITT), CID fonts without /ToUnicode (glyph-id codes carry no
+recoverable text — emitted as empty), predefined CMap names — gaps
+documented in SURVEY.md §2.3.
 
 Input transport: raw PDF bytes arrive latin-1-mapped into the ``text``
 field of a ``kind='pdf'`` span (FIXTURES.md §1.1) — lossless bytes 0-255.
@@ -262,6 +266,71 @@ def _base_table(name: bytes) -> list[str] | None:
     return None
 
 
+# --- /ToUnicode CMaps (§9.10.3) — the text-extraction mapping for
+# composite (Type0/CID) fonts, and authoritative for simple fonts too
+# when present. bfchar lists (src, dst) pairs; bfrange maps contiguous
+# source ranges either by incrementing a destination start or through an
+# explicit destination array. Destinations are UTF-16BE code sequences
+# (multi-unit for ligatures). Source code width comes from the src hex
+# token length (Identity-H = 2 bytes).
+_RE_BFCHAR = re.compile(rb"beginbfchar(.*?)endbfchar", re.DOTALL)
+_RE_BFRANGE = re.compile(rb"beginbfrange(.*?)endbfrange", re.DOTALL)
+_RE_HEXTOK = re.compile(rb"<([0-9A-Fa-f]+)>")
+_RE_CMAP_TOK = re.compile(rb"<([0-9A-Fa-f]+)>|(\[)|(\])")
+_RE_TOUNICODE = re.compile(rb"/ToUnicode\s+(\d+)\s+0\s+R")
+
+
+def _utf16be(hexs: bytes) -> str:
+    try:
+        return bytes.fromhex(hexs.decode("ascii")).decode("utf-16-be")
+    except (ValueError, UnicodeDecodeError):
+        return ""
+
+
+def _parse_tounicode(content: bytes) -> tuple[int, dict[int, str]]:
+    """(code byte-width, code → text) from a ToUnicode CMap stream."""
+    cmap: dict[int, str] = {}
+    width = 0
+    for m in _RE_BFCHAR.finditer(content):
+        toks = _RE_HEXTOK.findall(m.group(1))
+        for i in range(0, len(toks) - 1, 2):
+            src, dst = toks[i], toks[i + 1]
+            width = width or len(src) // 2
+            cmap[int(src, 16)] = _utf16be(dst)
+    for m in _RE_BFRANGE.finditer(content):
+        # flatten to (hex_or_None, is_open, is_close) tokens
+        toks = [(t.group(1), t.group(2) is not None, t.group(3) is not None)
+                for t in _RE_CMAP_TOK.finditer(m.group(1))]
+        i = 0
+        while i + 2 < len(toks):
+            lo_t, hi_t, dst_t = toks[i], toks[i + 1], toks[i + 2]
+            if lo_t[0] is None or hi_t[0] is None:
+                break  # malformed entry — stop this block
+            lo, hi = int(lo_t[0], 16), int(hi_t[0], 16)
+            width = width or len(lo_t[0]) // 2
+            if dst_t[1]:  # [ <dst> <dst> ... ] — one destination per code
+                j = i + 3
+                code = lo
+                while j < len(toks) and not toks[j][2]:
+                    if toks[j][0] is not None and code <= hi:
+                        cmap[code] = _utf16be(toks[j][0])
+                        code += 1
+                    j += 1
+                i = j + 1
+            elif dst_t[0] is not None:  # incrementing destination start
+                # the increment applies to the LAST UTF-16 unit (§9.10.3)
+                base = bytes.fromhex(dst_t[0].decode("ascii"))
+                prefix, last = base[:-2], int.from_bytes(base[-2:], "big")
+                for k in range(hi - lo + 1):
+                    cmap[lo + k] = _utf16be(
+                        (prefix + (last + k).to_bytes(2, "big"))
+                        .hex().encode("ascii"))
+                i += 3
+            else:
+                break
+    return (width or 2), cmap
+
+
 _RE_RESOURCES_REF = re.compile(rb"/Resources\s+(\d+)\s+0\s+R")
 _RE_FONT_DICT = re.compile(rb"/Font\s*<<(.*?)>>", re.DOTALL)
 _RE_FONT_PAIR = re.compile(rb"/([^\s/<>()\[\]]+)\s+(\d+)\s+0\s+R")
@@ -272,11 +341,45 @@ _RE_DIFFS = re.compile(rb"/Differences\s*\[(.*?)\]", re.DOTALL)
 _RE_DIFF_TOK = re.compile(rb"(\d+)|/([^\s/\[\]<>()]+)")
 
 
-def _font_table(font_body: bytes,
-                objs: dict[int, bytes]) -> list[str] | None:
-    """Decode table for one font object: named base encoding, or an
-    encoding dict (inline or by reference) with /BaseEncoding +
-    /Differences. None → no recognized /Encoding (latin-1 passthrough)."""
+def _font_table(font_body: bytes, objs: dict[int, bytes]):
+    """Decode table for one font object.
+
+    Returns one of: a 256-entry list (simple-font encoding table),
+    ``("cmap", width, dict, fallback)`` (a /ToUnicode CMap —
+    authoritative for text extraction when present, §9.10.2; the only
+    extraction path for Type0/CID composite fonts, whose codes are
+    glyph ids; ``fallback`` is the simple-font table consulted for
+    codes the CMap omits, None for composite fonts), or None (no
+    recognized /Encoding → latin-1 passthrough)."""
+    tm = _RE_TOUNICODE.search(font_body)
+    if tm:
+        tobj = objs.get(int(tm.group(1)))
+        if tobj is not None:
+            raw = _stream_bytes(tobj)
+            if raw is not None:
+                content = _decode_filters(tobj, raw)
+                if content is not None:
+                    width, cmap = _parse_tounicode(content)
+                    if b"/Type0" in font_body:
+                        # Identity-H: 2-byte glyph-id codes; no byte-level
+                        # fallback exists for unmapped codes
+                        return ("cmap", max(width, 2), cmap, None)
+                    # simple font: codes absent from the CMap fall back
+                    # to the font's encoding (§9.10.2 step 2)
+                    fb = _simple_table(font_body, objs) \
+                        or [chr(i) for i in range(256)]
+                    return ("cmap", width, cmap, fb)
+    if b"/Type0" in font_body:
+        # composite font without a usable ToUnicode: codes are glyph ids
+        # with no recoverable text — emit nothing rather than mojibake
+        return ("cmap", 2, {}, None)
+    return _simple_table(font_body, objs)
+
+
+def _simple_table(font_body: bytes,
+                  objs: dict[int, bytes]) -> list[str] | None:
+    """Simple-font /Encoding resolution (named base or dict with
+    /BaseEncoding + /Differences); None → latin-1 passthrough."""
     enc_body = None
     nm = _RE_ENC_NAME.search(font_body)
     if nm:
@@ -311,11 +414,10 @@ def _font_table(font_body: bytes,
     return table
 
 
-def _page_fonts(page_body: bytes,
-                objs: dict[int, bytes]) -> dict[bytes, list[str] | None]:
-    """Font-resource name → decode table for one page. /Resources may be
-    inline in the page dict or an indirect object; the /Font dict's
-    entries are refs to font objects."""
+def _page_fonts(page_body: bytes, objs: dict[int, bytes]) -> dict:
+    """Font-resource name → decode table (list / cmap tuple / None) for
+    one page. /Resources may be inline in the page dict or an indirect
+    object; the /Font dict's entries are refs to font objects."""
     region = page_body
     fm = _RE_FONT_DICT.search(region)
     if not fm:
@@ -332,9 +434,19 @@ def _page_fonts(page_body: bytes,
     return fonts
 
 
-def _apply_enc(bs: bytes, enc: list[str] | None) -> str:
+def _apply_enc(bs: bytes, enc) -> str:
     if enc is None:
         return bs.decode("latin-1")
+    if isinstance(enc, tuple):  # ("cmap", width, code -> text, fallback)
+        _, w, cm, fb = enc
+        out = []
+        for i in range(0, len(bs) - w + 1, w):
+            code = int.from_bytes(bs[i:i + w], "big")
+            got = cm.get(code)
+            if got is None:
+                got = fb[code] if (fb is not None and code < 256) else ""
+            out.append(got)
+        return "".join(out)
     return "".join(enc[b] for b in bs)
 
 
@@ -371,12 +483,13 @@ def _ascii85_decode(content: bytes) -> bytes:
     return base64.a85decode(re.sub(rb"\s+", b"", content))
 
 
-def _lzw_decode(content: bytes) -> bytes:
+def _lzw_decode(content: bytes, early: int = 1) -> bytes:
     """/LZWDecode (§7.4.4): variable-code-width LZW, MSB-first bit
-    packing, code width 9→12 bits growing when the table reaches
-    2^w - 1, code 256 = clear table, 257 = EOD. EarlyChange=1 (the PDF
-    default: width grows one code early) — our generator writes the
-    same, and /DecodeParms with EarlyChange 0 is not emitted by it."""
+    packing, code width 9→12 bits, code 256 = clear table, 257 = EOD.
+    ``early`` is the /DecodeParms /EarlyChange value: 1 (the default)
+    grows the width one code early (table reaches 2^w - 1); 0 grows it
+    exactly at 2^w (r5 — previously an EarlyChange=0 stream desynced and
+    was skipped)."""
     table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
     out = bytearray()
     width = 9
@@ -398,7 +511,7 @@ def _lzw_decode(content: bytes) -> bytes:
             if code > len(table):
                 # KwKwK is only valid for code == len(table); anything
                 # beyond means a desynchronized stream (corrupt data or
-                # an EarlyChange=0 encoder) — raise so _decode_filters
+                # a mismatched EarlyChange) — raise so _decode_filters
                 # skips the stream like every other corrupt-filter case
                 # instead of emitting garbage text (r4 review finding)
                 raise ValueError("LZW code out of range")
@@ -414,8 +527,10 @@ def _lzw_decode(content: bytes) -> bytes:
                 table.append(entry)
             out += entry
             prev = entry
-            # EarlyChange=1: width grows when the NEXT code could overflow
-            if len(table) >= (1 << width) - 1 and width < 12:
+            # width grows when the next code could overflow; EarlyChange=1
+            # triggers one code early
+            if len(table) >= (1 << width) - (1 if early else 0) \
+                    and width < 12:
                 width += 1
     return bytes(out)
 
@@ -439,6 +554,9 @@ def _runlength_decode(content: bytes) -> bytes:
     return bytes(out)
 
 
+_RE_EARLYCHANGE = re.compile(rb"/EarlyChange\s+(\d+)")
+
+
 def _decode_filters(body: bytes, content: bytes) -> bytes | None:
     """Apply the object's /Filter chain (name or array, in order) to raw
     stream bytes. Returns None on an unsupported filter or corrupt data —
@@ -449,13 +567,16 @@ def _decode_filters(body: bytes, content: bytes) -> bytes | None:
     stream's text must not be mistaken for the object's filter chain
     (r4 review finding — reproduced dropping a valid stream)."""
     km = _RE_STREAM_KW.search(body)
-    fm = _RE_FILTER.search(body, 0, km.start() if km else len(body))
+    dict_end = km.start() if km else len(body)
+    fm = _RE_FILTER.search(body, 0, dict_end)
     if not fm:
         return content
     if fm.group(1) is not None:
         names = re.findall(rb"/([A-Za-z0-9]+)", fm.group(1))
     else:
         names = [fm.group(2)]
+    em = _RE_EARLYCHANGE.search(body, 0, dict_end)
+    early = int(em.group(1)) if em else 1
     for name in names:
         try:
             if name == b"FlateDecode":
@@ -465,7 +586,7 @@ def _decode_filters(body: bytes, content: bytes) -> bytes | None:
             elif name == b"ASCII85Decode":
                 content = _ascii85_decode(content)
             elif name == b"LZWDecode":
-                content = _lzw_decode(content)
+                content = _lzw_decode(content, early)
             elif name == b"RunLengthDecode":
                 content = _runlength_decode(content)
             else:
