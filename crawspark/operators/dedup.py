@@ -510,6 +510,61 @@ def dedup_lsh_containment(spark, sf_dir):
         .cast("long").alias("n_uncovered"))
 
 
+# Exact-substring dedup window length (tokens). 50 tokens in the
+# published recipe ("Deduplicating Training Data Makes Language Models
+# Better" — suffix-array exact substrings); 12 here so the testdata's
+# scaffold-woven corpus actually produces shared windows to check.
+SUBSTR_L = 12
+
+
+@register("dedup_exact_substring", sql=f"""
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ), win AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               range(1, len(toks) - {SUBSTR_L - 2}),
+               i -> md5(array_to_string(
+                 list_slice(toks, i, i + {SUBSTR_L - 1}), ' '))))) AS w
+      FROM tok WHERE len(toks) >= {SUBSTR_L}
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(count(*) AS BIGINT) AS n_shared_windows
+    FROM win a JOIN win b ON a.w = b.w AND a.doc_id < b.doc_id
+    GROUP BY doc_a, doc_b
+""")
+def dedup_exact_substring(spark, sf_dir):
+    # Exact-substring near-dup: doc pairs sharing >= 1 exact run of
+    # SUBSTR_L consecutive tokens — the within-corpus twin of the 8-gram
+    # benchmark decontamination, at the window length where shared
+    # boilerplate passages (not whole-doc copies) surface. Shuffle is
+    # keyed on the 32-byte window md5, never raw text; the inverted-index
+    # self-join is the same shape as dedup_ngram_jaccard's, and at 100 TB
+    # the same DF_CAP hot-list treatment applies to viral boilerplate
+    # windows (testdata max window df is single digits, so the exact
+    # registry row stays uncapped).
+    from crawspark.functions.ngrams import ngram_expr
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    wins = (docs.withColumn("toks", F.expr(_TOKS))
+            .filter(F.size("toks") >= SUBSTR_L)
+            .withColumn(
+                "w", F.explode(F.expr(
+                    f"array_distinct(transform({ngram_expr(SUBSTR_L)}, "
+                    f"g -> md5(g)))")))
+            .select("doc_id", "w"))
+    a = wins.alias("a")
+    b = wins.alias("b")
+    return (a.join(b, (F.col("a.w") == F.col("b.w"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .groupBy(F.col("a.doc_id").alias("doc_a"),
+                     F.col("b.doc_id").alias("doc_b"))
+            .agg(F.count("*").cast("long").alias("n_shared_windows")))
+
+
 @register("dedup_simhash")  # rows-only check (Spark-hash-specific)
 def dedup_simhash(spark, sf_dir):
     # 32-bit SimHash from token hashes, all JVM-side: per-bit sign sums via

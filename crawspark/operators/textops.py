@@ -87,6 +87,64 @@ def lang_id_stopwords(spark, sf_dir):
                     pred.alias("predicted_lang")))
 
 
+@register("quality_repetition_stats", sql="""
+    WITH words AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+      FROM documents
+    ), wc AS (
+      SELECT doc_id, word, count(*) AS c FROM words GROUP BY doc_id, word
+    ), wstats AS (
+      SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+             CAST(round(max(c) / CAST(sum(c) AS DOUBLE), 4) AS DOUBLE)
+               AS top_word_frac
+      FROM wc GROUP BY doc_id
+    ), sents AS (
+      SELECT doc_id, trim(s) AS s FROM (
+        SELECT doc_id, unnest(string_split(text, '.')) AS s FROM documents)
+      WHERE trim(s) <> ''
+    ), sstats AS (
+      SELECT doc_id,
+             CAST(round(1 - CAST(count(DISTINCT s) AS DOUBLE) / count(*), 4)
+                  AS DOUBLE) AS dup_sentence_ratio
+      FROM sents GROUP BY doc_id
+    )
+    SELECT w.doc_id, n_words, top_word_frac,
+           coalesce(dup_sentence_ratio, CAST(0.0 AS DOUBLE))
+             AS dup_sentence_ratio
+    FROM wstats w LEFT JOIN sstats USING (doc_id)
+""")
+def quality_repetition_stats(spark, sf_dir):
+    # Gopher-style repetition quality signals per document: fraction of
+    # occurrences held by the most frequent word (repetitive spam pushes
+    # this up) and duplicated-sentence ratio (template/boilerplate pages).
+    # Two doc_id-keyed aggregations — map-side partial combine applies,
+    # the shuffle key is doc_id, never text. Docs with zero alphanumeric
+    # words drop (no denominators); docs with words but no '.'-delimited
+    # sentences report dup_sentence_ratio 0.
+    docs = read_testdata(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id",
+        F.explode(F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)"))
+        .alias("word"))
+    wc = words.groupBy("doc_id", "word").agg(F.count("*").alias("c"))
+    wstats = wc.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_words"),
+        F.round(F.max("c") / F.sum("c").cast("double"), 4)
+        .alias("top_word_frac"))
+    sents = (docs.select("doc_id",
+                         F.explode(F.split("text", r"\.")).alias("s"))
+             .select("doc_id", F.trim("s").alias("s"))
+             .filter(F.col("s") != ""))
+    sstats = sents.groupBy("doc_id").agg(
+        F.round(1 - F.countDistinct("s") / F.count("*").cast("double"), 4)
+        .alias("dup_sentence_ratio"))
+    return (wstats.join(sstats, "doc_id", "left")
+            .select("doc_id", "n_words", "top_word_frac",
+                    F.coalesce("dup_sentence_ratio", F.lit(0.0))
+                    .alias("dup_sentence_ratio")))
+
+
 @register("text_fingerprint", sql=r"""
     SELECT doc_id,
            substr(md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))), 1, 16)
