@@ -94,6 +94,52 @@ def stream_join_user_activity(spark, sf_dir):
             .agg(F.count("*").alias("n_pairs")))
 
 
+@register("stream_sessionize_events", sql="""
+    -- Gap-session semantics probed from Spark's session_window (r5):
+    -- events merge into one session when the gap from the previous event
+    -- is <= 30 minutes (inclusive — verified at the exact-gap boundary);
+    -- session_end = last event + gap; append mode emits only sessions
+    -- CLOSED by the final watermark, i.e. session_end <= max(ts)
+    -- (inclusive — verified at the end==max boundary).
+    WITH ordered AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN ts - lag(ts) OVER w <= INTERVAL 30 MINUTE
+                  THEN 0 ELSE 1 END AS new_s
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), tagged AS (
+      SELECT user_id, ts, value,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM ordered
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           count(*) AS n_events,
+           CAST(round(sum(value), 2) AS DOUBLE) AS session_value
+    FROM tagged GROUP BY user_id, sid
+    HAVING max(ts) + INTERVAL 30 MINUTE <= (SELECT max(ts) FROM events)
+""")
+def stream_sessionize_events(spark, sf_dir):
+    """Stateful session windows over the events STREAM: availableNow
+    drain through F.session_window (merge-on-overlap state, watermark
+    closes sessions), sink hash-checked against the DuckDB gap-session
+    replay restricted to closed sessions. The streaming twin of the
+    batch `sessionize_events` — same gap rule, but window bounds come
+    from Spark's stateful merge operator rather than a lag() scan."""
+    from crawspark.scratch import scratch_dir
+    from crawspark.sources import read_testdata
+    from crawspark.streaming.sessions import run_sessions_available_now
+
+    base = scratch_dir("ssess", sf_dir, clean=("out", "ck"))
+    inp, out, ck = (os.path.join(base, d) for d in ("in", "out", "ck"))
+    (read_testdata(spark, sf_dir, "events")
+     .coalesce(2).write.mode("overwrite").parquet(inp))
+    if not run_sessions_available_now(spark, inp, out, ck, timeout_sec=600):
+        raise RuntimeError("session stream did not complete within timeout")
+    return spark.read.parquet(out)
+
+
 @register("stream_extract_snapshot", sql=_sf_sql(f"""
     SELECT lang, count(*) AS n_docs,
            CAST(sum(n_spans) AS BIGINT) AS total_spans
