@@ -115,6 +115,42 @@ def embedding_cosine_pairs(spark, sf_dir):
                             "vec_a long, vec_b long, cos_sim double")
 
 
+@register("dedup_embedding_resolve", sql="""
+    WITH RECURSIVE pairs AS (
+      SELECT a.vec_id AS va, b.vec_id AS vb
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                         b.embedding::DOUBLE[]), 4) >= 0.4
+    ), edges AS (
+      SELECT va AS src, vb AS dst FROM pairs
+      UNION ALL SELECT vb, va FROM pairs
+    ), reach(node, label) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
+    )
+    SELECT node AS vec_id, min(label) AS keep_id FROM reach GROUP BY node
+""")
+def dedup_embedding_resolve(spark, sf_dir):
+    # Embedding-cosine near-dup RESOLVED to keepers: the block-grid pair
+    # scan (no driver gather, no all-pairs shuffle of raw vectors) feeds
+    # the same hybrid connected-components as the minhash resolve —
+    # semantic duplicate CLUSTERS collapse to min-vec_id keepers, not
+    # just a pair list. Threshold 0.4 on the 4dp-rounded cosine (66/59
+    # edges at sf0.001/sf0.01 — real clusters to resolve), mirrored in
+    # the oracle's recursive-CTE replay. At 100 TB the pair scan is the
+    # pruned ann_lsh_buckets path feeding the same component loop.
+    from crawspark.operators.dedup import connected_components
+
+    pairs = (embedding_cosine_pairs(spark, sf_dir)
+             .filter(F.col("cos_sim") >= 0.4)
+             .select(F.col("vec_a").alias("doc_a"),
+                     F.col("vec_b").alias("doc_b")))
+    comp = connected_components(pairs)
+    return comp.select(F.col("node").alias("vec_id"),
+                       F.col("label").alias("keep_id"))
+
+
 @register("ann_cosine_topk", sql="""
     SELECT query_id, neighbor_id, rank FROM (
       SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,

@@ -87,6 +87,85 @@ def lang_id_stopwords(spark, sf_dir):
                     pred.alias("predicted_lang")))
 
 
+# BM25 relevance ranking — the scoring layer over the boolean/keyword
+# relevance filters (the reference is a QUERY-DRIVEN crawler; ranking
+# fetched pages against the campaign query is its frontier-priority
+# signal [R: crawtext relevance loop]). Okapi BM25 with the standard
+# k1/b; fixed 3-term query drawn from the corpus vocabulary.
+BM25_QUERY = ("market", "energy", "science")
+BM25_K1, BM25_B = 1.2, 0.75
+_BM25_TOKS = "filter(split(lower(text), '[^a-z0-9]+'), x -> x != '')"
+
+
+def _bm25_sql() -> str:
+    tf_cols = ", ".join(
+        f"len(list_filter(toks, x -> x = '{t}')) AS tf{i}"
+        for i, t in enumerate(BM25_QUERY))
+    df_cols = ", ".join(
+        f"sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
+        for i in range(len(BM25_QUERY)))
+    terms = " + ".join(
+        f"ln(1 + (s.n - s.df{i} + 0.5) / (s.df{i} + 0.5))"
+        f" * (d.tf{i} * ({BM25_K1} + 1.0))"
+        f" / (d.tf{i} + {BM25_K1} * (1 - {BM25_B}"
+        f" + {BM25_B} * d.dl / s.avgdl))"
+        for i in range(len(BM25_QUERY)))
+    return f"""
+    WITH d AS (
+      SELECT doc_id, len(toks) AS dl, {tf_cols}
+      FROM (SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(text),
+                               '[^a-z0-9]+'), x -> x <> '') AS toks
+            FROM documents)
+    ), s AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             CAST(avg(dl) AS DOUBLE) AS avgdl, {df_cols}
+      FROM d
+    )
+    SELECT doc_id, CAST(round({terms}, 4) AS DOUBLE) AS bm25
+    FROM d, s
+    QUALIFY row_number() OVER (ORDER BY round({terms}, 4) DESC, doc_id)
+            <= 20
+    """
+
+
+@register("rank_bm25", sql=_bm25_sql())
+def rank_bm25(spark, sf_dir):
+    # One scan computes per-doc dl and per-term tf (array ops, JVM-side);
+    # a 1-row aggregate (N, avgdl, per-term df) broadcast-cross-joins
+    # back; the score is pure arithmetic and the only wide op is the
+    # top-20 window (TakeOrderedAndProject-shaped at scale). Ties break
+    # on doc_id so ranking is engine-stable.
+    from pyspark.sql.window import Window
+
+    docs = (read_testdata(spark, sf_dir, "documents")
+            .withColumn("toks", F.expr(_BM25_TOKS))
+            .withColumn("dl", F.size("toks").cast("double")))
+    for i, t in enumerate(BM25_QUERY):
+        docs = docs.withColumn(
+            f"tf{i}",
+            F.expr(f"size(filter(toks, x -> x = '{t}'))").cast("double"))
+    stats = docs.agg(
+        F.count("*").cast("double").alias("n"),
+        F.avg("dl").alias("avgdl"),
+        *[F.sum((F.col(f"tf{i}") > 0).cast("int")).cast("double")
+          .alias(f"df{i}") for i in range(len(BM25_QUERY))])
+    joined = docs.crossJoin(F.broadcast(stats))
+    score = None
+    for i in range(len(BM25_QUERY)):
+        idf = F.log(1 + (F.col("n") - F.col(f"df{i}") + 0.5)
+                    / (F.col(f"df{i}") + 0.5))
+        contrib = idf * (F.col(f"tf{i}") * (BM25_K1 + 1.0)) / (
+            F.col(f"tf{i}") + BM25_K1 * (1 - BM25_B
+                                         + BM25_B * F.col("dl")
+                                         / F.col("avgdl")))
+        score = contrib if score is None else score + contrib
+    return (joined.select("doc_id", F.round(score, 4).alias("bm25"))
+            .withColumn("rn", F.row_number().over(
+                Window.orderBy(F.col("bm25").desc(), "doc_id")))
+            .filter(F.col("rn") <= 20).drop("rn"))
+
+
 @register("quality_repetition_stats", sql="""
     WITH words AS (
       SELECT doc_id,
