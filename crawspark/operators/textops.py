@@ -133,11 +133,11 @@ def _bm25_sql() -> str:
 def rank_bm25(spark, sf_dir):
     # One scan computes per-doc dl and per-term tf (array ops, JVM-side);
     # a 1-row aggregate (N, avgdl, per-term df) broadcast-cross-joins
-    # back; the score is pure arithmetic and the only wide op is the
-    # top-20 window (TakeOrderedAndProject-shaped at scale). Ties break
+    # back; the score is pure arithmetic and the top-20 is orderBy+limit
+    # — TakeOrderedAndProject, per-partition top-k then a 20-row merge
+    # (a global row_number window would move EVERY row to one partition;
+    # the plan audit flagged exactly that in the first cut). Ties break
     # on doc_id so ranking is engine-stable.
-    from pyspark.sql.window import Window
-
     docs = (read_testdata(spark, sf_dir, "documents")
             .withColumn("toks", F.expr(_BM25_TOKS))
             .withColumn("dl", F.size("toks").cast("double")))
@@ -161,9 +161,8 @@ def rank_bm25(spark, sf_dir):
                                          / F.col("avgdl")))
         score = contrib if score is None else score + contrib
     return (joined.select("doc_id", F.round(score, 4).alias("bm25"))
-            .withColumn("rn", F.row_number().over(
-                Window.orderBy(F.col("bm25").desc(), "doc_id")))
-            .filter(F.col("rn") <= 20).drop("rn"))
+            .orderBy(F.col("bm25").desc(), "doc_id")
+            .limit(20))
 
 
 @register("quality_repetition_stats", sql="""

@@ -107,3 +107,16 @@ def test_sessionize_single_exchange(spark, sf_dir):
     from crawspark.registry import load_all
     df = load_all()["sessionize_events"].spark(spark, sf_dir)
     assert plan_summary(df)["exchanges"] == 1
+
+
+def test_bm25_topk_is_take_ordered(spark, sf_dir):
+    # The global top-20 must compile to TakeOrderedAndProject
+    # (per-partition top-k + 20-row merge) — the first cut used a
+    # global row_number window, which moves EVERY scored row to one
+    # partition (plan audit finding, r5). The corpus stats join must
+    # broadcast its 1-row side.
+    from crawspark.registry import load_all
+    df = load_all()["rank_bm25"].spark(spark, sf_dir)
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
