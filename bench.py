@@ -189,29 +189,22 @@ def main() -> None:
         bench(name, lambda n=name: registry[n].spark(spark, SF_DIR))
 
     total = round(sum(timings.values()), 3)
-    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    print(json.dumps({
+    # ONE record dict, printed twice: full (with `extra`) first, then the
+    # minimal version LAST — the driver's output-tail capture truncated
+    # the grown full record's HEAD in r4 (`parsed: null`), so the tail
+    # must always end with a complete parseable line. Building both
+    # prints from the same dict keeps them in lockstep (r5 review
+    # finding: two hand-maintained literals).
+    rec = {
         "metric": "headline_suite_sec",
         "value": total,
         "unit": "sec",
         "queries": timings,
-        "sf": sf,
+        "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
         "cpus": CPUS,
-        "extra": extra,
-    }))
-    # The full record above has grown past what the driver's output-tail
-    # capture keeps (BENCH_r04.json arrived `parsed: null` — its HEAD was
-    # truncated mid-line). Emit a second, minimal record LAST so the tail
-    # always ends with a complete parseable JSON line carrying the
-    # headline fields plus the per-query map (small: name -> seconds).
-    print(json.dumps({
-        "metric": "headline_suite_sec",
-        "value": total,
-        "unit": "sec",
-        "queries": timings,
-        "sf": sf,
-        "cpus": CPUS,
-    }))
+    }
+    print(json.dumps(rec | {"extra": extra}))
+    print(json.dumps(rec))
     spark.stop()
 
 

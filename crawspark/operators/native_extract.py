@@ -206,6 +206,13 @@ def plan_units(files: list[str],
     units: list[tuple[str, int, int]] = []
     for f in files:
         n_rg = pq.read_metadata(f).num_row_groups
+        if n_rg == 0:
+            # Spark writes zero-row-group parquet for empty partitions;
+            # one empty unit keeps the zero-row output shard + metrics
+            # row the whole-file path produces (r5 review finding:
+            # divmod by zero crashed planning here).
+            units.append((f, 0, 0))
+            continue
         k = min(per_file, n_rg)
         # contiguous row-group ranges, sizes differing by at most 1
         base, rem = divmod(n_rg, k)
@@ -231,6 +238,14 @@ def native_extract_job(spark: SparkSession, input_path: str, output_path: str,
     fix for wide clusters (pass ~8x the core count). Sub-file units do
     not record fingerprints (resume stays file-granular); leave None on
     checkpointed runs."""
+    if done_files and target_units is not None:
+        # sub-file units record no fingerprints, so a checkpoint written
+        # from a split run can never match on resume — every file would
+        # silently re-extract forever (r5 review finding: the docstring
+        # was the only guard)
+        raise ValueError(
+            "target_units is incompatible with checkpointed resume "
+            "(done_files): sub-file units record no fingerprints")
     os.makedirs(output_path, exist_ok=True)
     files = list_parquet_files(input_path)
     if done_files:

@@ -94,7 +94,11 @@ def lang_id_stopwords(spark, sf_dir):
 # k1/b; fixed 3-term query drawn from the corpus vocabulary.
 BM25_QUERY = ("market", "energy", "science")
 BM25_K1, BM25_B = 1.2, 0.75
-_BM25_TOKS = "filter(split(lower(text), '[^a-z0-9]+'), x -> x != '')"
+# Shared word tokenizer (Spark SQL expr) for BM25 and benchmark
+# decontamination — ONE definition so the two stay consistent with
+# each other and with their DuckDB twins (r5 review finding: verbatim
+# duplicate constants).
+_WORD_TOKS = "filter(split(lower(text), '[^a-z0-9]+'), x -> x != '')"
 
 
 def _bm25_sql() -> str:
@@ -139,7 +143,7 @@ def rank_bm25(spark, sf_dir):
     # the plan audit flagged exactly that in the first cut). Ties break
     # on doc_id so ranking is engine-stable.
     docs = (read_testdata(spark, sf_dir, "documents")
-            .withColumn("toks", F.expr(_BM25_TOKS))
+            .withColumn("toks", F.expr(_WORD_TOKS))
             .withColumn("dl", F.size("toks").cast("double")))
     for i, t in enumerate(BM25_QUERY):
         docs = docs.withColumn(
@@ -250,7 +254,6 @@ DECON_BENCH_MAX_ID = 10
 
 from crawspark.functions.ngrams import ngram_expr
 
-_DECON_TOKS = "filter(split(lower(text), '[^a-z0-9]+'), x -> x != '')"
 _DECON_GRAMS = f"array_distinct({ngram_expr(DECON_N)})"
 
 
@@ -283,7 +286,7 @@ def decontaminate_against_benchmark(spark, sf_dir):
     # benchmark sizes the key becomes xxhash64(gram)).
     docs = (read_testdata(spark, sf_dir, "documents")
             .repartition(spark.sparkContext.defaultParallelism)
-            .withColumn("toks", F.expr(_DECON_TOKS))
+            .withColumn("toks", F.expr(_WORD_TOKS))
             .filter(F.size("toks") >= DECON_N)
             .select("doc_id", F.explode(F.expr(_DECON_GRAMS)).alias("gram")))
     bench = (docs.filter(F.col("doc_id") < DECON_BENCH_MAX_ID)

@@ -164,11 +164,20 @@ def detect_lang(meta_lang: str, text: str) -> str:
     if meta_lang in STOPWORDS:
         return meta_lang
     words = tokenize(text)
+    # ONE per-character scan serves both CJK votes: the ja token stream
+    # is a superset of the zh one (Han ∪ kana ∪ latin runs) and the zh
+    # table is Han-only single characters, so counting zh stopwords over
+    # the ja stream gives the identical count as a dedicated zh scan
+    # (r5 review finding: two full-text regex passes per document on the
+    # extraction hot path).
+    cjk_toks = None
     best_lang, best_count = "en", -1
     for lang in VOTE_LANGS:
         sw = STOPWORDS[lang]
         if lang in ("zh", "ja"):
-            count = sum(1 for t in tokenize_for_lang(text, lang) if t in sw)
+            if cjk_toks is None:
+                cjk_toks = tokenize_for_lang(text, "ja")
+            count = sum(1 for t in cjk_toks if t in sw)
         else:
             count = sum(1 for w in words if w in sw)
         if count > best_count:

@@ -208,10 +208,16 @@ def _glyph_char(name: str) -> str:
     if got is not None:
         return got
     try:
+        cp = None
         if name.startswith("uni") and len(name) == 7:
-            return chr(int(name[3:], 16))
-        if name.startswith("u") and len(name) in (5, 7):
-            return chr(int(name[1:], 16))
+            cp = int(name[3:], 16)
+        elif name.startswith("u") and len(name) in (5, 7):
+            cp = int(name[1:], 16)
+        if cp is not None and not 0xD800 <= cp <= 0xDFFF:
+            # lone surrogates pass chr() but cannot be UTF-8 encoded —
+            # they would crash far downstream at parquet/JSON write
+            # (r5 review finding); treat as notdef
+            return chr(cp)
     except ValueError:
         pass
     return ""
@@ -318,13 +324,21 @@ def _parse_tounicode(content: bytes) -> tuple[int, dict[int, str]]:
                     j += 1
                 i = j + 1
             elif dst_t[0] is not None:  # incrementing destination start
-                # the increment applies to the LAST UTF-16 unit (§9.10.3)
-                base = bytes.fromhex(dst_t[0].decode("ascii"))
-                prefix, last = base[:-2], int.from_bytes(base[-2:], "big")
-                for k in range(hi - lo + 1):
-                    cmap[lo + k] = _utf16be(
-                        (prefix + (last + k).to_bytes(2, "big"))
-                        .hex().encode("ascii"))
+                # the increment applies to the LAST UTF-16 unit (§9.10.3).
+                # Malformed destinations (odd hex length, or an increment
+                # overflowing the 16-bit unit) skip the ENTRY, not the
+                # document — extract_pdf_text's never-raises contract
+                # (r5 review finding: both cases crashed the worker).
+                try:
+                    base = bytes.fromhex(dst_t[0].decode("ascii"))
+                    prefix = base[:-2]
+                    last = int.from_bytes(base[-2:], "big")
+                    for k in range(hi - lo + 1):
+                        cmap[lo + k] = _utf16be(
+                            (prefix + (last + k).to_bytes(2, "big"))
+                            .hex().encode("ascii"))
+                except (ValueError, OverflowError):
+                    pass
                 i += 3
             else:
                 break

@@ -73,6 +73,34 @@ def test_split_units_match_whole_files(spark, tmp_path):
     assert w.exceptAll(s).count() == 0 and s.exceptAll(w).count() == 0
 
 
+def test_split_units_handle_zero_rowgroup_files(spark, tmp_path):
+    # Spark writes zero-row-group parquet files for empty partitions;
+    # plan_units must plan them as one empty unit (r5 review finding:
+    # divmod-by-zero crashed planning), and split mode must refuse to
+    # combine with checkpointed resume (sub-file units carry no
+    # fingerprints).
+    import pytest
+    from pyspark.sql import functions as F
+
+    inp = str(tmp_path / "in")
+    docs = [make_doc(9, i) for i in range(6)]
+    df = spark.createDataFrame(
+        [(d["doc_id"], d["spans"]) for d in docs],
+        schema=DOCUMENTS_INTERLEAVED)
+    # partition by a filter that leaves one partition empty
+    df.repartition(3, F.col("doc_id")).where("doc_id != 'nope'") \
+        .write.mode("overwrite").parquet(inp)
+    # force an empty part file alongside
+    spark.createDataFrame([], DOCUMENTS_INTERLEAVED) \
+        .coalesce(1).write.mode("append").parquet(inp)
+    m = native_extract_job(spark, inp, str(tmp_path / "out"),
+                           target_units=64)
+    assert m.agg(F.sum("docs_out")).collect()[0][0] == 6
+    with pytest.raises(ValueError, match="incompatible"):
+        native_extract_job(spark, inp, str(tmp_path / "out2"),
+                           done_files={"x.parquet"}, target_units=8)
+
+
 def test_native_resume_invalidates_on_drift(spark, tmp_path):
     # A checkpointed shard whose input file is rewritten must be
     # re-extracted on resume (fingerprint mismatch), while untouched
