@@ -195,13 +195,22 @@ class SnapshotParquetBackend(TableBackend):
             raise CommitFailedException(
                 f"table '{name}': base snapshot moved v{expected_base} -> "
                 f"v{current} since this write was planned; re-read and retry")
+        import time
+
         version = current + 1
         mdir = os.path.join(self._dir(name), "manifests")
         os.makedirs(mdir, exist_ok=True)
         fd, tmp = tempfile.mkstemp(dir=mdir, suffix=".tmp")
         with os.fdopen(fd, "w") as fh:
             json.dump({"version": version, "entries": entries,
-                       "schema": schema_json, "props": props or {}}, fh)
+                       "schema": schema_json, "props": props or {},
+                       # wall-clock commit time: the AS-OF axis for
+                       # timestamp time travel (Iceberg snapshot
+                       # timestamp-ms). Overridable for tests via
+                       # CRAWSPARK_COMMIT_TS.
+                       "committed_at": float(
+                           os.environ.get("CRAWSPARK_COMMIT_TS",
+                                          time.time()))}, fh)
         try:
             # CAS: hard-link refuses to overwrite — exactly one writer can
             # claim manifests/v{N}.json. (os.replace would let the second
@@ -336,6 +345,21 @@ class SnapshotParquetBackend(TableBackend):
                     .schema(T.StructType.fromJson(json.loads(schema_json)))
                     .parquet(*paths))
         return spark.read.parquet(*paths)  # pre-r4 manifest (no schema)
+
+    def read_as_of(self, spark: SparkSession, name: str,
+                   ts: float) -> DataFrame:
+        """Timestamp time travel (Iceberg ``TIMESTAMP AS OF``): read the
+        newest snapshot committed at or before epoch-seconds ``ts``.
+        Raises ValueError when the table has no snapshot that old."""
+        best = None
+        for v in self.snapshots(name):
+            at = self._load_manifest(name, v).get("committed_at")
+            if at is not None and at <= ts:
+                best = v
+        if best is None:
+            raise ValueError(
+                f"{name}: no snapshot committed at or before {ts}")
+        return self.read_version(spark, name, best)
 
     def _live_entries(self, name: str, version: int | None = None) -> list[dict]:
         v = self.current_version(name) if version is None else version

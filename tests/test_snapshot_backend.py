@@ -116,6 +116,22 @@ def test_commit_version_claim_is_cas(spark, be):
     assert _rows(be.read(spark, "t")) == [(1, "a"), (2, "b")]
 
 
+def test_read_as_of_timestamp(spark, be, monkeypatch):
+    # TIMESTAMP AS OF: the newest snapshot committed at or before the
+    # asked-for time serves the read; times injected per commit.
+    a = spark.createDataFrame([(1, "a")], "k long, v string")
+    b = spark.createDataFrame([(2, "b")], "k long, v string")
+    monkeypatch.setenv("CRAWSPARK_COMMIT_TS", "1000.0")
+    be.append(a, "t")                                          # v1 @1000
+    monkeypatch.setenv("CRAWSPARK_COMMIT_TS", "2000.0")
+    be.append(b, "t")                                          # v2 @2000
+    assert _rows(be.read_as_of(spark, "t", 1500.0)) == [(1, "a")]
+    assert _rows(be.read_as_of(spark, "t", 2000.0)) \
+        == [(1, "a"), (2, "b")]   # inclusive at the commit instant
+    with pytest.raises(ValueError, match="no snapshot"):
+        be.read_as_of(spark, "t", 999.0)
+
+
 def test_mixed_write_modes_refused(spark, be):
     # r3 review finding: an appended (unpartitioned) commit is invisible
     # to overwrite_partitions' replaced-set matching — silent duplication
