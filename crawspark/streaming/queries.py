@@ -140,6 +140,43 @@ def stream_sessionize_events(spark, sf_dir):
     return spark.read.parquet(out)
 
 
+@register("stream_dedup_within_watermark", sql="""
+    -- the drained deduped stream must be EXACTLY the events table: the
+    -- injected duplicate rows (every 5th event re-appended) all arrive
+    -- within the watermark and are dropped; nothing else is.
+    SELECT event_id, ts, user_id, event_type, value, props FROM events
+""")
+def stream_dedup_within_watermark(spark, sf_dir):
+    """Built-in streaming dedup (dropDuplicatesWithinWatermark): the
+    events stream with every 5th event duplicated drains to exactly the
+    original table — first occurrence kept, bounded state via watermark
+    eviction. Complements the custom applyInPandasWithState first-seen
+    operator with the native bounded-state API."""
+    from crawspark.scratch import scratch_dir
+    from crawspark.sources import read_testdata
+    from crawspark.streaming.sessions import run_dedup_within_watermark
+
+    base = scratch_dir("sdup", sf_dir, clean=("out", "ck"))
+    inp, out, ck = (os.path.join(base, d) for d in ("in", "out", "ck"))
+    events = read_testdata(spark, sf_dir, "events")
+    dups = events.filter(F.col("event_id") % 5 == 0)
+    (events.unionByName(dups)
+     .coalesce(2).write.mode("overwrite").parquet(inp))
+    # watermark covers the full event span so a multi-file drain split
+    # into several microbatches cannot evict a key before its duplicate
+    # arrives (same span-derived convention as the stream join)
+    span_days = (events.agg(
+        (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts")))
+        / 86400.0).collect()[0][0] or 0.0)
+    if not run_dedup_within_watermark(
+            spark, inp, out, ck, timeout_sec=600,
+            watermark=f"{int(span_days) + 2} days"):
+        raise RuntimeError("dedup stream did not complete within timeout")
+    return (spark.read.parquet(out)
+            .select("event_id", "ts", "user_id", "event_type", "value",
+                    "props"))
+
+
 @register("stream_extract_snapshot", sql=_sf_sql(f"""
     SELECT lang, count(*) AS n_docs,
            CAST(sum(n_spans) AS BIGINT) AS total_spans

@@ -52,3 +52,27 @@ def run_sessions_available_now(spark: SparkSession, input_path: str,
          .trigger(availableNow=True)
          .start())
     return q.awaitTermination(timeout_sec)
+
+
+def run_dedup_within_watermark(spark: SparkSession, input_path: str,
+                               output_path: str, checkpoint_path: str,
+                               watermark: str = "1 days",
+                               timeout_sec: int = 300) -> bool:
+    """Built-in bounded-state streaming dedup:
+    ``dropDuplicatesWithinWatermark`` keeps the first event per key and
+    drops later duplicates arriving within the watermark delay; state
+    for a key expires once the watermark passes it — the API twin of
+    the custom applyInPandasWithState first-seen operator
+    (streaming/stateful.py), with eviction built in. At 10^12 events
+    the watermark IS the dedup contract: duplicates are only promised
+    to be caught within the delay window, so state stays bounded."""
+    stream = (spark.readStream.schema(EVENTS_SCHEMA).parquet(input_path)
+              .withWatermark("ts", watermark)
+              .dropDuplicatesWithinWatermark(["event_id"]))
+    q = (stream.writeStream.format("parquet")
+         .option("path", output_path)
+         .option("checkpointLocation", checkpoint_path)
+         .outputMode("append")
+         .trigger(availableNow=True)
+         .start())
+    return q.awaitTermination(timeout_sec)
