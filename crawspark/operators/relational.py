@@ -718,6 +718,98 @@ def robots_filter_frontier(spark, sf_dir):
                  F.max("crawl_delay").alias("crawl_delay")))
 
 
+@register("frontier_schedule", sql=_sf_sql("""
+    -- closed form of the synthesized robots (see robots_filter_frontier):
+    -- len(host)%3==0 → nothing allowed; ==1 → only /d1* paths; ==2 → all
+    -- allowed with Crawl-delay 2 (default delay 1s otherwise).
+    SELECT host, url,
+           CAST(row_number() OVER w AS BIGINT) AS fetch_rank,
+           CAST(round((row_number() OVER w - 1)
+                      * CASE WHEN length(host) % 3 = 2
+                             THEN 2.0 ELSE 1.0 END, 1) AS DOUBLE)
+             AS offset_sec
+    FROM (
+      SELECT DISTINCT
+        lower(regexp_extract(link, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1))
+          AS host,
+        regexp_extract(link, '^[a-z][a-z0-9+.-]*://[^/?#]+([^?#]*)', 1)
+          AS path,
+        link AS url
+      FROM (SELECT unnest(outlinks) AS link FROM __ORACLE_PQ__)
+    )
+    WHERE host <> ''
+      AND (length(host) % 3 = 2
+           OR (length(host) % 3 = 1 AND path LIKE '/d1%'))
+    WINDOW w AS (PARTITION BY host ORDER BY url)
+"""))
+def frontier_schedule(spark, sf_dir):
+    """Politeness-aware fetch scheduling [R: crawtext fetch loop +
+    database.py queue-by-domain]: the robots-allowed frontier, one queue
+    per host ordered deterministically, each URL offset by rank x the
+    host's crawl delay (robots Crawl-delay, default 1 s) — the schedule
+    a per-host rate-limited fetcher executes. The decisions come from
+    the REAL RFC 9309 parser over the synthesized per-host robots; the
+    oracle states allowed-set and delays in closed form. Scale shape:
+    one shuffle on host (the window), per-URL decisions vectorized in
+    batches with a per-host rules cache."""
+    from collections.abc import Iterator as _Iter
+
+    import pandas as pd
+
+    from crawspark.operators.extraction_queries import _extracted
+
+    def robots_text_for(host: str) -> str:
+        m = len(host) % 3
+        if m == 0:
+            return "User-agent: *\nDisallow: /\n"
+        if m == 1:
+            return ("# tag pages are fine\nUser-agent: googlebot\n"
+                    "Disallow: /\n\nUser-agent: *\nDisallow: /d\n"
+                    "Allow: /d1\n")
+        return ("User-agent: crawspark\nCrawl-delay: 2\nDisallow:\n\n"
+                "User-agent: *\nDisallow: /\n")
+
+    def decide(batches: _Iter[pd.DataFrame]) -> _Iter[pd.DataFrame]:
+        from crawspark.oracle.robots import parse_robots, robots_allowed
+        cache: dict = {}
+        for pdf in batches:
+            allowed, delays = [], []
+            for host, path in zip(pdf["host"], pdf["path"]):
+                if host not in cache:
+                    cache[host] = parse_robots(robots_text_for(host),
+                                               "crawspark")
+                g = cache[host]
+                allowed.append(bool(robots_allowed(g["rules"], path)))
+                delays.append(g["crawl_delay"])
+            yield pd.DataFrame({"host": pdf["host"], "url": pdf["url"],
+                                "allowed": allowed,
+                                "crawl_delay": delays})
+
+    ext = _extracted(spark, sf_dir)
+    urls = (ext.select(F.explode("outlinks").alias("link"))
+            .select(
+                F.lower(F.regexp_extract(
+                    "link", r"^[a-z][a-z0-9+.-]*://([^/?#]+)", 1))
+                .alias("host"),
+                F.regexp_extract(
+                    "link", r"^[a-z][a-z0-9+.-]*://[^/?#]+([^?#]*)", 1)
+                .alias("path"),
+                F.col("link").alias("url"))
+            .filter(F.col("host") != "")
+            .distinct())
+    decided = urls.mapInPandas(
+        decide, "host string, url string, allowed boolean, "
+                "crawl_delay double")
+    w = Window.partitionBy("host").orderBy("url")
+    rn = F.row_number().over(w)
+    return (decided.filter(F.col("allowed"))
+            .withColumn("fetch_rank", rn.cast("long"))
+            .withColumn("offset_sec",
+                        F.round((rn - 1)
+                                * F.coalesce("crawl_delay", F.lit(1.0)), 1))
+            .select("host", "url", "fetch_rank", "offset_sec"))
+
+
 @register("canonicalize_outlinks", sql=_sf_sql("""
     -- same normalization chain as the Spark side, step by step
     SELECT canon, count(*) AS n_urls FROM (

@@ -221,6 +221,97 @@ def ann_lsh_buckets(spark, sf_dir):
             .orderBy("n_vectors"))
 
 
+# Product quantization (PQ): split the 64-dim vector into M subspaces of
+# SUB_D dims; each subvector quantizes to one of PQ_K codes per subspace
+# → an M-byte code per vector (8 bytes vs 256 — the compression that
+# makes billion-vector ANN serving fit in RAM; asymmetric-distance
+# search sums per-subspace lookup tables). Codebooks here are the
+# first-PQ_K corpus vectors' subvectors (the same deterministic seeding
+# convention as the IVF cent0) so the ENTIRE assignment is
+# SQL-replayable; the production path trains per-subspace k-means
+# exactly like _centroids does per cell.
+PQ_M, PQ_SUB_D, PQ_K = 8, 8, 16
+
+
+@register("embedding_pq_codes", sql=f"""
+    WITH cb AS (
+      SELECT e.vec_id AS code, s.s AS sub,
+             list_slice(e.embedding::DOUBLE[],
+                        s.s * {PQ_SUB_D} + 1,
+                        s.s * {PQ_SUB_D} + {PQ_SUB_D}) AS cvec
+      FROM embeddings e, (SELECT unnest(range({PQ_M})) AS s) s
+      WHERE e.vec_id < {PQ_K}
+    ), dist AS (
+      SELECT e.vec_id, c.sub, c.code,
+             round(list_sum(list_transform(range(1, {PQ_SUB_D} + 1),
+               i -> (list_slice(e.embedding::DOUBLE[],
+                       c.sub * {PQ_SUB_D} + 1,
+                       c.sub * {PQ_SUB_D} + {PQ_SUB_D})[i] - c.cvec[i])
+                  * (list_slice(e.embedding::DOUBLE[],
+                       c.sub * {PQ_SUB_D} + 1,
+                       c.sub * {PQ_SUB_D} + {PQ_SUB_D})[i] - c.cvec[i]))),
+               6) AS d2
+      FROM embeddings e CROSS JOIN cb c
+    ), assign AS (
+      SELECT vec_id, sub, code, d2 FROM (
+        SELECT vec_id, sub, code, d2,
+               row_number() OVER (PARTITION BY vec_id, sub
+                                  ORDER BY d2, code) AS rn
+        FROM dist) WHERE rn = 1
+    )
+    SELECT CAST(sub AS INT) AS sub, CAST(code AS INT) AS code,
+           count(*) AS n_vectors,
+           CAST(round(avg(d2), 3) AS DOUBLE) AS mean_d2
+    FROM assign GROUP BY sub, code
+""")
+def embedding_pq_codes(spark, sf_dir):
+    # Per-(subspace, code) occupancy histogram + mean squared
+    # quantization error. One corpus scan: the PQ_K x M codebook rides
+    # as a broadcast numpy array, each Arrow batch computes all M
+    # argmins vectorized; the only shuffle is the (sub, code) aggregate
+    # (<= M*PQ_K groups). Distances round to 6dp before argmin (ties ->
+    # lowest code) so the DuckDB replay picks identical codes; mean_d2
+    # averages the ROUNDED distances, keeping accumulation-order noise
+    # orders of magnitude below the 3dp output rounding.
+    import numpy as np
+    import pandas as pd
+
+    emb = read_testdata(spark, sf_dir, "embeddings")
+    seed = (emb.filter(F.col("vec_id") < PQ_K)
+            .select("vec_id", "embedding").toPandas()
+            .sort_values("vec_id"))
+    C = np.array(list(seed["embedding"]), dtype=np.float64)  # PQ_K x 64
+    bc = spark.sparkContext.broadcast(C)
+
+    def assign(batches):
+        cb = bc.value.reshape(PQ_K, PQ_M, PQ_SUB_D)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.array(list(pdf["embedding"]),
+                         dtype=np.float64).reshape(-1, PQ_M, PQ_SUB_D)
+            out_sub, out_code, out_d2 = [], [], []
+            for s in range(PQ_M):
+                # (n, PQ_K) squared L2 in subspace s
+                diff = V[:, None, s, :] - cb[None, :, s, :]
+                d2 = np.round((diff * diff).sum(axis=2), 6)
+                codes = np.argmin(d2, axis=1)  # first min = lowest code
+                out_sub.append(np.full(len(V), s, dtype="int32"))
+                out_code.append(codes.astype("int32"))
+                out_d2.append(d2[np.arange(len(V)), codes])
+            yield pd.DataFrame({
+                "sub": np.concatenate(out_sub),
+                "code": np.concatenate(out_code),
+                "d2": np.concatenate(out_d2),
+            })
+
+    assigned = (emb.select("embedding")
+                .mapInPandas(assign, "sub int, code int, d2 double"))
+    return (assigned.groupBy("sub", "code")
+            .agg(F.count("*").alias("n_vectors"),
+                 F.round(F.avg("d2"), 3).alias("mean_d2")))
+
+
 N_CELLS = 16
 KMEANS_ITERS = 5
 _DIM = 64  # embeddings table dim (TESTDATA; FIXTURES.md §3)
