@@ -232,25 +232,29 @@ def ann_lsh_buckets(spark, sf_dir):
 # exactly like _centroids does per cell.
 PQ_M, PQ_SUB_D, PQ_K = 8, 8, 16
 
+# Shared CTE fragments for the PQ oracles: the codebook and the
+# per-(vector, subspace) code assignment (round-6 squared L2, ties to
+# the lowest code) — ONE builder feeding embedding_pq_codes and
+# ann_search_pq so the two queries can never drift apart.
+_PQ_SLICE = (f"list_slice({{v}}::DOUBLE[], {{s}} * {PQ_SUB_D} + 1, "
+             f"{{s}} * {PQ_SUB_D} + {PQ_SUB_D})")
 
-@register("embedding_pq_codes", sql=f"""
-    WITH cb AS (
+
+def _pq_d2(vec_expr: str, sub: str = "c.sub") -> str:
+    sl = _PQ_SLICE.format(v=vec_expr, s=sub)
+    return (f"round(list_sum(list_transform(range(1, {PQ_SUB_D} + 1), "
+            f"i -> ({sl}[i] - c.cvec[i]) * ({sl}[i] - c.cvec[i]))), 6)")
+
+
+def _pq_base_ctes() -> str:
+    return f"""cb AS (
       SELECT e.vec_id AS code, s.s AS sub,
-             list_slice(e.embedding::DOUBLE[],
-                        s.s * {PQ_SUB_D} + 1,
-                        s.s * {PQ_SUB_D} + {PQ_SUB_D}) AS cvec
+             {_PQ_SLICE.format(v='e.embedding', s='s.s')} AS cvec
       FROM embeddings e, (SELECT unnest(range({PQ_M})) AS s) s
       WHERE e.vec_id < {PQ_K}
     ), dist AS (
       SELECT e.vec_id, c.sub, c.code,
-             round(list_sum(list_transform(range(1, {PQ_SUB_D} + 1),
-               i -> (list_slice(e.embedding::DOUBLE[],
-                       c.sub * {PQ_SUB_D} + 1,
-                       c.sub * {PQ_SUB_D} + {PQ_SUB_D})[i] - c.cvec[i])
-                  * (list_slice(e.embedding::DOUBLE[],
-                       c.sub * {PQ_SUB_D} + 1,
-                       c.sub * {PQ_SUB_D} + {PQ_SUB_D})[i] - c.cvec[i]))),
-               6) AS d2
+             {_pq_d2('e.embedding')} AS d2
       FROM embeddings e CROSS JOIN cb c
     ), assign AS (
       SELECT vec_id, sub, code, d2 FROM (
@@ -258,7 +262,11 @@ PQ_M, PQ_SUB_D, PQ_K = 8, 8, 16
                row_number() OVER (PARTITION BY vec_id, sub
                                   ORDER BY d2, code) AS rn
         FROM dist) WHERE rn = 1
-    )
+    )"""
+
+
+@register("embedding_pq_codes", sql=f"""
+    WITH {_pq_base_ctes()}
     SELECT CAST(sub AS INT) AS sub, CAST(code AS INT) AS code,
            count(*) AS n_vectors,
            CAST(round(avg(d2), 3) AS DOUBLE) AS mean_d2
@@ -310,6 +318,99 @@ def embedding_pq_codes(spark, sf_dir):
     return (assigned.groupBy("sub", "code")
             .agg(F.count("*").alias("n_vectors"),
                  F.round(F.avg("d2"), 3).alias("mean_d2")))
+
+
+@register("ann_search_pq", sql=f"""
+    WITH {_pq_base_ctes()},
+    qlut AS (
+      -- per-query lookup table: exact squared distance from the query's
+      -- subvector to EVERY code's centroid
+      SELECT q.vec_id AS query_id, c.sub, c.code,
+             {_pq_d2('q.embedding')} AS qd2
+      FROM embeddings q CROSS JOIN cb c WHERE q.vec_id < 5
+    ), adc AS (
+      -- asymmetric distance: sum the M table entries selected by the
+      -- corpus vector's codes (round-6 like every cross-engine sum)
+      SELECT l.query_id, a.vec_id AS neighbor_id,
+             round(sum(l.qd2), 6) AS approx_d2
+      FROM assign a
+      JOIN qlut l ON l.sub = a.sub AND l.code = a.code
+      WHERE a.vec_id <> l.query_id
+      GROUP BY l.query_id, a.vec_id
+    )
+    SELECT query_id, neighbor_id,
+           CAST(approx_d2 AS DOUBLE) AS approx_d2,
+           CAST(rank AS BIGINT) AS rank
+    FROM (
+      SELECT query_id, neighbor_id, approx_d2,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY approx_d2, neighbor_id) AS rank
+      FROM adc) WHERE rank <= 5
+""")
+def ann_search_pq(spark, sf_dir):
+    # ADC (asymmetric distance computation) search over PQ codes: each
+    # query precomputes an M x PQ_K lookup table of exact
+    # query-subvector-to-centroid distances (tiny, driver-side — K query
+    # rows by definition); a corpus vector's approximate distance is the
+    # sum of the M entries its codes select. The corpus side touches
+    # only the M-byte codes — at 10^12 vectors that is the entire point:
+    # the scan reads 8 bytes/vector instead of 256, and the shuffle is
+    # the per-query top-k. Codebook, codes, tables and ranking all
+    # replay in DuckDB (deterministic first-K codebook).
+    import numpy as np
+    import pandas as pd
+
+    emb = read_testdata(spark, sf_dir, "embeddings")
+    seed = (emb.filter(F.col("vec_id") < PQ_K)
+            .select("vec_id", "embedding").toPandas()
+            .sort_values("vec_id"))
+    C = np.array(list(seed["embedding"]),
+                 dtype=np.float64).reshape(PQ_K, PQ_M, PQ_SUB_D)
+    qrows = (emb.filter(F.col("vec_id") < 5)
+             .select("vec_id", "embedding").collect())
+    # M x PQ_K LUT per query, exact distances, round-6 to match the SQL
+    luts = {}
+    for r in qrows:
+        qv = np.asarray(r["embedding"], dtype=np.float64).reshape(
+            PQ_M, PQ_SUB_D)
+        diff = qv[None, :, :] - C  # (K, M, D)
+        luts[int(r["vec_id"])] = np.round(
+            (diff * diff).sum(axis=2).T, 6)  # (M, K)
+    bc_c = spark.sparkContext.broadcast(C)
+    bc_l = spark.sparkContext.broadcast(luts)
+
+    def score(batches):
+        cb = bc_c.value
+        lut = bc_l.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.array(list(pdf["embedding"]),
+                         dtype=np.float64).reshape(-1, PQ_M, PQ_SUB_D)
+            ids = pdf["vec_id"].to_numpy()
+            codes = np.empty((len(V), PQ_M), dtype=np.int64)
+            for s in range(PQ_M):
+                diff = V[:, None, s, :] - cb[None, :, s, :]
+                d2 = np.round((diff * diff).sum(axis=2), 6)
+                codes[:, s] = np.argmin(d2, axis=1)
+            out = []
+            for qid, tbl in lut.items():
+                approx = np.round(
+                    tbl[np.arange(PQ_M)[None, :], codes].sum(axis=1), 6)
+                keep = ids != qid
+                out.append(pd.DataFrame({
+                    "query_id": qid, "neighbor_id": ids[keep],
+                    "approx_d2": approx[keep]}))
+            yield pd.concat(out)
+
+    scored = (emb.select("vec_id", "embedding")
+              .mapInPandas(score,
+                           "query_id long, neighbor_id long, "
+                           "approx_d2 double"))
+    w = (Window.partitionBy("query_id")
+         .orderBy("approx_d2", "neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= 5))
 
 
 N_CELLS = 16
