@@ -201,6 +201,72 @@ def multimodal_feature_stats(spark, sf_dir):
 # parser bug on EITHER side flips per-document hashes.
 # ---------------------------------------------------------------------------
 
+
+@register("multimodal_bmp_pixel_stats", sql="""
+    -- closed form of the synthesized gradient: B=x%256, G=y%256,
+    -- R=(x+2y)%256 with w<=126, h<=62 (no wraparound), so the channel
+    -- means are exact halves and the sample pixel (1,2) is (5,2,1).
+    SELECT doc_id,
+           CAST(64 + (doc_id % 32) * 2 AS INT) AS width,
+           CAST(32 + (doc_id % 16) * 2 AS INT) AS height,
+           CAST((64 + (doc_id % 32) * 2 - 1) / 2.0
+                + (32 + (doc_id % 16) * 2 - 1) AS DOUBLE) AS mean_r,
+           CAST((32 + (doc_id % 16) * 2 - 1) / 2.0 AS DOUBLE) AS mean_g,
+           CAST((64 + (doc_id % 32) * 2 - 1) / 2.0 AS DOUBLE) AS mean_b,
+           CAST(5 AS INT) AS p12_r, CAST(2 AS INT) AS p12_g,
+           CAST(1 AS INT) AS p12_b
+    FROM documents WHERE doc_id % 5 = 3
+""")
+def multimodal_bmp_pixel_stats(spark, sf_dir):
+    # REAL pixel decode (r5): uncompressed 24bpp BMP needs no codec
+    # library — the worker synthesizes genuine BMP files (bottom-up
+    # rows, 4-byte stride padding, BGR order) and decodes the PIXELS
+    # back with a vectorized numpy walk that honors the pixel-array
+    # offset, stride, row order and channel order. Channel means +
+    # a sample pixel are hashed against the closed-form oracle; the
+    # pure-Python decoder (oracle/imagemeta.decode_bmp_pixels) is
+    # differential-tested against this numpy path. The compressed
+    # codecs (PNG deflate+filters, JPEG DCT) remain the documented
+    # decode seam.
+    import struct as _struct
+
+    import numpy as np
+
+    def synth_decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from crawspark.oracle.imagemeta import make_bmp_pixels
+        for pdf in batches:
+            out = {"doc_id": [], "width": [], "height": [],
+                   "mean_r": [], "mean_g": [], "mean_b": [],
+                   "p12_r": [], "p12_g": [], "p12_b": []}
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = 64 + (d % 32) * 2, 32 + (d % 16) * 2
+                payload = make_bmp_pixels(w, h)
+                off = _struct.unpack("<I", payload[10:14])[0]
+                stride = (w * 3 + 3) & ~3
+                arr = np.frombuffer(
+                    payload, dtype=np.uint8, count=h * stride,
+                    offset=off).reshape(h, stride)[:, :w * 3]
+                img = arr.reshape(h, w, 3)[::-1]  # bottom-up -> top-left
+                means = img.astype(np.float64).mean(axis=(0, 1))  # B,G,R
+                out["doc_id"].append(d)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["mean_r"].append(float(means[2]))
+                out["mean_g"].append(float(means[1]))
+                out["mean_b"].append(float(means[0]))
+                out["p12_r"].append(int(img[2, 1, 2]))
+                out["p12_g"].append(int(img[2, 1, 1]))
+                out["p12_b"].append(int(img[2, 1, 0]))
+            yield pd.DataFrame(out)
+
+    docs = (read_testdata(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") % 5 == 3).select("doc_id"))
+    return docs.mapInPandas(
+        synth_decode, "doc_id long, width int, height int, mean_r double, "
+                      "mean_g double, mean_b double, p12_r int, "
+                      "p12_g int, p12_b int")
+
 @register("multimodal_image_dims", sql="""
     SELECT doc_id,
            CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'

@@ -223,3 +223,68 @@ def make_mp4_bytes(duration_ms: int, w: int, h: int,
     moov = box(b"moov", mvhd + box(b"trak", tkhd))
     ftyp = box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
     return ftyp + moov
+
+
+# ---------------------------------------------------------------------------
+# REAL pixel decode for uncompressed 24-bit BMP (r5): BI_RGB needs no
+# codec library — rows are raw BGR triples, bottom-up, each padded to a
+# 4-byte boundary (Windows BITMAPINFOHEADER layout). This converts one
+# slice of the "pixel decode is env-blocked" seam into working code; the
+# compressed codecs (PNG deflate+filters, JPEG DCT) remain the
+# documented NotImplementedError seam.
+# ---------------------------------------------------------------------------
+
+def make_bmp_pixels(w: int, h: int) -> bytes:
+    """Full uncompressed 24bpp BMP with a deterministic gradient:
+    at image coordinate (x, y) — (0,0) = TOP-left — the channels are
+    B = x % 256, G = y % 256, R = (x + 2*y) % 256. Rows are stored
+    bottom-up with 4-byte padding, exactly per the format."""
+    stride = (w * 3 + 3) & ~3
+    rows = bytearray()
+    for yy in range(h - 1, -1, -1):  # bottom-up storage order
+        row = bytearray()
+        for x in range(w):
+            row += bytes(((x % 256), (yy % 256), ((x + 2 * yy) % 256)))
+        row += b"\x00" * (stride - len(row))
+        rows += row
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(rows),
+                       2835, 2835, 0, 0)
+    header = b"BM" + struct.pack("<IHHI", 14 + 40 + len(rows), 0, 0,
+                                 14 + 40)
+    return header + info + bytes(rows)
+
+
+def decode_bmp_pixels(payload: bytes):
+    """(w, h, mean_r, mean_g, mean_b, sample_rgb) from an uncompressed
+    24bpp bottom-up BMP — real pixel access: honors the pixel-array
+    offset from the file header, the 4-byte row stride, bottom-up row
+    order and BGR channel order. sample_rgb is image pixel (1, 2)
+    (top-left origin). None for anything but BI_RGB 24bpp."""
+    try:
+        if payload[:2] != b"BM":
+            return None
+        off = struct.unpack("<I", payload[10:14])[0]
+        hdr = struct.unpack("<IiiHHI", payload[14:34])
+        _, w, h, _planes, bpp, compression = hdr
+        if bpp != 24 or compression != 0 or w <= 0 or h == 0:
+            return None
+        top_down = h < 0
+        h = abs(h)
+        stride = (w * 3 + 3) & ~3
+        sums = [0, 0, 0]  # b, g, r
+        sample = None
+        for y in range(h):  # y = image row, top-left origin
+            src_row = y if top_down else h - 1 - y
+            base = off + src_row * stride
+            row = payload[base:base + w * 3]
+            for x in range(w):
+                b, g, r = row[x * 3], row[x * 3 + 1], row[x * 3 + 2]
+                sums[0] += b
+                sums[1] += g
+                sums[2] += r
+                if x == 1 and y == 2:
+                    sample = (r, g, b)
+        n = w * h
+        return (w, h, sums[2] / n, sums[1] / n, sums[0] / n, sample)
+    except (IndexError, struct.error):
+        return None

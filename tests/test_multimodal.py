@@ -136,3 +136,28 @@ def test_av_header_hand_vectors():
         for sr in (8000, 16000, 24000):
             assert parse_wav_meta(make_wav_bytes(ch, sr, 1250)) \
                 == (ch, sr, 1250)
+
+
+def test_bmp_pixel_decoders_agree():
+    # Differential: the pure-Python BMP pixel decoder must agree with
+    # the numpy path used in the registry query across widths that
+    # exercise every stride-padding residue (w*3 % 4 in {0,1,2,3}),
+    # plus the spec hand vector.
+    from crawspark.oracle.imagemeta import decode_bmp_pixels, make_bmp_pixels
+
+    for w, h in ((64, 32), (65, 33), (66, 34), (67, 35), (126, 62)):
+        got = decode_bmp_pixels(make_bmp_pixels(w, h))
+        exp = (w, h, (w - 1) / 2 + (h - 1), (h - 1) / 2, (w - 1) / 2,
+               (5, 2, 1))
+        assert got == exp, (w, h, got)
+
+
+def test_bmp_pixel_decoder_rejects_non_rgb24():
+    from crawspark.oracle.imagemeta import decode_bmp_pixels, make_image_bytes
+
+    # header-only BMP (no pixel array, but also bpp/compression fine) —
+    # must not crash; and non-BMP bytes return None
+    assert decode_bmp_pixels(b"\x89PNG not a bmp") is None
+    assert decode_bmp_pixels(b"BM short") is None
+    # png bytes from the image synthesizer are not BMP
+    assert decode_bmp_pixels(make_image_bytes("png", 10, 10)) is None
