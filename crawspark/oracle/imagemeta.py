@@ -288,3 +288,138 @@ def decode_bmp_pixels(payload: bytes):
         return (w, h, sums[2] / n, sums[1] / n, sums[0] / n, sample)
     except (IndexError, struct.error):
         return None
+
+
+# ---------------------------------------------------------------------------
+# REAL pixel decode for PNG truecolor-8 (r5): PNG's compression is
+# deflate — stdlib zlib — plus five per-row byte filters (RFC 2083 §6),
+# so full pixel access needs no codec library either. The generator
+# cycles through ALL filter types (None/Sub/Up/Average/Paeth) so the
+# decoder's every unfilter path is exercised; filtering is lossless, so
+# the closed-form gradient oracle still holds. Remaining seam: JPEG DCT.
+# ---------------------------------------------------------------------------
+
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    import zlib as _z
+    return (struct.pack(">I", len(body)) + ctype + body
+            + struct.pack(">I", _z.crc32(ctype + body) & 0xFFFFFFFF))
+
+
+def _png_filter_row(ftype: int, row: bytes, prev: bytes,
+                    bpp: int = 3) -> bytes:
+    """Apply PNG filter ``ftype`` to a raw row (encoder side)."""
+    out = bytearray()
+    for i, x in enumerate(row):
+        a = row[i - bpp] if i >= bpp else 0
+        b = prev[i]
+        c = prev[i - bpp] if i >= bpp else 0
+        if ftype == 0:
+            out.append(x)
+        elif ftype == 1:
+            out.append((x - a) & 0xFF)
+        elif ftype == 2:
+            out.append((x - b) & 0xFF)
+        elif ftype == 3:
+            out.append((x - ((a + b) >> 1)) & 0xFF)
+        else:  # Paeth
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+            out.append((x - pred) & 0xFF)
+    return bytes(out)
+
+
+def make_png_pixels(w: int, h: int) -> bytes:
+    """Real PNG (truecolor 8-bit) with the same deterministic gradient
+    as make_bmp_pixels — R = (x + 2*y) % 256, G = y % 256, B = x % 256 —
+    rows filtered cycling through types 0..4 (all five unfilter paths
+    exercised on decode) and deflate-compressed into one IDAT."""
+    import zlib as _z
+
+    raw = bytearray()
+    prev = bytes(w * 3)
+    for y in range(h):
+        row = bytearray()
+        for x in range(w):
+            row += bytes((((x + 2 * y) % 256), (y % 256), (x % 256)))
+        ftype = y % 5
+        raw.append(ftype)
+        raw += _png_filter_row(ftype, bytes(row), prev)
+        prev = bytes(row)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", _z.compress(bytes(raw)))
+            + _png_chunk(b"IEND", b""))
+
+
+def decode_png_pixels(payload: bytes):
+    """(w, h, mean_r, mean_g, mean_b, sample_rgb) from a truecolor-8 PNG:
+    chunk walk → IDAT concat → zlib inflate → per-row unfilter (all five
+    RFC 2083 filter types, bpp=3). sample_rgb = image pixel (1, 2).
+    None for non-PNG bytes or other color types / bit depths."""
+    import zlib as _z
+
+    try:
+        if payload[:8] != b"\x89PNG\r\n\x1a\n":
+            return None
+        i = 8
+        w = h = None
+        idat = bytearray()
+        while i + 8 <= len(payload):
+            ln = struct.unpack(">I", payload[i:i + 4])[0]
+            ctype = payload[i + 4:i + 8]
+            body = payload[i + 8:i + 8 + ln]
+            if ctype == b"IHDR":
+                w, h, depth, color = struct.unpack(">IIBB", body[:10])
+                if depth != 8 or color != 2:
+                    return None
+            elif ctype == b"IDAT":
+                idat += body
+            elif ctype == b"IEND":
+                break
+            i += 12 + ln
+        if not (w and h and idat):
+            return None
+        raw = _z.decompress(bytes(idat))
+        stride = w * 3
+        bpp = 3
+        sums = [0, 0, 0]
+        sample = None
+        prev = bytearray(stride)
+        pos = 0
+        for y in range(h):
+            ftype = raw[pos]
+            row = bytearray(raw[pos + 1:pos + 1 + stride])
+            pos += 1 + stride
+            if ftype == 1:      # Sub
+                for i2 in range(bpp, stride):
+                    row[i2] = (row[i2] + row[i2 - bpp]) & 0xFF
+            elif ftype == 2:    # Up
+                for i2 in range(stride):
+                    row[i2] = (row[i2] + prev[i2]) & 0xFF
+            elif ftype == 3:    # Average
+                for i2 in range(stride):
+                    a = row[i2 - bpp] if i2 >= bpp else 0
+                    row[i2] = (row[i2] + ((a + prev[i2]) >> 1)) & 0xFF
+            elif ftype == 4:    # Paeth
+                for i2 in range(stride):
+                    a = row[i2 - bpp] if i2 >= bpp else 0
+                    b = prev[i2]
+                    c = prev[i2 - bpp] if i2 >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = (a if pa <= pb and pa <= pc
+                            else (b if pb <= pc else c))
+                    row[i2] = (row[i2] + pred) & 0xFF
+            for x in range(w):
+                r, g, b2 = row[x * 3], row[x * 3 + 1], row[x * 3 + 2]
+                sums[0] += r
+                sums[1] += g
+                sums[2] += b2
+                if x == 1 and y == 2:
+                    sample = (r, g, b2)
+            prev = row
+        n = w * h
+        return (w, h, sums[0] / n, sums[1] / n, sums[2] / n, sample)
+    except (IndexError, struct.error, _z.error):
+        return None

@@ -161,3 +161,35 @@ def test_bmp_pixel_decoder_rejects_non_rgb24():
     assert decode_bmp_pixels(b"BM short") is None
     # png bytes from the image synthesizer are not BMP
     assert decode_bmp_pixels(make_image_bytes("png", 10, 10)) is None
+
+
+def test_png_pixel_roundtrip_all_filters():
+    # The generator cycles filter types 0..4 per row; decode must
+    # reproduce the exact gradient through every unfilter path (heights
+    # >= 5 guarantee all five types occur).
+    from crawspark.oracle.imagemeta import (
+        decode_png_pixels,
+        make_png_pixels,
+        parse_image_dims,
+    )
+
+    for w, h in ((64, 32), (65, 33), (126, 62), (7, 5)):
+        got = decode_png_pixels(make_png_pixels(w, h))
+        exp = (w, h, (w - 1) / 2 + (h - 1), (h - 1) / 2, (w - 1) / 2,
+               (5, 2, 1))
+        assert got == exp, (w, h, got)
+    # the synthesized PNG is also a valid header for the dims parser
+    assert parse_image_dims(make_png_pixels(20, 10)) == ("png", 20, 10)
+
+
+def test_png_pixel_decoder_rejects_other_bytes():
+    from crawspark.oracle.imagemeta import (
+        decode_png_pixels,
+        make_bmp_pixels,
+        make_image_bytes,
+    )
+
+    assert decode_png_pixels(b"not a png") is None
+    assert decode_png_pixels(make_bmp_pixels(10, 10)) is None
+    # header-only PNG (no IDAT) is not decodable
+    assert decode_png_pixels(make_image_bytes("png", 10, 10)) is None
