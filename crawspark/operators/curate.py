@@ -28,6 +28,14 @@ _TOKEN_RE = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
 
 MIN_LEN = 200
 SPACE_LO, SPACE_HI = 0.08, 0.35
+# v2 gates (r5): Gopher-style repetition ceiling — 0.15 sits just above
+# the corpus p90 (~0.14), so the gate visibly fires on the repetitive
+# tail (1-3 surviving docs per SF) and its firing side is on the driver
+# hash path, not just its non-firing side. Duplicated-sentence ceiling:
+# 0 on this corpus — live but unbinding, the honest state of a clean
+# feed.
+TOP_WORD_MAX = 0.15
+DUP_SENT_MAX = 0.3
 
 
 @register("curate_corpus", sql=f"""
@@ -99,3 +107,101 @@ def curate_corpus(spark, sf_dir):
             .select("doc_id", "lang",
                     F.size(F.regexp_extract_all("text", F.lit(_TOKEN_RE), 0))
                     .cast("long").alias("n_tokens")))
+
+
+@register("curate_corpus_v2", sql=f"""
+    WITH RECURSIVE {_DDB_TOK_CTES}, sizes AS (
+      SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+    ), overlap AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM sh a JOIN sh b USING (shingle)
+      WHERE a.doc_id < b.doc_id GROUP BY doc_a, doc_b
+    ), verified AS (
+      SELECT doc_a, doc_b FROM overlap
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.8
+    ), edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM verified
+      UNION ALL SELECT doc_b, doc_a FROM verified
+    ), reach(node, label) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
+    ), fuzzy_drop AS (
+      SELECT node AS doc_id FROM reach GROUP BY node
+      HAVING node <> min(label)
+    ), exact_keep AS (
+      SELECT doc_id FROM (
+        SELECT doc_id, row_number() OVER (
+          PARTITION BY md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+          ORDER BY doc_id) AS rn
+        FROM documents
+      ) WHERE rn = 1
+    ), win AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               range(1, len(toks) - 10),
+               i -> md5(array_to_string(list_slice(toks, i, i + 11), ' ')))))
+               AS w
+      FROM tok WHERE len(toks) >= 12
+    ), substr_drop AS (
+      -- exact-substring dedup: of every pair sharing a 12-token run,
+      -- the higher doc_id drops
+      SELECT DISTINCT b.doc_id
+      FROM win a JOIN win b ON a.w = b.w AND a.doc_id < b.doc_id
+    ), wstats AS (
+      SELECT doc_id, max(c) / CAST(sum(c) AS DOUBLE) AS top_word_frac
+      FROM (
+        SELECT doc_id, word, count(*) AS c FROM (
+          SELECT doc_id,
+                 unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+          FROM documents) GROUP BY doc_id, word
+      ) GROUP BY doc_id
+    ), sstats AS (
+      SELECT doc_id,
+             1 - count(DISTINCT s) / CAST(count(*) AS DOUBLE)
+               AS dup_sentence_ratio
+      FROM (
+        SELECT doc_id, trim(s) AS s FROM (
+          SELECT doc_id, unnest(string_split(text, '.')) AS s
+          FROM documents) WHERE trim(s) <> ''
+      ) GROUP BY doc_id
+    )
+    SELECT d.doc_id, d.lang,
+           CAST(len(regexp_extract_all(d.text, '{_TOKEN_RE}')) AS BIGINT)
+             AS n_tokens
+    FROM documents d
+    JOIN exact_keep USING (doc_id)
+    ANTI JOIN fuzzy_drop USING (doc_id)
+    ANTI JOIN substr_drop USING (doc_id)
+    JOIN wstats USING (doc_id)
+    LEFT JOIN sstats USING (doc_id)
+    WHERE d.lang IN ('en', 'fr')
+      AND length(d.text) >= {MIN_LEN}
+      AND CAST(length(d.text) - length(replace(d.text, ' ', '')) AS DOUBLE)
+          / greatest(length(d.text), 1) BETWEEN {SPACE_LO} AND {SPACE_HI}
+      AND wstats.top_word_frac <= {TOP_WORD_MAX}
+      AND coalesce(sstats.dup_sentence_ratio, 0) <= {DUP_SENT_MAX}
+""")
+def curate_corpus_v2(spark, sf_dir):
+    # The r5 curation composite: v1's chain (exact dedup → fuzzy resolve
+    # → lang gate → length/space gates → token accounting) extended with
+    # the round's new signals — exact-substring dedup (drop the higher
+    # doc_id of any pair sharing a 12-token run) and the Gopher-style
+    # repetition gates. v1 stays registered unchanged so its
+    # round-over-round numbers remain comparable. All drop lists stay
+    # broadcast-small; the repetition stats are doc_id-keyed aggregates.
+    from crawspark.operators.dedup import dedup_exact_substring
+    from crawspark.operators.textops import quality_repetition_stats
+
+    base = curate_corpus(spark, sf_dir).select("doc_id", "lang", "n_tokens")
+    substr_drop = (dedup_exact_substring(spark, sf_dir)
+                   .select(F.col("doc_b").alias("doc_id")).distinct())
+    rep = quality_repetition_stats(spark, sf_dir).select(
+        "doc_id", "top_word_frac", "dup_sentence_ratio")
+    return (base.join(F.broadcast(substr_drop), "doc_id", "left_anti")
+            .join(rep, "doc_id")
+            .filter((F.col("top_word_frac") <= TOP_WORD_MAX)
+                    & (F.col("dup_sentence_ratio") <= DUP_SENT_MAX))
+            .select("doc_id", "lang", "n_tokens"))
