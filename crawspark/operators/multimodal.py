@@ -259,6 +259,64 @@ def multimodal_png_pixel_stats(spark, sf_dir):
                       "p12_g int, p12_b int")
 
 
+@register("multimodal_gif_pixel_stats", sql="""
+    -- gradient through a 256-entry palette (palette[i] = (i, 255-i, i),
+    -- idx = (x+2y)%256, no wraparound at these sizes): mean_r = mean_b
+    -- = (w-1)/2 + (h-1), mean_g = 255 - mean_r; pixel (1,2) has idx 5.
+    SELECT doc_id,
+           CAST(64 + (doc_id % 32) * 2 AS INT) AS width,
+           CAST(32 + (doc_id % 16) * 2 AS INT) AS height,
+           CAST((64 + (doc_id % 32) * 2 - 1) / 2.0
+                + (32 + (doc_id % 16) * 2 - 1) AS DOUBLE) AS mean_r,
+           CAST(255 - ((64 + (doc_id % 32) * 2 - 1) / 2.0
+                       + (32 + (doc_id % 16) * 2 - 1)) AS DOUBLE) AS mean_g,
+           CAST((64 + (doc_id % 32) * 2 - 1) / 2.0
+                + (32 + (doc_id % 16) * 2 - 1) AS DOUBLE) AS mean_b,
+           CAST(5 AS INT) AS p12_r, CAST(250 AS INT) AS p12_g,
+           CAST(5 AS INT) AS p12_b
+    FROM documents WHERE doc_id % 7 = 0
+""")
+def multimodal_gif_pixel_stats(spark, sf_dir):
+    # REAL GIF pixel decode (r5): LSB-first variable-width LZW with
+    # CLEAR/EOI and the giflib width-sync convention, data sub-blocks,
+    # global palette lookup — no codec library. The LZW decoder is
+    # pinned by hand-packed literal byte vectors (pair-symmetry broken),
+    # the generator/decoder pair by this closed-form oracle. With BMP
+    # and PNG real, JPEG DCT is the only remaining pixel-decode seam.
+    def synth_decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from crawspark.oracle.imagemeta import (
+            decode_gif_pixels,
+            make_gif_pixels,
+        )
+        for pdf in batches:
+            out = {"doc_id": [], "width": [], "height": [],
+                   "mean_r": [], "mean_g": [], "mean_b": [],
+                   "p12_r": [], "p12_g": [], "p12_b": []}
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = 64 + (d % 32) * 2, 32 + (d % 16) * 2
+                got = decode_gif_pixels(make_gif_pixels(w, h))
+                gw, gh, mr, mg, mb, sample = got if got else (
+                    -1, -1, -1.0, -1.0, -1.0, (-1, -1, -1))
+                out["doc_id"].append(d)
+                out["width"].append(gw)
+                out["height"].append(gh)
+                out["mean_r"].append(mr)
+                out["mean_g"].append(mg)
+                out["mean_b"].append(mb)
+                out["p12_r"].append(sample[0])
+                out["p12_g"].append(sample[1])
+                out["p12_b"].append(sample[2])
+            yield pd.DataFrame(out)
+
+    docs = (read_testdata(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") % 7 == 0).select("doc_id"))
+    return docs.mapInPandas(
+        synth_decode, "doc_id long, width int, height int, mean_r double, "
+                      "mean_g double, mean_b double, p12_r int, "
+                      "p12_g int, p12_b int")
+
+
 @register("multimodal_bmp_pixel_stats", sql="""
     -- closed form of the synthesized gradient: B=x%256, G=y%256,
     -- R=(x+2y)%256 with w<=126, h<=62 (no wraparound), so the channel

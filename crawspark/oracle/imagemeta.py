@@ -423,3 +423,197 @@ def decode_png_pixels(payload: bytes):
         return (w, h, sums[0] / n, sums[1] / n, sums[2] / n, sample)
     except (IndexError, struct.error, _z.error):
         return None
+
+
+# ---------------------------------------------------------------------------
+# REAL pixel decode for GIF87a/89a (r5): GIF's only compression is LZW —
+# LSB-first variable-width codes (9→12 bits for a 256-color table),
+# CLEAR/EOI codes, data sub-blocks — implementable from the published
+# spec with no codec library. Width synchronization follows the
+# documented convention (giflib): BOTH sides track the encoder's
+# next-code counter (the decoder counts codes READ, which mirrors the
+# encoder's table size one step ahead of its own) and widen when the
+# counter reaches 2^width. The decoder is additionally pinned by a
+# hand-packed literal byte vector (tests), not just round-trips.
+# With PNG and BMP this leaves JPEG DCT as the only pixel-decode seam.
+# ---------------------------------------------------------------------------
+
+def _gif_lzw_encode(indices: bytes, min_code_size: int) -> bytes:
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    acc = nbits = 0
+
+    width = min_code_size + 1
+    next_code = eoi + 1
+
+    def emit(code: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits  # LSB-first packing
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    emit(clear)
+    w = indices[:1]
+    for k in indices[1:]:
+        wk = w + bytes([k])
+        if wk in table:
+            w = wk
+            continue
+        emit(table[w])
+        table[wk] = next_code
+        next_code += 1
+        if next_code >= (1 << width) and width < 12:
+            width += 1
+        if next_code >= 4096:  # table full: reset mid-stream
+            emit(clear)
+            table = {bytes([i]): i for i in range(clear)}
+            width = min_code_size + 1
+            next_code = eoi + 1
+        w = bytes([k])
+    emit(table[w])
+    emit(eoi)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def make_gif_pixels(w: int, h: int) -> bytes:
+    """Real GIF89a with a 256-entry global palette (palette[i] =
+    (i, 255-i, i)) and the deterministic index gradient
+    idx(x, y) = (x + 2*y) % 256 — same closed-form channel means as the
+    BMP/PNG twins with G mirrored: mean_r = mean_b = (w-1)/2 + (h-1),
+    mean_g = 255 - mean_r (no wraparound while w + 2h <= 256)."""
+    palette = bytearray()
+    for i in range(256):
+        palette += bytes((i, 255 - i, i))
+    indices = bytes(((x + 2 * y) % 256)
+                    for y in range(h) for x in range(w))
+    lzw = _gif_lzw_encode(indices, 8)
+    blocks = bytearray()
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i:i + 255]
+        blocks += bytes([len(chunk)]) + chunk
+    blocks += b"\x00"
+    return (b"GIF89a" + struct.pack("<HH", w, h) + b"\xf7\x00\x00"
+            + bytes(palette)
+            + b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+            + b"\x08" + bytes(blocks) + b"\x3b")
+
+
+def gif_lzw_decode(data: bytes, min_code_size: int) -> bytes | None:
+    """GIF LZW decode (LSB-first, variable width, CLEAR/EOI). Returns
+    None on a desynchronized stream."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    width = min_code_size + 1
+    next_code = eoi + 1
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    out = bytearray()
+    acc = nbits = 0
+    prev: bytes | None = None
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            if code == clear:
+                table = table[:eoi + 1]
+                width = min_code_size + 1
+                next_code = eoi + 1
+                prev = None
+                continue
+            if code == eoi:
+                return bytes(out)
+            if prev is None:
+                if code >= len(table):
+                    return None
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):  # KwKwK
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                return None
+            out += entry
+            prev = entry
+            # width sync (giflib convention): count codes processed —
+            # mirrors the ENCODER's next-code counter, which runs one
+            # entry ahead of this decoder's own table
+            next_code += 1
+            if next_code >= (1 << width) and width < 12:
+                width += 1
+            if next_code >= 4096:
+                # encoder resets here; the next code MUST be clear
+                # (handled above when it arrives)
+                pass
+    return bytes(out)
+
+
+def decode_gif_pixels(payload: bytes):
+    """(w, h, mean_r, mean_g, mean_b, sample_rgb) from a GIF87a/89a with
+    a global color table: header walk → image descriptor → LZW decode →
+    palette lookup. sample_rgb is image pixel (1, 2). None for non-GIF
+    bytes, interlaced images, or local color tables."""
+    try:
+        if payload[:6] not in (b"GIF87a", b"GIF89a"):
+            return None
+        packed = payload[10]
+        if not packed & 0x80:
+            return None  # no global color table
+        gct_size = 2 << (packed & 0x07)
+        i = 13
+        palette = payload[i:i + gct_size * 3]
+        i += gct_size * 3
+        # skip extension blocks to the image descriptor
+        while i < len(payload):
+            b0 = payload[i]
+            if b0 == 0x2C:
+                break
+            if b0 == 0x21:  # extension: label + sub-blocks
+                i += 2
+                while payload[i] != 0:
+                    i += 1 + payload[i]
+                i += 1
+            elif b0 == 0x3B:
+                return None
+            else:
+                return None
+        w, h = struct.unpack("<HH", payload[i + 5:i + 9])
+        ipacked = payload[i + 9]
+        if ipacked & 0xC0:  # local color table or interlace
+            return None
+        i += 10
+        min_code_size = payload[i]
+        i += 1
+        lzw = bytearray()
+        while payload[i] != 0:
+            n = payload[i]
+            lzw += payload[i + 1:i + 1 + n]
+            i += 1 + n
+        indices = gif_lzw_decode(bytes(lzw), min_code_size)
+        if indices is None or len(indices) < w * h:
+            return None
+        sums = [0, 0, 0]
+        sample = None
+        for y in range(h):
+            for x in range(w):
+                idx = indices[y * w + x]
+                r, g, b = palette[idx * 3:idx * 3 + 3]
+                sums[0] += r
+                sums[1] += g
+                sums[2] += b
+                if x == 1 and y == 2:
+                    sample = (r, g, b)
+        n = w * h
+        return (w, h, sums[0] / n, sums[1] / n, sums[2] / n, sample)
+    except (IndexError, struct.error):
+        return None

@@ -193,3 +193,34 @@ def test_png_pixel_decoder_rejects_other_bytes():
     assert decode_png_pixels(make_bmp_pixels(10, 10)) is None
     # header-only PNG (no IDAT) is not decodable
     assert decode_png_pixels(make_image_bytes("png", 10, 10)) is None
+
+
+def test_gif_lzw_hand_vectors():
+    # Pair-symmetry breakers: LITERAL byte streams hand-packed on paper
+    # from the spec conventions (LSB-first, width grows at next_code ==
+    # 2^width with the giflib shared-counter rule, KwKwK case included).
+    from crawspark.oracle.imagemeta import _gif_lzw_encode, gif_lzw_decode
+
+    # indices [0,1,1,0], min_code_size 2: codes 4,0,1 at 3 bits then
+    # 1,0,5 at 4 bits -> 0x44 0x02 0x0A
+    assert gif_lzw_decode(bytes([0x44, 0x02, 0x0A]), 2) == b"\x00\x01\x01\x00"
+    assert _gif_lzw_encode(b"\x00\x01\x01\x00", 2) == bytes([0x44, 0x02, 0x0A])
+    # indices [1,1,1,1]: the third code (6) is KwKwK — codes 4,1,6 at
+    # 3 bits then 1,5 at 4 bits -> 0x8C 0xA3 0x00
+    assert gif_lzw_decode(bytes([0x8C, 0xA3, 0x00]), 2) == b"\x01\x01\x01\x01"
+    assert _gif_lzw_encode(b"\x01\x01\x01\x01", 2) == bytes([0x8C, 0xA3, 0x00])
+
+
+def test_gif_pixel_roundtrip():
+    from crawspark.oracle.imagemeta import (
+        decode_gif_pixels,
+        make_gif_pixels,
+        parse_image_dims,
+    )
+
+    for w, h in ((64, 32), (65, 33), (126, 62), (7, 5)):
+        got = decode_gif_pixels(make_gif_pixels(w, h))
+        mi = (w - 1) / 2 + (h - 1)
+        assert got == (w, h, mi, 255 - mi, mi, (5, 250, 5)), (w, h, got)
+    assert parse_image_dims(make_gif_pixels(20, 10)) == ("gif", 20, 10)
+    assert decode_gif_pixels(b"not a gif") is None
