@@ -28,19 +28,23 @@ def main() -> None:
                     help="dir containing documents.parquet")
     ap.add_argument("--out", required=True, help="curated output parquet dir")
     ap.add_argument("--master", default=None)
+    ap.add_argument("--v2", action="store_true",
+                    help="r5 pipeline: + exact-substring dedup + "
+                         "Gopher repetition gates")
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
 
     from crawspark.bundle import ensure_shipped
-    from crawspark.operators.curate import curate_corpus
+    from crawspark.operators.curate import curate_corpus, curate_corpus_v2
     from crawspark.session import get_spark
     from crawspark.sources import read_testdata
 
     spark = get_spark(master=args.master, app="crawspark-curate")
     ensure_shipped(spark)
     n_in = read_testdata(spark, args.sf_dir, "documents").count()
-    curated = curate_corpus(spark, args.sf_dir)
+    pipeline = curate_corpus_v2 if args.v2 else curate_corpus
+    curated = pipeline(spark, args.sf_dir)
     curated.write.mode("overwrite").parquet(args.out)
     back = spark.read.parquet(args.out)
     stats = back.agg(
