@@ -224,3 +224,63 @@ def test_gif_pixel_roundtrip():
         assert got == (w, h, mi, 255 - mi, mi, (5, 250, 5)), (w, h, got)
     assert parse_image_dims(make_gif_pixels(20, 10)) == ("gif", 20, 10)
     assert decode_gif_pixels(b"not a gif") is None
+
+
+def test_gif_lzw_random_roundtrip_hits_full_table_reset():
+    # The gradient corpus is highly compressible — its LZW table never
+    # approaches 4096 entries, leaving the width-12 and mid-stream
+    # CLEAR/reset paths untested. Random high-entropy index streams
+    # force both; encode→decode must be identity.
+    import random
+
+    from crawspark.oracle.imagemeta import _gif_lzw_encode, gif_lzw_decode
+
+    rng = random.Random(11)
+    for n in (10, 257, 5000, 9000):
+        data = bytes(rng.randrange(256) for _ in range(n))
+        enc = _gif_lzw_encode(data, 8)
+        assert gif_lzw_decode(enc, 8) == data, n
+    # small alphabet too (min_code_size 2): grows through every width
+    for n in (100, 3000):
+        data = bytes(rng.randrange(4) for _ in range(n))
+        enc = _gif_lzw_encode(data, 2)
+        assert gif_lzw_decode(enc, 2) == data, n
+
+
+def test_png_unfilter_random_roundtrip():
+    # Random pixel content through every PNG filter type — catches
+    # content-dependent filter arithmetic the smooth gradient can miss
+    # (e.g. Paeth tie-breaking on non-monotone rows).
+    import random
+    import struct
+    import zlib
+
+    from crawspark.oracle.imagemeta import (
+        _png_chunk,
+        _png_filter_row,
+        decode_png_pixels,
+    )
+
+    rng = random.Random(13)
+    w, h = 23, 10
+    pixels = [[tuple(rng.randrange(256) for _ in range(3))
+               for _ in range(w)] for _ in range(h)]
+    raw = bytearray()
+    prev = bytes(w * 3)
+    for y in range(h):
+        row = bytes(v for px in pixels[y] for v in px)
+        ftype = y % 5
+        raw.append(ftype)
+        raw += _png_filter_row(ftype, row, prev)
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    png = (b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+           + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+           + _png_chunk(b"IEND", b""))
+    got = decode_png_pixels(png)
+    assert got is not None and got[0] == w and got[1] == h
+    n = w * h
+    exp_means = [sum(px[c] for row in pixels for px in row) / n
+                 for c in range(3)]
+    assert got[2:5] == tuple(exp_means)
+    assert got[5] == pixels[2][1]
