@@ -382,6 +382,56 @@ def multimodal_bmp_pixel_stats(spark, sf_dir):
                       "mean_g double, mean_b double, p12_r int, "
                       "p12_g int, p12_b int")
 
+@register("multimodal_wav_pcm_stats", sql="""
+    -- closed form of the PCM16 ramp sample[i] = ((i*97)%2048)-1024:
+    -- DuckDB recomputes every sample via a bounded range cross join
+    -- (max n_samples = 1000+63*37 = 3331 < 3332), so peak / signed sum
+    -- / RMS pin the full decoded sample sequence per document. Integer
+    -- sums stay exact in float64, so ROUND(.,6) is bit-stable.
+    SELECT d.doc_id, d.n_samples,
+           CAST(MAX(ABS(((g.i*97)%2048)-1024)) AS INT) AS peak,
+           CAST(SUM(((g.i*97)%2048)-1024) AS BIGINT) AS sum_s,
+           ROUND(SQRT(SUM(CAST(((g.i*97)%2048)-1024 AS DOUBLE)
+                          * (((g.i*97)%2048)-1024)) / d.n_samples), 6)
+             AS rms
+    FROM (SELECT doc_id, CAST(1000 + (doc_id % 64) * 37 AS INT)
+                 AS n_samples
+          FROM documents WHERE doc_id % 6 = 1) d,
+         range(3332) g(i)
+    WHERE g.i < d.n_samples
+    GROUP BY d.doc_id, d.n_samples
+""")
+def multimodal_wav_pcm_stats(spark, sf_dir):
+    # REAL audio sample decode (r5): PCM16 WAV data is uncompressed
+    # int16 LE — the "pixel decode" of audio, equally library-free. The
+    # worker synthesizes genuine RIFF/WAVE files and decodes the
+    # SAMPLES back (chunk walk -> data -> int16 unpack), emitting peak,
+    # signed sum and RMS over the actual waveform; the oracle recomputes
+    # the ramp closed-form per sample. With BMP/PNG/GIF pixels and WAV
+    # samples real, JPEG DCT is the only remaining media-decode seam.
+    def synth_decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from crawspark.oracle.imagemeta import decode_wav_pcm, make_wav_pcm
+        for pdf in batches:
+            out = {"doc_id": [], "n_samples": [], "peak": [],
+                   "sum_s": [], "rms": []}
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                got = decode_wav_pcm(make_wav_pcm(1000 + (d % 64) * 37))
+                n, peak, sum_s, rms = got if got else (-1, -1, -1, -1.0)
+                out["doc_id"].append(d)
+                out["n_samples"].append(n)
+                out["peak"].append(peak)
+                out["sum_s"].append(sum_s)
+                out["rms"].append(round(rms, 6))
+            yield pd.DataFrame(out)
+
+    docs = (read_testdata(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") % 6 == 1).select("doc_id"))
+    return docs.mapInPandas(
+        synth_decode, "doc_id long, n_samples int, peak int, "
+                      "sum_s long, rms double")
+
+
 @register("multimodal_image_dims", sql="""
     SELECT doc_id,
            CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'

@@ -617,3 +617,60 @@ def decode_gif_pixels(payload: bytes):
         return (w, h, sums[0] / n, sums[1] / n, sums[2] / n, sample)
     except (IndexError, struct.error):
         return None
+
+
+# ---------------------------------------------------------------------------
+# REAL audio sample decode (r5): PCM16 WAV data is uncompressed int16 LE
+# — the "pixel decode" of audio, equally library-free. With this, every
+# uncompressed media payload in the corpus decodes for real.
+# ---------------------------------------------------------------------------
+
+def make_wav_pcm(n_samples: int, sample_rate: int = 16000) -> bytes:
+    """Mono PCM16 WAV with the deterministic ramp
+    sample[i] = ((i * 97) % 2048) - 1024 — closed-form enough for a SQL
+    oracle to recompute exactly (integer squares sum exactly in
+    float64)."""
+    data = bytearray()
+    for i in range(n_samples):
+        data += struct.pack("<h", ((i * 97) % 2048) - 1024)
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + bytes(data))
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + body
+
+
+def decode_wav_pcm(payload: bytes):
+    """(n_samples, peak_abs, sum_s, rms) from a mono PCM16 WAV — REAL
+    sample access: RIFF chunk walk to fmt/data, int16 LE decode, peak /
+    signed sum / RMS over the actual samples. sum_s catches sign or
+    byte-order bugs RMS (squares) cannot. None for non-PCM16-mono
+    payloads. Integer sums are exact in float64 at these sizes."""
+    import math
+
+    try:
+        if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+            return None
+        i = 12
+        n = len(payload)
+        fmt_ok = False
+        samples = None
+        while i + 8 <= n:
+            cid = payload[i:i + 4]
+            size = struct.unpack("<I", payload[i + 4:i + 8])[0]
+            if cid == b"fmt " and size >= 16:
+                audio_fmt, channels, _sr, _br, _ba, bits = struct.unpack(
+                    "<HHIIHH", payload[i + 8:i + 24])
+                fmt_ok = (audio_fmt == 1 and channels == 1 and bits == 16)
+            elif cid == b"data":
+                raw = payload[i + 8:i + 8 + size]
+                k = len(raw) // 2
+                samples = struct.unpack(f"<{k}h", raw[:2 * k])
+            i += 8 + size + (size & 1)  # RIFF chunks pad to even offsets
+        if not fmt_ok or not samples:
+            return None
+        peak = max(abs(s) for s in samples)
+        sum_s = sum(samples)
+        rms = math.sqrt(sum(s * s for s in samples) / len(samples))
+        return len(samples), peak, sum_s, rms
+    except (struct.error, IndexError):
+        return None

@@ -284,3 +284,66 @@ def test_png_unfilter_random_roundtrip():
                  for c in range(3)]
     assert got[2:5] == tuple(exp_means)
     assert got[5] == pixels[2][1]
+
+
+def test_wav_pcm_hand_vector():
+    # Hand-packed from the RIFF/WAVE spec (not a make_wav_pcm
+    # round-trip): 4 known samples 0, 300, -500, 1000 as int16 LE.
+    import struct
+
+    from crawspark.oracle.imagemeta import decode_wav_pcm
+
+    data = struct.pack("<4h", 0, 300, -500, 1000)
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    wav = b"RIFF" + struct.pack("<I", 4 + len(body)) + body
+    got = decode_wav_pcm(wav)
+    assert got is not None
+    n, peak, sum_s, rms = got
+    assert (n, peak, sum_s) == (4, 1000, 800)
+    assert rms == (sum(s * s for s in (0, 300, -500, 1000)) / 4) ** 0.5
+
+
+def test_wav_pcm_odd_chunk_padding():
+    # A 3-byte LIST chunk before data must be padded to an even offset
+    # (RIFF spec) or the walk desyncs and misses the data chunk.
+    import struct
+
+    from crawspark.oracle.imagemeta import decode_wav_pcm
+
+    data = struct.pack("<2h", 7, -7)
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"LIST" + struct.pack("<I", 3) + b"abc" + b"\x00"
+            + b"data" + struct.pack("<I", len(data)) + data)
+    wav = b"RIFF" + struct.pack("<I", 4 + len(body)) + body
+    assert decode_wav_pcm(wav) == (2, 7, 0, 7.0)
+
+
+def test_wav_pcm_rejects_non_pcm16_mono():
+    import struct
+
+    from crawspark.oracle.imagemeta import decode_wav_pcm, make_wav_pcm
+
+    assert decode_wav_pcm(b"not a wav") is None
+    # stereo
+    data = struct.pack("<2h", 1, 2)
+    fmt = struct.pack("<HHIIHH", 1, 2, 8000, 32000, 4, 16)
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    assert decode_wav_pcm(b"RIFF" + struct.pack("<I", 4 + len(body))
+                          + body) is None
+    # 8-bit
+    fmt8 = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+    body8 = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt8)) + fmt8
+             + b"data" + struct.pack("<I", 2) + b"\x01\x02")
+    assert decode_wav_pcm(b"RIFF" + struct.pack("<I", 4 + len(body8))
+                          + body8) is None
+    # the generator's output does decode (round-trip, plus the closed
+    # form the registry oracle relies on for sample 0..2)
+    got = decode_wav_pcm(make_wav_pcm(3))
+    assert got is not None
+    s = [((i * 97) % 2048) - 1024 for i in range(3)]
+    assert got[0] == 3 and got[1] == max(abs(x) for x in s)
+    assert got[2] == sum(s)
