@@ -2,13 +2,14 @@
 columns with typed metadata; decode / resize / frame-sample /
 feature-extract run as Arrow-batched mapInPandas stages.
 
-The PIXEL decode is a stub — this container ships no PIL/ffmpeg/soundfile
-(`_REAL_DECODE` stays False and the real branch raises
-NotImplementedError exactly where a deployment drops its codec in).
-HEADER-level decode is REAL (r4): container headers are public byte
-layouts, so width/height/format extraction for PNG/GIF/JPEG/BMP is
-implemented from the specs in oracle/imagemeta.py with zero
-dependencies, round-tripped through `multimodal_image_dims`'s oracle.
+Decode is REAL and zero-dependency where the formats permit: container
+headers (PNG/GIF/JPEG/BMP dims, WAV RIFF, MP4 box tree — r4), pixels
+for BMP/PNG/GIF and baseline JPEG (oracle/imagemeta.py +
+oracle/jpegcodec.py — r5), and PCM16 WAV samples (r5), each
+round-tripped through a closed-form DuckDB oracle. The generic
+`decode_media` stand-in below still models the external-codec seam a
+deployment would fill with PIL/ffmpeg (`_REAL_DECODE` branch) for
+formats beyond those — e.g. progressive JPEG or compressed audio.
 Also real, and tested: the Spark-side plumbing — binary column schema,
 deterministic payload synthesis, batch shapes, UDF signatures, explode
 fanout for frames, and the aggregation contracts. Frame sampling and
@@ -224,7 +225,7 @@ def multimodal_png_pixel_stats(spark, sf_dir):
     # filter type (None/Sub/Up/Average/Paeth) and decodes the pixels
     # back (chunk walk → IDAT inflate → unfilter); filtering is
     # lossless, so the closed-form gradient oracle pins all five
-    # unfilter paths per document. JPEG DCT remains the decode seam.
+    # unfilter paths per document. (JPEG is decoded too: jpegcodec.py.)
     def synth_decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from crawspark.oracle.imagemeta import (
             decode_png_pixels,
@@ -282,7 +283,7 @@ def multimodal_gif_pixel_stats(spark, sf_dir):
     # global palette lookup — no codec library. The LZW decoder is
     # pinned by hand-packed literal byte vectors (pair-symmetry broken),
     # the generator/decoder pair by this closed-form oracle. With BMP
-    # and PNG real, JPEG DCT is the only remaining pixel-decode seam.
+    # and PNG real, JPEG follows in oracle/jpegcodec.py — no seam left.
     def synth_decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from crawspark.oracle.imagemeta import (
             decode_gif_pixels,
@@ -341,8 +342,8 @@ def multimodal_bmp_pixel_stats(spark, sf_dir):
     # a sample pixel are hashed against the closed-form oracle; the
     # pure-Python decoder (oracle/imagemeta.decode_bmp_pixels) is
     # differential-tested against this numpy path. The compressed
-    # codecs (PNG deflate+filters, JPEG DCT) remain the documented
-    # decode seam.
+    # codecs have since gone real too (PNG in imagemeta.py, JPEG in
+    # oracle/jpegcodec.py).
     import struct as _struct
 
     import numpy as np
@@ -408,7 +409,8 @@ def multimodal_wav_pcm_stats(spark, sf_dir):
     # SAMPLES back (chunk walk -> data -> int16 unpack), emitting peak,
     # signed sum and RMS over the actual waveform; the oracle recomputes
     # the ramp closed-form per sample. With BMP/PNG/GIF pixels and WAV
-    # samples real, JPEG DCT is the only remaining media-decode seam.
+    # samples real, the baseline JPEG decoder (jpegcodec.py) closes
+    # the last media-decode seam.
     def synth_decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from crawspark.oracle.imagemeta import decode_wav_pcm, make_wav_pcm
         for pdf in batches:
@@ -430,6 +432,97 @@ def multimodal_wav_pcm_stats(spark, sf_dir):
     return docs.mapInPandas(
         synth_decode, "doc_id long, n_samples int, peak int, "
                       "sum_s long, rms double")
+
+
+@register("multimodal_jpeg_pixel_stats", sql="""
+    -- closed form of the DC-only block-constant JPEG: luma block (bx,by)
+    -- carries Y = 40 + 2*bx + 3*by (no wraparound at these sizes), the
+    -- constant chroma collapses the color transform to integer offsets
+    -- K = FLOOR(coef*(C-128)+0.5) (identical double expressions in
+    -- numpy; margins >= 0.058 from every rounding boundary, verified
+    -- over the whole (cb, cr) set), and block means are exact halves so
+    -- the doubles compare bit-for-bit. Restart intervals d%4 put DRI +
+    -- RSTn + DC-predictor reset on the hash path too.
+    WITH p AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 2 = 1 THEN '420' ELSE '444' END AS subsample,
+             CASE WHEN doc_id % 2 = 1 THEN 16 * (4 + doc_id % 5)
+                  ELSE 8 * (8 + doc_id % 9) END AS w,
+             CASE WHEN doc_id % 2 = 1 THEN 16 * (2 + doc_id % 3)
+                  ELSE 8 * (4 + doc_id % 5) END AS h,
+             108 + (doc_id % 5) * 10 AS cb,
+             108 + ((doc_id // 5) % 5) * 10 AS cr
+      FROM documents WHERE doc_id % 7 = 3
+    ), k AS (
+      SELECT *,
+             40 + (w / 8 - 1) + 1.5 * (h / 8 - 1) AS mean_y,
+             FLOOR(1.402 * (cr - 128) + 0.5) AS kr,
+             FLOOR(-0.344136 * (cb - 128) - 0.714136 * (cr - 128) + 0.5)
+               AS kg,
+             FLOOR(1.772 * (cb - 128) + 0.5) AS kb
+      FROM p
+    )
+    SELECT doc_id, subsample,
+           CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(mean_y + kr AS DOUBLE) AS mean_r,
+           CAST(mean_y + kg AS DOUBLE) AS mean_g,
+           CAST(mean_y + kb AS DOUBLE) AS mean_b,
+           CAST(40 + kr AS INT) AS p12_r,
+           CAST(40 + kg AS INT) AS p12_g,
+           CAST(40 + kb AS INT) AS p12_b
+    FROM k
+""")
+def multimodal_jpeg_pixel_stats(spark, sf_dir):
+    # REAL JPEG pixel decode (r5): a from-scratch baseline T.81 decoder
+    # (canonical Huffman, EXTEND, dequant, inverse zigzag, vectorized
+    # float IDCT, 4:2:0 upsampling, YCbCr->RGB) — the last media codec
+    # seam, closed. The worker synthesizes genuine baseline JFIFs
+    # (DC-only block-constant, so the decoded pixels are closed-form)
+    # alternating 4:4:4 / 4:2:0 with varying restart intervals, decodes
+    # the PIXELS back, and hashes per-doc channel means + a sample pixel
+    # against the SQL oracle. The general entropy path (AC run/size,
+    # ZRL, negative EXTEND) is pinned by hand-packed bitstream vectors
+    # in tests/test_jpegcodec.py.
+    def synth_decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from crawspark.oracle.jpegcodec import (
+            decode_jpeg_pixels,
+            make_jpeg_pixels,
+        )
+        for pdf in batches:
+            out = {"doc_id": [], "subsample": [], "width": [],
+                   "height": [], "mean_r": [], "mean_g": [], "mean_b": [],
+                   "p12_r": [], "p12_g": [], "p12_b": []}
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                sub = "420" if d % 2 == 1 else "444"
+                if sub == "420":
+                    w, h = 16 * (4 + d % 5), 16 * (2 + d % 3)
+                else:
+                    w, h = 8 * (8 + d % 9), 8 * (4 + d % 5)
+                cb = 108 + (d % 5) * 10
+                cr = 108 + ((d // 5) % 5) * 10
+                got = decode_jpeg_pixels(
+                    make_jpeg_pixels(w, h, cb, cr, sub, d % 4))
+                gw, gh, mr, mg, mb, px = got if got else (
+                    -1, -1, -1.0, -1.0, -1.0, (-1, -1, -1))
+                out["doc_id"].append(d)
+                out["subsample"].append(sub)
+                out["width"].append(gw)
+                out["height"].append(gh)
+                out["mean_r"].append(mr)
+                out["mean_g"].append(mg)
+                out["mean_b"].append(mb)
+                out["p12_r"].append(px[0])
+                out["p12_g"].append(px[1])
+                out["p12_b"].append(px[2])
+            yield pd.DataFrame(out)
+
+    docs = (read_testdata(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") % 7 == 3).select("doc_id"))
+    return docs.mapInPandas(
+        synth_decode, "doc_id long, subsample string, width int, "
+                      "height int, mean_r double, mean_g double, "
+                      "mean_b double, p12_r int, p12_g int, p12_b int")
 
 
 @register("multimodal_image_dims", sql="""

@@ -230,8 +230,9 @@ def make_mp4_bytes(duration_ms: int, w: int, h: int,
 # codec library — rows are raw BGR triples, bottom-up, each padded to a
 # 4-byte boundary (Windows BITMAPINFOHEADER layout). This converts one
 # slice of the "pixel decode is env-blocked" seam into working code; the
-# compressed codecs (PNG deflate+filters, JPEG DCT) remain the
-# documented NotImplementedError seam.
+# compressed codecs are real too (PNG/GIF below, baseline JPEG in
+# jpegcodec.py), so no documented NotImplementedError seam remains for
+# pixels.
 # ---------------------------------------------------------------------------
 
 def make_bmp_pixels(w: int, h: int) -> bytes:
@@ -296,7 +297,7 @@ def decode_bmp_pixels(payload: bytes):
 # so full pixel access needs no codec library either. The generator
 # cycles through ALL filter types (None/Sub/Up/Average/Paeth) so the
 # decoder's every unfilter path is exercised; filtering is lossless, so
-# the closed-form gradient oracle still holds. Remaining seam: JPEG DCT.
+# the closed-form gradient oracle still holds. (JPEG: jpegcodec.py.)
 # ---------------------------------------------------------------------------
 
 def _png_chunk(ctype: bytes, body: bytes) -> bytes:
@@ -435,7 +436,7 @@ def decode_png_pixels(payload: bytes):
 # encoder's table size one step ahead of its own) and widen when the
 # counter reaches 2^width. The decoder is additionally pinned by a
 # hand-packed literal byte vector (tests), not just round-trips.
-# With PNG and BMP this leaves JPEG DCT as the only pixel-decode seam.
+# With PNG, BMP and baseline JPEG (jpegcodec.py) all pixels decode.
 # ---------------------------------------------------------------------------
 
 def _gif_lzw_encode(indices: bytes, min_code_size: int) -> bytes:
