@@ -30,9 +30,13 @@ show operator by ``Tf``; fonts without a recognized /Encoding keep the
 latin-1 byte mapping. /ToUnicode CMaps (bfchar, bfrange in both
 incrementing and array forms) are authoritative when present and carry
 Type0/CID composite fonts (2-byte Identity-H codes); LZW honors
-/DecodeParms /EarlyChange 0. Not handled: image codec filters
-(DCT/JPX/CCITT), CID fonts without /ToUnicode (glyph-id codes carry no
-recoverable text — emitted as empty), predefined CMap names — gaps
+/DecodeParms /EarlyChange 0. Image XObjects (r5, ``extract_pdf_images``)
+report per-image metadata and REAL pixel means: /DCTDecode through the
+from-scratch baseline JPEG decoder (oracle/jpegcodec.py), raw-sample
+Flate/LZW 8-bit DeviceRGB/DeviceGray with bpp-aware PNG /Predictor undo.
+Not handled: JPXDecode/CCITTFaxDecode pixel data (metadata-only,
+``decoded=False``), CID fonts without /ToUnicode (glyph-id codes carry
+no recoverable text — emitted as empty), predefined CMap names — gaps
 documented in SURVEY.md §2.3.
 
 Input transport: raw PDF bytes arrive latin-1-mapped into the ``text``
@@ -722,10 +726,13 @@ _RE_XPREV = re.compile(rb"/Prev\s+(\d+)")
 _RE_PREDICTOR = re.compile(rb"/Predictor\s+(\d+)")
 
 
-def _png_unpredict(data: bytes, row_bytes: int, predictor: int) -> bytes:
+def _png_unpredict(data: bytes, row_bytes: int, predictor: int,
+                   bpp: int = 1) -> bytes:
     """Undo PNG row predictors (10-15; xref streams almost always use
     /Predictor 12 = Up). Each encoded row is 1 filter-type byte + row_bytes
-    data bytes; bpp is 1 for xref fields (8-bit single-component)."""
+    data bytes. ``bpp`` is the byte distance to the "left" sample —
+    1 for xref fields (8-bit single-component), /Colors * BPC/8 for
+    image XObject sample data (PDF 32000-1 §7.4.4.4)."""
     if predictor < 10:
         return data
     step = row_bytes + 1
@@ -735,19 +742,19 @@ def _png_unpredict(data: bytes, row_bytes: int, predictor: int) -> bytes:
         ft = data[r0]
         row = bytearray(data[r0 + 1:r0 + step])
         if ft == 1:  # Sub
-            for i in range(1, row_bytes):
-                row[i] = (row[i] + row[i - 1]) & 0xFF
+            for i in range(bpp, row_bytes):
+                row[i] = (row[i] + row[i - bpp]) & 0xFF
         elif ft == 2:  # Up
             for i in range(row_bytes):
                 row[i] = (row[i] + prev[i]) & 0xFF
         elif ft == 3:  # Average
             for i in range(row_bytes):
-                left = row[i - 1] if i else 0
+                left = row[i - bpp] if i >= bpp else 0
                 row[i] = (row[i] + ((left + prev[i]) >> 1)) & 0xFF
         elif ft == 4:  # Paeth
             for i in range(row_bytes):
-                left = row[i - 1] if i else 0
-                ul = prev[i - 1] if i else 0
+                left = row[i - bpp] if i >= bpp else 0
+                ul = prev[i - bpp] if i >= bpp else 0
                 p = left + prev[i] - ul
                 pa, pb, pc = abs(p - left), abs(p - prev[i]), abs(p - ul)
                 pred = (left if pa <= pb and pa <= pc
@@ -1022,3 +1029,186 @@ def extract_pdf_text(payload: str) -> list[str]:
         if lines:
             pages.append("\n".join(lines))
     return pages
+
+
+# ---------------------------------------------------------------------------
+# Image XObjects (r5): /Subtype /Image metadata + REAL pixel decode where
+# the embedded codec allows — /DCTDecode routes through the from-scratch
+# baseline JPEG decoder (oracle/jpegcodec.py), /FlateDecode raw samples
+# inflate via zlib with PNG /Predictor rows undone bpp-aware. JPXDecode /
+# CCITTFaxDecode stay metadata-only (decoded=False), honestly reported.
+# ---------------------------------------------------------------------------
+
+_RE_IMG_W = re.compile(rb"/Width\s+(\d+)")
+_RE_IMG_H = re.compile(rb"/Height\s+(\d+)")
+_RE_IMG_BPC = re.compile(rb"/BitsPerComponent\s+(\d+)")
+_RE_IMG_CS = re.compile(rb"/ColorSpace\s*/([A-Za-z0-9]+)")
+_RE_IMG_COLORS = re.compile(rb"/Colors\s+(\d+)")
+
+_BASIC_FILTERS = (b"FlateDecode", b"ASCIIHexDecode", b"ASCII85Decode",
+                  b"LZWDecode", b"RunLengthDecode")
+
+
+def _filter_names(head: bytes) -> list[bytes]:
+    fm = _RE_FILTER.search(head)
+    if not fm:
+        return []
+    if fm.group(1) is not None:
+        return re.findall(rb"/([A-Za-z0-9]+)", fm.group(1))
+    return [fm.group(2)]
+
+
+def _apply_basic_filters(content: bytes, names: list[bytes],
+                         early: int) -> bytes | None:
+    for name in names:
+        try:
+            if name == b"FlateDecode":
+                content = zlib.decompress(content)
+            elif name == b"ASCIIHexDecode":
+                content = _ascii_hex_decode(content)
+            elif name == b"ASCII85Decode":
+                content = _ascii85_decode(content)
+            elif name == b"LZWDecode":
+                content = _lzw_decode(content, early)
+            elif name == b"RunLengthDecode":
+                content = _runlength_decode(content)
+            else:
+                return None
+        except (ValueError, IndexError, zlib.error):
+            return None
+    return content
+
+
+def extract_pdf_images(payload: str) -> list[dict]:
+    """Image XObjects in object-number order. Per image: width, height,
+    bits, colorspace, the /Filter chain, and — when the terminal codec
+    is decodable — the REAL per-channel pixel means.
+
+    Decodable today: /DCTDecode (baseline JPEG, any basic-filter prefix
+    chain) and raw-sample /FlateDecode//LZWDecode 8-bit /DeviceRGB or
+    /DeviceGray (PNG /Predictor rows undone with the component-aware
+    left distance). Never raises; unparseable payloads yield []."""
+    try:
+        data = payload.encode("latin-1", errors="replace")
+    except Exception:
+        return []
+    objs = _scan_objects(data)
+    _overlay_xref(data, objs)
+    _inflate_object_streams(objs)
+    out: list[dict] = []
+    for num in sorted(objs):
+        body = objs[num]
+        km = _RE_STREAM_KW.search(body)
+        head = body[:km.start()] if km else body
+        if b"/Subtype" not in head or b"/Image" not in head:
+            continue
+        wm, hm = _RE_IMG_W.search(head), _RE_IMG_H.search(head)
+        if not (wm and hm):
+            continue
+        w, h = int(wm.group(1)), int(hm.group(1))
+        bm = _RE_IMG_BPC.search(head)
+        bpc = int(bm.group(1)) if bm else 8
+        cm = _RE_IMG_CS.search(head)
+        cs = cm.group(1).decode("ascii", "replace") if cm else ""
+        names = _filter_names(head)
+        rec = {"obj": num, "width": w, "height": h, "bpc": bpc,
+               "colorspace": cs,
+               "filter": "+".join(n.decode("ascii", "replace")
+                                  for n in names) or "None",
+               "decoded": False,
+               "mean_r": -1.0, "mean_g": -1.0, "mean_b": -1.0}
+        raw = _stream_bytes(body)
+        em = _RE_EARLYCHANGE.search(head)
+        early = int(em.group(1)) if em else 1
+        if raw is not None and names and names[-1] == b"DCTDecode":
+            pre = _apply_basic_filters(raw, names[:-1], early)
+            if pre is not None:
+                from crawspark.oracle.jpegcodec import decode_jpeg_pixels
+                got = decode_jpeg_pixels(pre)
+                if got is not None and got[0] == w and got[1] == h:
+                    rec["decoded"] = True
+                    rec["mean_r"], rec["mean_g"], rec["mean_b"] = got[2:5]
+        elif (raw is not None and bpc == 8
+              and cs in ("DeviceRGB", "DeviceGray")
+              and names and all(n in _BASIC_FILTERS for n in names)):
+            content = _apply_basic_filters(raw, names, early)
+            if content is not None:
+                ncomp = 3 if cs == "DeviceRGB" else 1
+                pm = _RE_PREDICTOR.search(head)
+                if pm:
+                    colm = _RE_IMG_COLORS.search(head)
+                    bpp = int(colm.group(1)) if colm else ncomp
+                    content = _png_unpredict(content, w * ncomp,
+                                             int(pm.group(1)), bpp)
+                need = w * h * ncomp
+                if len(content) >= need:
+                    if ncomp == 3:
+                        px = content[:need]
+                        sums = [0, 0, 0]
+                        for c in range(3):
+                            sums[c] = sum(px[c::3])
+                        n = w * h
+                        rec["mean_r"] = sums[0] / n
+                        rec["mean_g"] = sums[1] / n
+                        rec["mean_b"] = sums[2] / n
+                    else:
+                        mean = sum(content[:need]) / need
+                        rec["mean_r"] = rec["mean_g"] = rec["mean_b"] = mean
+                    rec["decoded"] = True
+        out.append(rec)
+    return out
+
+
+def make_pdf_with_images(jpeg_bytes: bytes, jw: int, jh: int,
+                         w2: int, h2: int, predictor: int = 0) -> bytes:
+    """One-page PDF embedding two image XObjects: obj 4 carries the
+    given baseline JPEG via /DCTDecode, obj 5 an 8-bit /DeviceRGB
+    gradient (B=x%256, G=y%256, R=(x+2y)%256 — the BMP twin's closed
+    form) via /FlateDecode, with PNG Up-predictor rows when
+    ``predictor`` is 12. For the SQL oracle: with w2 <= 126 and
+    h2 <= 62 there is no wraparound, so mean_r = (w2-1)/2 + (h2-1),
+    mean_g = (h2-1)/2, mean_b = (w2-1)/2."""
+    rows = []
+    for y in range(h2):
+        rows.append(bytes(b for x in range(w2)
+                          for b in ((x + 2 * y) % 256, y % 256, x % 256)))
+    if predictor == 12:
+        enc = bytearray()
+        prev = bytes(w2 * 3)
+        for row in rows:
+            enc += b"\x02" + bytes((row[i] - prev[i]) & 0xFF
+                                   for i in range(len(row)))
+            prev = row
+        samples = zlib.compress(bytes(enc))
+        parms = (b" /DecodeParms << /Predictor 12 /Colors 3"
+                 b" /BitsPerComponent 8 /Columns " +
+                 str(w2).encode() + b" >>")
+    else:
+        samples = zlib.compress(b"".join(rows))
+        parms = b""
+
+    def obj(num: int, body: bytes) -> bytes:
+        return str(num).encode() + b" 0 obj\n" + body + b"\nendobj\n"
+
+    content = b"q 72 0 0 72 36 360 cm /Im1 Do Q q 72 0 0 72 36 144 cm /Im2 Do Q"
+    parts = [b"%PDF-1.5\n"]
+    parts.append(obj(1, b"<< /Type /Catalog /Pages 2 0 R >>"))
+    parts.append(obj(2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>"))
+    parts.append(obj(
+        3, b"<< /Type /Page /Parent 2 0 R /Contents 6 0 R /Resources"
+           b" << /XObject << /Im1 4 0 R /Im2 5 0 R >> >> >>"))
+    parts.append(obj(4, b"<< /Subtype /Image /Width " + str(jw).encode()
+                     + b" /Height " + str(jh).encode()
+                     + b" /ColorSpace /DeviceRGB /BitsPerComponent 8"
+                     + b" /Filter /DCTDecode /Length "
+                     + str(len(jpeg_bytes)).encode()
+                     + b" >>\nstream\n" + jpeg_bytes + b"\nendstream"))
+    parts.append(obj(5, b"<< /Subtype /Image /Width " + str(w2).encode()
+                     + b" /Height " + str(h2).encode()
+                     + b" /ColorSpace /DeviceRGB /BitsPerComponent 8"
+                     + b" /Filter /FlateDecode" + parms
+                     + b" /Length " + str(len(samples)).encode()
+                     + b" >>\nstream\n" + samples + b"\nendstream"))
+    parts.append(obj(6, b"<< /Length " + str(len(content)).encode()
+                     + b" >>\nstream\n" + content + b"\nendstream"))
+    return b"".join(parts) + b"%%EOF\n"
