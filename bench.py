@@ -168,12 +168,14 @@ def main() -> None:
     extra["extract_synthetic_spread"] = round(max(syn_times) / t_syn, 2)
 
     # 2b) Multilingual corpus rate (extra-only — keeps the headline suite
-    # comparable across rounds): 9-language synthetic docs including the
-    # per-character zh/ja scoring paths and ar (r5: rules_v4).
+    # comparable across rounds): 15-language synthetic docs including the
+    # per-character zh/ja scoring paths, ar, and the rules_v5 additions
+    # (ko/tr/pl/id/hi/vi — hi exercises the Devanagari tokenizer path).
     ml = synthetic_corpus(
         spark, SYN_DOCS // 2, seed=43, heavy_tail=False,
         partitions=CPUS * 2,
-        langs=("en", "fr", "de", "es", "it", "pt", "zh", "ja", "ar")).persist()
+        langs=("en", "fr", "de", "es", "it", "pt", "zh", "ja", "ar",
+               "ko", "tr", "pl", "id", "hi", "vi")).persist()
     ml.count()
     t_ml = float("inf")
     for _ in range(3):

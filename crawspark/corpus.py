@@ -92,6 +92,45 @@ _AR_CONTENT = ("سوق بحث إشارة نمو أرشيف مجموعة نافذ
 _AR_STOP = ("في من على أن إلى عن مع هذا هذه ذلك التي الذي ما لا كان كانت "
             "أو ثم كل بين عند حيث كما لكن هو هي هم هناك بعد قبل".split())
 
+# rules_v5 pools: ko/tr/pl/id/hi/vi — all space-separated scripts for
+# the \w tokenizer (hi via the stats.py Devanagari matra fix).
+_KO_CONTENT = ("시장 연구 신호 성장 기록 집단 창문 정책 보고서 이야기 "
+               "마을 정원 겨울 소식 질문 동물 역사 과학 지도자 에너지 "
+               "체계 문화 세계 시간".split())
+_KO_STOP = ("그 이 저 것 수 등 그리고 그러나 하지만 때문에 위해 대한 "
+            "함께 모든 어떤 다른 많은 같은 있다 있는 한다 하는 것이 "
+            "경우 중 지금 바로".split())
+_TR_CONTENT = ("pazar arastirma sinyal buyume arsiv grup pencere politika "
+               "rapor hikaye koy bahce kis mesaj soru hayvan enerji bilim "
+               "kultur lider an dunya zaman sehir proje".split())
+_TR_STOP = ("ve bir bu da de için ile olarak daha çok en gibi kadar sonra "
+            "ama her değil ne var olan göre böyle bazı aynı kendi ki "
+            "çünkü yani".split())
+_PL_CONTENT = ("rynek badanie sygnal wzrost archiwum grupa okno polityka "
+               "raport historia wioska ogrod zima wiadomosc pytanie "
+               "zwierze energia nauka kultura lider chwila swiat czas "
+               "miasto projekt".split())
+_PL_STOP = ("i w na z do że się nie jest to jak po co za od o ale czy "
+            "dla przy już tylko są ich ta ten gdzie bardzo też "
+            "przez".split())
+_ID_CONTENT = ("pasar penelitian sinyal pertumbuhan arsip kelompok "
+               "jendela kebijakan laporan cerita desa kebun dingin pesan "
+               "pertanyaan hewan energi ilmu budaya pemimpin saat dunia "
+               "waktu kota proyek".split())
+_ID_STOP = ("yang dan di ke dari untuk pada dengan ini itu adalah akan "
+            "tidak ada atau juga karena dalam oleh seperti tentang lebih "
+            "hanya banyak semua bahwa".split())
+_HI_CONTENT = ("बाजार शोध संकेत विकास संग्रह समूह खिड़की नीति रिपोर्ट "
+               "कहानी गाँव बगीचा सर्दी संदेश सवाल जानवर ऊर्जा विज्ञान "
+               "संस्कृति नेता क्षण दुनिया समय शहर परियोजना".split())
+_HI_STOP = ("के का की को में ने से पर है हैं था थी थे और या भी नहीं तो "
+            "ही यह वह इस उस एक कुछ सब जो जब बहुत साथ लिए".split())
+_VI_CONTENT = ("chợ nghiên cứu tín hiệu tăng trưởng kho nhóm cửa sổ "
+               "chính sách báo cáo chuyện làng vườn đông tin câu hỏi "
+               "vật sử khoa học văn hóa thời gian thành phố dự án".split())
+_VI_STOP = ("của và các có trong là cho không được người một những với "
+            "khi này đã sẽ về như từ nhưng cũng rất nhiều đến theo".split())
+
 _WORDS = {
     "en": None,  # resolved in _sentence (frozen en/fr fast path)
     "de": (_DE_CONTENT, _DE_STOP),
@@ -101,6 +140,12 @@ _WORDS = {
     "zh": (_ZH_CONTENT, _ZH_STOP),
     "ja": (_JA_CONTENT, _JA_STOP),
     "ar": (_AR_CONTENT, _AR_STOP),
+    "ko": (_KO_CONTENT, _KO_STOP),
+    "tr": (_TR_CONTENT, _TR_STOP),
+    "pl": (_PL_CONTENT, _PL_STOP),
+    "id": (_ID_CONTENT, _ID_STOP),
+    "hi": (_HI_CONTENT, _HI_STOP),
+    "vi": (_VI_CONTENT, _VI_STOP),
 }
 
 _AD_TOKENS = ["sidebar", "advert", "sponsor", "footer-links", "nav-menu",
@@ -298,7 +343,11 @@ def make_doc(seed: int, i: int, heavy_tail: bool = False,
         # fonts for CJK/Arabic are a documented parse gap) — zh/ja/ar
         # PDFs fall back to English body text, like real sites serving
         # latin PDFs alongside non-latin HTML.
-        pdf_lang = "en" if lang in ("zh", "ja", "ar") else lang
+        # (rules_v5 extends the fallback to every language whose script
+        # or diacritics exceed latin-1: ko/hi non-latin, tr/pl/vi carry
+        # characters outside the latin-1 repertoire)
+        pdf_lang = ("en" if lang in ("zh", "ja", "ar", "ko", "hi",
+                                     "tr", "pl", "vi") else lang)
         spans.append({"kind": "pdf",
                       "text": make_pdf(rng, pdf_lang),
                       "media_ref": None, "offset": 0})
@@ -364,6 +413,25 @@ _SCAFFOLDS = {
     "ar": ["في", "{w}", "من", "على", "{w}", "أن", "إلى", "عن", "{w}",
            "مع", "هذا", "كان", "{w}", "كل", "التي", "الذي", "{w}",
            "هناك"],
+    # rules_v5 scaffolds: every literal token below is in the language's
+    # stopword table, so scaffolded sentences carry real stopword density
+    "ko": ["그", "{w}", "이", "그리고", "{w}", "모든", "것이", "있다",
+           "{w}", "때문에", "위해", "함께", "{w}", "있는", "경우",
+           "지금", "{w}", "바로"],
+    "tr": ["ve", "{w}", "bir", "bu", "{w}", "için", "ile", "daha",
+           "{w}", "çok", "gibi", "sonra", "{w}", "her", "değil", "olan",
+           "{w}", "kadar"],
+    "pl": ["i", "{w}", "w", "na", "{w}", "że", "się", "nie", "{w}",
+           "jest", "to", "jak", "{w}", "dla", "ale", "przez", "{w}",
+           "bardzo"],
+    "id": ["yang", "{w}", "dan", "di", "{w}", "untuk", "pada", "dengan",
+           "{w}", "ini", "adalah", "akan", "{w}", "juga", "dalam",
+           "karena", "{w}", "semua"],
+    "hi": ["के", "{w}", "में", "और", "{w}", "है", "था", "पर", "{w}",
+           "यह", "से", "भी", "{w}", "तो", "सब", "साथ", "{w}", "लिए"],
+    "vi": ["của", "{w}", "và", "các", "{w}", "có", "trong", "là", "{w}",
+           "cho", "không", "được", "{w}", "một", "những", "với", "{w}",
+           "này"],
 }
 
 

@@ -10,7 +10,13 @@ import re
 
 from crawspark.rules import STOPWORDS, STOPWORDS_EN
 
-_RE_PUNCT = re.compile(r"[^\w\s]|_", re.UNICODE)
+# \w excludes combining marks (categories Mn/Mc are not isalnum), which
+# shatters Devanagari words on their vowel signs (matras) — "में" would
+# tokenize as "म" + "." The Devanagari block (U+0900–U+097F, rules_v5)
+# is therefore kept as word characters; other scripts are unaffected
+# (Arabic tables are undiacritized, so stripping Arabic Mn diacritics
+# stays correct).
+_RE_PUNCT = re.compile(r"[^\w\sऀ-ॿ]|_", re.UNICODE)
 
 # ASCII fast path: translate table built FROM the regex (equivalent by
 # construction — a char maps to space iff the regex would replace it).

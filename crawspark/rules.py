@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import re
 
-RULES_VERSION = "rules_v4"  # v2: + de/es/it/pt/zh; v3: + ru/nl; v4: + ja/ar
+RULES_VERSION = "rules_v5"  # v2: +de/es/it/pt/zh; v3: +ru/nl; v4: +ja/ar; v5: +ko/tr/pl/id/hi/vi
 
 # ---------------------------------------------------------------------------
 # Stopwords (compact, frozen subsets; enough for stopword-weighted scoring).
@@ -140,6 +140,75 @@ STOPWORDS_AR = frozenset(
     عليه عليها إليه منه منها له لها بها به الى ان انه انها اذا هذة علي""".split()
 )
 
+# --- rules_v5: ko/tr/pl/id/hi/vi — the largest remaining real-web
+# languages after ja/ar, all table-only (no tokenizer variant needed:
+# Hangul syllables, Turkish/Polish/Vietnamese precomposed latin and
+# Devanagari — via the stats.py matra fix — all survive \w intact).
+
+# Korean agglutinates particles onto the preceding word, so the table
+# holds forms that DO occur space-separated in real text: determiners,
+# conjunctions, light verbs, bound nouns [R: goose stopwords-ko].
+STOPWORDS_KO = frozenset(
+    """이 그 저 것 수 등 및 더 안 못 잘 또 또는 또한 그리고 그러나 하지만
+    그래서 그런데 때문에 위해 위한 대한 대해 통해 따라 함께 모든 어떤
+    이런 그런 저런 다른 많은 같은 가장 매우 바로 거의 이제 지금 우리
+    너무 있다 있는 있었다 없다 없는 한다 하는 했다 하고 된다 되는 됐다
+    것이 것은 것을 경우 중 후 전 때 좀 덜 왜 누가 무엇 어디 언제""".split()
+)
+
+STOPWORDS_TR = frozenset(
+    """ve bir bu da de için ile olarak daha çok en gibi kadar sonra önce
+    ama ancak fakat veya ya ise değil her hiç şey ben sen o biz siz onlar
+    ne nasıl neden hangi kim mi mı mu mü var yok olan oldu olur olmak
+    etti eder yapılan üzere göre karşı arasında içinde dışında üzerinde
+    altında böyle şöyle öyle bütün bazı birçok birkaç aynı diğer başka
+    kendi onun bunun benim senin bizim sizin şu ki eğer çünkü yani artık
+    bile zaten belki tüm tek iki üç yıl gün zaman yer""".split()
+)
+
+STOPWORDS_PL = frozenset(
+    """i w na z do że się nie jest to jak po co za od o ale czy dla przy
+    już tylko może być był była było są będzie ich jego jej nas was ta
+    ten te tym tego tej która który które gdzie kiedy bardzo też także
+    oraz lub albo ani bez pod nad przez między więc jednak żeby aby gdy
+    bo ponieważ wszystko nic coś ktoś nikt każdy inny taki tam tu teraz
+    potem wtedy jeszcze właśnie nawet można trzeba mamy mają miał we ze
+    u mnie ciebie nim niej nich swoje swój roku lat dnia""".split()
+)
+
+STOPWORDS_ID = frozenset(
+    """yang dan di ke dari untuk pada dengan ini itu adalah akan tidak
+    ada atau juga saya kamu dia kami kita mereka bisa harus sudah belum
+    masih telah dalam oleh karena jika kalau seperti sebagai antara
+    tentang terhadap namun tetapi tapi serta agar supaya sehingga yaitu
+    bahwa para lebih sangat paling hanya saja pun lagi sekali banyak
+    semua setiap beberapa ialah bukan begitu demikian maka lalu kemudian
+    saat ketika hingga sampai sejak secara bagi tanpa melalui""".split()
+)
+
+# Hindi: Devanagari matras are combining marks, kept whole by the
+# stats.py tokenizer block fix — forms below are real postpositions,
+# auxiliaries and pronouns as written [R: goose stopwords-hi].
+STOPWORDS_HI = frozenset(
+    """के का की को में ने से पर है हैं था थी थे हो होता होती होते और या
+    भी नहीं तो ही यह वह ये वे इस उस एक दो अपने अपना अपनी कुछ सब सभी कोई
+    किसी जो जब तब क्यों कैसे कहाँ अब फिर बहुत अधिक कम साथ बाद पहले लिए
+    गया गयी गये करना करता करती करते किया हुआ हुई हुए कहा लेकिन मगर अगर
+    क्योंकि इसलिए तक भीतर बाहर ऊपर नीचे बीच बिना द्वारा तरह ओर वाला वाली
+    वाले रहा रही रहे दिया सकता सकती सकते चाहिए""".split()
+)
+
+# Vietnamese: precomposed NFC forms (real web text is NFC; NFD would
+# shatter on \w like any combining sequence).
+STOPWORDS_VI = frozenset(
+    """của và các có trong là cho không được người một những với khi này
+    đã sẽ về như từ nhưng cũng rất nhiều đến theo tại ra nếu vì sau
+    trước trên dưới giữa bằng hoặc hay thì mà nên phải đang bị ở lại còn
+    chỉ rồi đây đó nào ai gì sao bao giờ nơi việc điều cả mọi mỗi từng
+    vào nữa thêm luôn đều chưa sự làm để khác nhau chúng tôi bạn họ nó
+    mình ông bà anh chị em""".split()
+)
+
 STOPWORDS = {
     "en": STOPWORDS_EN,
     "fr": STOPWORDS_FR,
@@ -152,13 +221,19 @@ STOPWORDS = {
     "nl": STOPWORDS_NL,
     "ja": STOPWORDS_JA,
     "ar": STOPWORDS_AR,
+    "ko": STOPWORDS_KO,
+    "tr": STOPWORDS_TR,
+    "pl": STOPWORDS_PL,
+    "id": STOPWORDS_ID,
+    "hi": STOPWORDS_HI,
+    "vi": STOPWORDS_VI,
 }
 
 # Deterministic vote order for language detection when no meta lang exists:
 # earlier wins ties (en first keeps the pre-v2 "tie → en" behavior; new
 # languages append so existing vote outcomes never flip on a tie).
 VOTE_LANGS = ("en", "fr", "de", "es", "it", "pt", "zh", "ru", "nl", "ja",
-              "ar")
+              "ar", "ko", "tr", "pl", "id", "hi", "vi")
 
 # ---------------------------------------------------------------------------
 # Boilerplate: node dropped when id/class matches (cleaner stage).

@@ -107,6 +107,48 @@ def test_detect_lang_multilingual_rules_v2():
     assert detect_lang("", "") == "en"
 
 
+def test_detect_lang_multilingual_rules_v5():
+    # ko/tr/pl/id/hi/vi: meta wins; vote path per language; no flips on
+    # the older tables despite shared forms (pl "to"/"i", id "di", tr
+    # "o"/"var" — each older language still outweighs on its own text).
+    for lg in ("ko", "tr", "pl", "id", "hi", "vi"):
+        assert detect_lang(lg, "anything at all") == lg
+    assert detect_lang(
+        "", "그 시장은 마을 안에 있었다 그리고 모든 사람들이 함께 "
+            "있다 때문에 위해 있는 경우") == "ko"
+    assert detect_lang(
+        "", "ve pazar bir soru vardı ama herkes için çok güzel değil "
+            "mi bu gibi daha sonra her") == "tr"
+    assert detect_lang(
+        "", "i rynek był w wiosce że się nie jest to jak po wszystko "
+            "dla ale czy za od") == "pl"
+    assert detect_lang(
+        "", "yang pasar dan di desa ini adalah untuk semua orang "
+            "dengan itu juga akan tidak ada") == "id"
+    assert detect_lang(
+        "", "के बाजार में सब लोग थे और यह कहानी बहुत अच्छी है तो भी "
+            "नहीं वह इस एक साथ पर") == "hi"
+    assert detect_lang(
+        "", "của và các có trong là cho không được người một những "
+            "với khi này đã sẽ về như") == "vi"
+    # older languages keep winning their own text against the new tables
+    assert detect_lang(
+        "", "il mercato era in il paese e tutti per la storia di un") == "it"
+    assert detect_lang(
+        "", "the market was in the village and all of the people") == "en"
+
+
+def test_hindi_tokenizer_keeps_matras():
+    # Devanagari vowel signs are combining marks (not \w): without the
+    # stats.py block fix "में" shatters to "म" and the hi table can
+    # never match (the regression this pins).
+    from crawspark.oracle.stats import tokenize, word_stats
+    assert tokenize("के बाजार में अच्छी है") == [
+        "के", "बाजार", "में", "अच्छी", "है"]
+    n, sw = word_stats("के बाजार में सब लोग थे और यह कहानी है", "hi")
+    assert n == 10 and sw >= 6
+
+
 def test_zh_word_stats_per_character():
     from crawspark.oracle.stats import word_stats
     n, sw = word_stats("这个市场是在村里的", "zh")

@@ -209,6 +209,33 @@ def handcrafted() -> dict[str, list[dict]]:
         "ar": ("كان السوق في القرية وكان كل الناس هناك مع سؤال عن الطاقة "
                "من التاريخ في الشتاء الذي كانوا يتشاركونه في الحديقة مع "
                "الجميع وكانت القصة عن العالم والثقافة في ذلك الوقت. "),
+        # rules_v5: ko/tr/pl/id/hi/vi — all table-only (Hangul,
+        # precomposed latin and Devanagari survive the tokenizer whole;
+        # hi relies on the stats.py matra block fix)
+        "ko": ("그 시장은 마을 안에 있었다 그리고 모든 사람들이 함께 "
+               "그곳에 있다 이야기 때문에 우리 모두 같은 질문을 했다 "
+               "겨울 정원 위해 있는 경우 또한 다른 많은 것이 지금 바로 "
+               "여기 있었다. "),
+        "tr": ("ve pazar köyde bir soru vardı ama herkes için çok güzel "
+               "değil mi bu enerji gibi daha sonra her şey onun kadar "
+               "oldu ve kış bahçesinde olan hikaye bütün insanlar ile "
+               "aynı yerde kaldı. "),
+        "pl": ("i rynek był w wiosce że się nie jest to jak po wszystko "
+               "dla ludzi ale czy za od o historii bardzo też przez zima "
+               "w ogrodzie gdzie każdy miał już tylko jedno pytanie o "
+               "energię dla nas. "),
+        "id": ("yang pasar dan di desa ini adalah untuk semua orang "
+               "dengan cerita itu juga akan tidak ada karena mereka bisa "
+               "dalam musim dingin di kebun yang sama dengan pertanyaan "
+               "tentang energi dari sejarah. "),
+        "hi": ("के बाजार में सब लोग थे और यह कहानी बहुत अच्छी है तो भी "
+               "नहीं वह इस एक साथ पर सर्दियों की ऊर्जा के लिए गया था जब "
+               "सब लोग बाग में एक सवाल के साथ थे और इतिहास की बात करते "
+               "थे. "),
+        "vi": ("của và các có trong là cho không được người một những "
+               "với khi này đã sẽ về như từ câu chuyện mùa đông trong "
+               "khu vườn nơi mọi người đều có một câu hỏi về năng lượng "
+               "của lịch sử. "),
     }
     for lg, lorem in LOREM.items():
         lpara = f"<p>{lorem}</p>"
