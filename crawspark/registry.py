@@ -51,6 +51,7 @@ def load_all() -> dict[str, QuerySpec]:
         multimodal,
         relational,
         similarity,
+        sketches,
         textops,
     )
     from crawspark.streaming import queries as _streaming_queries  # noqa: F401
