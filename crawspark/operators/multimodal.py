@@ -525,6 +525,92 @@ def multimodal_jpeg_pixel_stats(spark, sf_dir):
                       "mean_b double, p12_r int, p12_g int, p12_b int")
 
 
+@register("multimodal_progressive_jpeg_stats", sql="""
+    -- same closed form as the baseline JPEG query: progressive
+    -- transmission (SOF2, 7 scans: DC at Al=1, raw-bit DC refinement,
+    -- per-component EOB-run AC bands) reconstructs the identical
+    -- pixels, and the worker additionally decodes the baseline twin
+    -- and pins bit-equality as the matches_baseline column.
+    WITH p AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 2 = 1 THEN '420' ELSE '444' END AS subsample,
+             CASE WHEN doc_id % 2 = 1 THEN 16 * (4 + doc_id % 4)
+                  ELSE 8 * (6 + doc_id % 7) END AS w,
+             CASE WHEN doc_id % 2 = 1 THEN 16 * (2 + doc_id % 3)
+                  ELSE 8 * (3 + doc_id % 5) END AS h,
+             108 + (doc_id % 5) * 10 AS cb,
+             108 + ((doc_id // 5) % 5) * 10 AS cr
+      FROM documents WHERE doc_id % 9 = 7
+    ), k AS (
+      SELECT *,
+             40 + (w / 8 - 1) + 1.5 * (h / 8 - 1) AS mean_y,
+             FLOOR(1.402 * (cr - 128) + 0.5) AS kr,
+             FLOOR(-0.344136 * (cb - 128) - 0.714136 * (cr - 128) + 0.5)
+               AS kg,
+             FLOOR(1.772 * (cb - 128) + 0.5) AS kb
+      FROM p
+    )
+    SELECT doc_id, subsample,
+           CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(mean_y + kr AS DOUBLE) AS mean_r,
+           CAST(mean_y + kg AS DOUBLE) AS mean_g,
+           CAST(mean_y + kb AS DOUBLE) AS mean_b,
+           TRUE AS matches_baseline
+    FROM k
+""")
+def multimodal_progressive_jpeg_stats(spark, sf_dir):
+    # Progressive JPEG decode (r5): SOF2 multi-scan reconstruction —
+    # successive-approximation DC (shifted first pass + raw-bit
+    # refinement), per-component non-interleaved AC band scans with
+    # EOBRUN accounting — decoded by the same from-scratch T.81 decoder
+    # and hashed against the closed form; the worker also decodes the
+    # BASELINE twin of every image and pins bit-equality. The AC
+    # refinement paths the DC-only generator cannot emit are covered by
+    # hand-packed multi-scan vectors in tests/test_jpegcodec.py.
+    def synth_decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from crawspark.oracle.jpegcodec import (
+            decode_jpeg_pixels,
+            make_jpeg_pixels,
+            make_progressive_jpeg_pixels,
+        )
+        for pdf in batches:
+            out = {"doc_id": [], "subsample": [], "width": [],
+                   "height": [], "mean_r": [], "mean_g": [], "mean_b": [],
+                   "matches_baseline": []}
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                sub = "420" if d % 2 == 1 else "444"
+                if sub == "420":
+                    w, h = 16 * (4 + d % 4), 16 * (2 + d % 3)
+                else:
+                    w, h = 8 * (6 + d % 7), 8 * (3 + d % 5)
+                cb = 108 + (d % 5) * 10
+                cr = 108 + ((d // 5) % 5) * 10
+                prog = decode_jpeg_pixels(
+                    make_progressive_jpeg_pixels(w, h, cb, cr, sub))
+                base = decode_jpeg_pixels(
+                    make_jpeg_pixels(w, h, cb, cr, sub))
+                gw, gh, mr, mg, mb, _px = prog if prog else (
+                    -1, -1, -1.0, -1.0, -1.0, None)
+                out["doc_id"].append(d)
+                out["subsample"].append(sub)
+                out["width"].append(gw)
+                out["height"].append(gh)
+                out["mean_r"].append(mr)
+                out["mean_g"].append(mg)
+                out["mean_b"].append(mb)
+                out["matches_baseline"].append(
+                    prog is not None and prog == base)
+            yield pd.DataFrame(out)
+
+    docs = (read_testdata(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") % 9 == 7).select("doc_id"))
+    return docs.mapInPandas(
+        synth_decode, "doc_id long, subsample string, width int, "
+                      "height int, mean_r double, mean_g double, "
+                      "mean_b double, matches_baseline boolean")
+
+
 @register("pdf_image_xobjects", sql="""
     -- closed form of make_pdf_with_images: obj 4 is a DC-only
     -- block-constant baseline JPEG (jpegcodec closed form), obj 5 a

@@ -30,8 +30,13 @@ bit-exactly reproducible in SQL. AC decoding, ZRL, EOB, restart
 markers and cropping are pinned by hand-packed entropy-stream vectors
 and a differential IDCT test in tests/test_jpegcodec.py.
 
-Remaining honest seam: progressive (SOF2) and arithmetic-coded JPEGs
-are rejected (return None), as are 12-bit precision frames.
+Progressive (SOF2) decode is supported (r5): multi-scan spectral
+selection + successive approximation per T.81 Annex G — shifted DC
+first pass, raw-bit DC refinement, AC band scans with EOBn run-length
+codes, and the AC refinement algorithm (newly-significant ±2^Al values
+plus per-nonzero correction bits). Remaining honest seam:
+arithmetic-coded, lossless, hierarchical and 12-bit frames are
+rejected (return None).
 """
 
 from __future__ import annotations
@@ -104,11 +109,20 @@ AC_CHR_VALS = [
 
 
 def _zigzag_order() -> list[tuple[int, int]]:
+    """(row, col) with row = vertical frequency v, col = horizontal
+    frequency u (libjpeg's natural order). T.81 Figure 5: the sequence
+    steps RIGHT first — k=1 is (0,1), k=2 is (1,0) — so odd
+    anti-diagonals run top-right→bottom-left and even ones
+    bottom-left→top-right. (r5 fix: the first cut generated the
+    transpose, which round-trips hid and a hand-packed refinement
+    vector caught.)"""
     order = []
     for s in range(15):
-        diag = [(s - j, j) for j in range(s + 1) if s - j < 8 and j < 8]
-        # odd anti-diagonals run down-left, even ones up-right
-        order.extend(diag if s % 2 else diag[::-1])
+        if s % 2:  # odd: from (0, s) down-left
+            diag = [(j, s - j) for j in range(s + 1) if j < 8 and s - j < 8]
+        else:      # even: from (s, 0) up-right
+            diag = [(s - j, j) for j in range(s + 1) if s - j < 8 and j < 8]
+        order.extend(diag)
     return order
 
 
@@ -225,8 +239,9 @@ def _destuff_segments(data: bytes, start: int):
 
 def decode_jpeg_pixels(payload: bytes):
     """(w, h, mean_r, mean_g, mean_b, (r, g, b) at pixel (x=1, y=2)) from
-    a baseline JFIF/JPEG, or None for anything this decoder does not
-    support (progressive, arithmetic, 12-bit, >2x sampling factors)."""
+    a baseline or progressive JFIF/JPEG, or None for anything this
+    decoder does not support (arithmetic, lossless, hierarchical,
+    12-bit, >2x sampling factors)."""
     try:
         return _decode(payload)
     except (ValueError, EOFError, IndexError, KeyError, StopIteration,
@@ -235,6 +250,11 @@ def decode_jpeg_pixels(payload: bytes):
 
 
 def _decode(payload: bytes):
+    """Multi-scan marker loop: DQT/DHT/DRI accumulate, SOF0/SOF1 set a
+    sequential frame, SOF2 a progressive one, and every SOS decodes its
+    scan into the shared per-component coefficient stores (progressive
+    scans refine them across spectral bands / bit positions per T.81
+    Annex G). EOI finalizes: dequant + IDCT + upsample + color."""
     if payload[:2] != b"\xff\xd8":
         return None
     qt: dict[int, np.ndarray] = {}
@@ -242,17 +262,24 @@ def _decode(payload: bytes):
     huff_ac: dict[int, _HuffTable] = {}
     restart_interval = 0
     frame = None  # (w, h, comps) comps: list of (cid, hs, vs, tq)
+    stores = None
+    saw_scan = False
     i = 2
     n = len(payload)
-    while i + 4 <= n:
+    while i + 2 <= n:
         if payload[i] != 0xFF:
             return None
         marker = payload[i + 1]
         if marker == 0xFF:  # fill byte before a marker (T.81 §B.1.1.2)
             i += 1
             continue
-        if marker == 0xD9:
-            return None  # EOI before SOS
+        if marker == 0xD9:  # EOI
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:  # TEM / stray RSTn
+            i += 2
+            continue
+        if i + 4 > n:
+            return None
         seglen = struct.unpack(">H", payload[i + 2:i + 4])[0]
         body = payload[i + 4:i + 2 + seglen]
         if marker == 0xDB:  # DQT
@@ -285,7 +312,7 @@ def _decode(payload: bytes):
                 j += 17 + nv
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack(">H", body[:2])[0]
-        elif marker == 0xC0 or marker == 0xC1:  # baseline / ext. sequential
+        elif marker in (0xC0, 0xC1, 0xC2):  # baseline / ext. seq. / progressive
             prec, h, w, nc = body[0], *struct.unpack(">HH", body[1:5]), body[5]
             if prec != 8:
                 return None
@@ -294,79 +321,209 @@ def _decode(payload: bytes):
                 cid, hv, tq = body[6 + 3 * c], body[7 + 3 * c], body[8 + 3 * c]
                 comps.append((cid, hv >> 4, hv & 0x0F, tq))
             frame = (w, h, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            return None  # progressive / arithmetic / hierarchical
+            return None  # lossless / hierarchical / arithmetic modes
         elif marker == 0xDA:  # SOS
             if frame is None:
                 return None
+            w, h, comps = frame
+            if not (0 < w <= 4096 and 0 < h <= 4096):
+                return None
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            if hmax > 2 or vmax > 2:
+                return None
+            if stores is None:
+                mcux = -(-w // (8 * hmax))
+                mcuy = -(-h // (8 * vmax))
+                stores = [np.zeros((mcuy * vs, mcux * hs, 8, 8),
+                                   dtype=np.int32)
+                          for cid, hs, vs, tq in comps]
             ns = body[0]
-            scan_tabs = {}
+            scan_comps = []  # (frame index, dc table id, ac table id)
             for c in range(ns):
                 cs, tt = body[1 + 2 * c], body[2 + 2 * c]
-                scan_tabs[cs] = (tt >> 4, tt & 0x0F)
-            return _decode_scan(payload, i + 2 + seglen, frame, scan_tabs,
-                                qt, huff_dc, huff_ac, restart_interval)
+                ci = next(j for j, cc in enumerate(comps) if cc[0] == cs)
+                scan_comps.append((ci, tt >> 4, tt & 0x0F))
+            ss, se, a = body[1 + 2 * ns], body[2 + 2 * ns], body[3 + 2 * ns]
+            ah, al = a >> 4, a & 0x0F
+            i = _decode_scan(payload, i + 2 + seglen, frame, scan_comps,
+                             ss, se, ah, al, huff_dc, huff_ac,
+                             restart_interval, stores)
+            saw_scan = True
+            continue
         i += 2 + seglen
-    return None
-
-
-def _decode_scan(payload, start, frame, scan_tabs, qt, huff_dc, huff_ac,
-                 restart_interval):
-    w, h, comps = frame
-    if not (0 < w <= 4096 and 0 < h <= 4096):
+    if frame is None or stores is None or not saw_scan:
         return None
+    return _finalize(frame, stores, qt)
+
+
+def _scan_units(frame, scan_comps):
+    """Decode order for one scan: a list of MCUs, each a list of
+    (component index, block_y, block_x). Interleaved scans walk the MCU
+    grid with each component's vs x hs sub-blocks; a single-component
+    scan is non-interleaved — its MCU is ONE block and only the
+    component's real blocks (ceil(comp_dim/8)) are coded, not the dummy
+    blocks the interleaved grid would pad to (T.81 §A.2.2/§A.2.3)."""
+    w, h, comps = frame
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
-    if hmax > 2 or vmax > 2:
-        return None
     mcux = -(-w // (8 * hmax))
     mcuy = -(-h // (8 * vmax))
-    segments, _ = _destuff_segments(payload, start)
-
-    # Per-component coefficient stores: (blocks_y, blocks_x, 8, 8)
-    stores = []
-    for cid, hs, vs, tq in comps:
-        stores.append(np.zeros((mcuy * vs, mcux * hs, 8, 8), dtype=np.int32))
-
-    pred = [0] * len(comps)
-    mcu_index = 0
-    seg_iter = iter(segments)
-    reader = _BitReader(next(seg_iter))
+    if len(scan_comps) == 1:
+        ci = scan_comps[0][0]
+        cid, hs, vs, tq = comps[ci]
+        bw = -(-(-(-w * hs // hmax)) // 8)
+        bh = -(-(-(-h * vs // vmax)) // 8)
+        return [[(ci, by, bx)] for by in range(bh) for bx in range(bw)]
+    units = []
     for my in range(mcuy):
         for mx in range(mcux):
-            if (restart_interval and mcu_index
-                    and mcu_index % restart_interval == 0):
-                reader = _BitReader(next(seg_iter))
-                pred = [0] * len(comps)
-            for ci, (cid, hs, vs, tq) in enumerate(comps):
-                dct = huff_dc[scan_tabs[cid][0]]
-                act = huff_ac[scan_tabs[cid][1]]
+            unit = []
+            for ci, _dc, _ac in scan_comps:
+                cid, hs, vs, tq = comps[ci]
                 for by in range(vs):
                     for bx in range(hs):
-                        block = stores[ci][my * vs + by, mx * hs + bx]
-                        t = reader.decode(dct)
-                        diff = _extend(reader.read_bits(t), t)
-                        pred[ci] += diff
-                        block[0, 0] = pred[ci]
-                        k = 1
-                        while k < 64:
-                            rs = reader.decode(act)
-                            r, s = rs >> 4, rs & 0x0F
-                            if s == 0:
-                                if r == 15:  # ZRL: skip 16 zeros
-                                    k += 16
-                                    continue
-                                break  # EOB
-                            k += r
-                            if k > 63:
-                                raise ValueError("AC run overflow")
-                            zr, zc = ZIGZAG[k]
-                            block[zr, zc] = _extend(reader.read_bits(s), s)
-                            k += 1
-            mcu_index += 1
+                        unit.append((ci, my * vs + by, mx * hs + bx))
+            units.append(unit)
+    return units
 
-    # Vectorized dequant + IDCT per component, then upsample to full res.
+
+def _decode_scan(payload, start, frame, scan_comps, ss, se, ah, al,
+                 huff_dc, huff_ac, restart_interval, stores):
+    """Decode one scan's entropy data into the coefficient stores and
+    return the payload offset just past it. Handles all four
+    progressive scan kinds plus sequential (ss=0, se=63, ah=al=0, where
+    the DC and AC paths run back-to-back per block and the EOB-run
+    arithmetic degenerates to plain per-block EOB)."""
+    segments, end = _destuff_segments(payload, start)
+    units = _scan_units(frame, scan_comps)
+    tabs = {ci: (huff_dc.get(dc_id), huff_ac.get(ac_id))
+            for ci, dc_id, ac_id in scan_comps}
+    pred = {ci: 0 for ci, _dc, _ac in scan_comps}
+    eobrun = 0
+    seg_iter = iter(segments)
+    reader = _BitReader(next(seg_iter))
+    for ui, unit in enumerate(units):
+        if restart_interval and ui and ui % restart_interval == 0:
+            reader = _BitReader(next(seg_iter))
+            pred = {ci: 0 for ci in pred}
+            eobrun = 0
+        for ci, by, bx in unit:
+            block = stores[ci][by, bx]
+            dct, act = tabs[ci]
+            if ss == 0:
+                if ah == 0:
+                    t = reader.decode(dct)
+                    diff = _extend(reader.read_bits(t), t)
+                    pred[ci] += diff
+                    block[0, 0] = pred[ci] << al
+                    if se > 0:  # sequential: AC rides in the same pass
+                        eobrun = _ac_first(reader, act, block, 1, se, al,
+                                           eobrun)
+                elif reader.read_bit():  # DC refinement: one bit/block
+                    block[0, 0] |= 1 << al
+            elif ah == 0:
+                eobrun = _ac_first(reader, act, block, ss, se, al, eobrun)
+            else:
+                eobrun = _ac_refine(reader, act, block, ss, se, al, eobrun)
+    return end
+
+
+def _ac_first(reader, act, block, ss, se, al, eobrun):
+    """First-pass AC band decode (T.81 §G.2.2): sequential run/size with
+    ZRL, values scaled by 2^al, and EOBn run-length codes (s=0, r<15 →
+    skip (1<<r)-1+extra FURTHER blocks; r=0 is the plain sequential
+    EOB). Returns the remaining EOB run."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = reader.decode(act)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:  # ZRL: skip 16 zeros
+                k += 16
+                continue
+            eobrun = (1 << r) - 1
+            if r:
+                eobrun += reader.read_bits(r)
+            return eobrun
+        k += r
+        if k > se:
+            raise ValueError("AC run overflow")
+        zr, zc = ZIGZAG[k]
+        block[zr, zc] = _extend(reader.read_bits(s), s) << al
+        k += 1
+    return 0
+
+
+def _ac_refine(reader, act, block, ss, se, al, eobrun):
+    """AC successive-approximation refinement (T.81 §G.2.3 — the
+    libjpeg-structured algorithm): newly-significant coefficients
+    arrive as ±2^al with s=1; every already-nonzero coefficient crossed
+    (including inside EOB runs and ZRL skips) carries one correction
+    bit that may add 2^al toward its sign. Returns the remaining EOB
+    run."""
+    p1 = 1 << al
+
+    def correct(pos):
+        v = block[pos]
+        if v != 0 and reader.read_bit() and not (v & p1):
+            block[pos] = v + p1 if v > 0 else v - p1
+
+    if eobrun > 0:
+        for k in range(ss, se + 1):
+            correct(ZIGZAG[k])
+        return eobrun - 1
+    k = ss
+    hit_eob = False
+    while k <= se:
+        rs = reader.decode(act)
+        r, s = rs >> 4, rs & 0x0F
+        newval = 0
+        if s == 0:
+            if r != 15:
+                eobrun = 1 << r
+                if r:
+                    eobrun += reader.read_bits(r)
+                hit_eob = True
+                break
+            # r == 15: ZRL — skip 16 zero-HISTORY coefficients
+        else:
+            if s != 1:
+                raise ValueError("refinement size must be 1")
+            newval = p1 if reader.read_bit() else -p1
+        while k <= se:
+            pos = ZIGZAG[k]
+            v = block[pos]
+            if v != 0:
+                if reader.read_bit() and not (v & p1):
+                    block[pos] = v + p1 if v > 0 else v - p1
+            else:
+                if r == 0:
+                    break
+                r -= 1
+            k += 1
+        if newval and k <= se:
+            block[ZIGZAG[k]] = newval
+        k += 1
+    if not hit_eob:
+        return 0
+    # the EOB run includes THIS block: its remaining coefficients get
+    # correction bits before the run starts counting further blocks
+    for k2 in range(k, se + 1):
+        correct(ZIGZAG[k2])
+    return eobrun - 1
+
+
+def _finalize(frame, stores, qt):
+    """Dequant + vectorized IDCT per component, chroma upsampling,
+    YCbCr→RGB, crop, channel means + sample pixel."""
+    w, h, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
     planes = []
     for ci, (cid, hs, vs, tq) in enumerate(comps):
         coef = (stores[ci] * qt[tq][None, None]).astype(np.float64)
@@ -539,6 +696,113 @@ def make_jpeg_pixels(w: int, h: int, cb: int = 128, cr: int = 128,
     bw.flush()
     out += bw.out
     out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# EOBn run-length symbols for progressive AC scans (s=0, r=0..14) —
+# absent from the Annex K sequential tables, so progressive files carry
+# this canonical table (15 symbols, all code length 4; code 1111 unused).
+AC_PROG_BITS = [0, 0, 0, 15, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+AC_PROG_VALS = [r << 4 for r in range(15)]
+
+
+def make_progressive_jpeg_pixels(w: int, h: int, cb: int = 128,
+                                 cr: int = 128,
+                                 subsample: str = "444") -> bytes:
+    """Progressive (SOF2) twin of ``make_jpeg_pixels``: the same
+    block-constant image transmitted as SEVEN scans — interleaved DC at
+    Al=1, a raw-bit DC refinement to Al=0, then per-component AC band
+    scans (1–5, then 6–63) that are pure EOB runs (all AC zero). The
+    decoded pixels are bit-identical to the baseline twin, so the same
+    closed-form oracle pins the whole multi-scan path: successive
+    approximation DC, non-interleaved AC block geometry, and EOBRUN
+    accounting."""
+    if subsample == "444":
+        samp = [(1, 1), (1, 1), (1, 1)]
+    elif subsample == "420":
+        samp = [(2, 2), (1, 1), (1, 1)]
+    else:
+        raise ValueError(subsample)
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+
+    dc_l = _HuffTable(DC_LUM_BITS, DC_LUM_VALS)
+    dc_c = _HuffTable(DC_CHR_BITS, DC_CHR_VALS)
+    ac_p = _HuffTable(AC_PROG_BITS, AC_PROG_VALS)
+    chroma_dc = [8 * (cb - 128), 8 * (cr - 128)]
+
+    def dc_of(ci, gby, gbx):
+        if ci == 0:
+            return 8 * (block_y(gbx, gby) - 128)
+        return chroma_dc[ci - 1]
+
+    def blocks_interleaved():
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci, (hs, vs) in enumerate(samp):
+                    for by in range(vs):
+                        for bx in range(hs):
+                            yield ci, my * vs + by, mx * hs + bx
+
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+    out += _seg(0xDB, bytes([0x01]) + bytes([1] * 64))
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([3])
+    for ci, (hs, vs) in enumerate(samp):
+        sof += bytes([ci + 1, hs << 4 | vs, 0 if ci == 0 else 1])
+    out += _seg(0xC2, sof)  # SOF2: progressive DCT
+    out += _seg(0xC4, _dht_body(0, 0, DC_LUM_BITS, DC_LUM_VALS))
+    out += _seg(0xC4, _dht_body(0, 1, DC_CHR_BITS, DC_CHR_VALS))
+    out += _seg(0xC4, _dht_body(1, 0, AC_PROG_BITS, AC_PROG_VALS))
+
+    # scan 1: interleaved DC first pass, Al=1 — codes diff of (DC >> 1)
+    sos = bytes([3])
+    for ci in range(3):
+        sos += bytes([ci + 1, (0x00 if ci == 0 else 0x10)])
+    out += _seg(0xDA, sos + bytes([0, 0, 0x01]))  # Ss=0 Se=0 Ah=0 Al=1
+    bw = _BitWriter()
+    pred = [0, 0, 0]
+    for ci, gby, gbx in blocks_interleaved():
+        v = dc_of(ci, gby, gbx) >> 1  # arithmetic shift = point transform
+        _write_dc(bw, dc_l if ci == 0 else dc_c, v - pred[ci])
+        pred[ci] = v
+    bw.flush()
+    out += bw.out
+
+    # scan 2: DC refinement to Al=0 — one raw bit per block (no Huffman)
+    out += _seg(0xDA, sos + bytes([0, 0, 0x10]))  # Ss=0 Se=0 Ah=1 Al=0
+    bw = _BitWriter()
+    for ci, gby, gbx in blocks_interleaved():
+        bw.write(dc_of(ci, gby, gbx) & 1, 1)
+    bw.flush()
+    out += bw.out
+
+    # scans 3..8: per-component AC bands 1–5 and 6–63, all zero —
+    # one maximal-EOBn run per scan (chunked at 32767 blocks)
+    for ci, (hs, vs) in enumerate(samp):
+        cw = -(-w * hs // hmax)
+        ch = -(-h * vs // vmax)
+        nblocks = (-(-cw // 8)) * (-(-ch // 8))
+        for ss, se in ((1, 5), (6, 63)):
+            out += _seg(0xDA, bytes([1, ci + 1, 0x00, ss, se, 0x00]))
+            bw = _BitWriter()
+            left = nblocks
+            while left > 0:
+                run = min(left, 32767)
+                r = run.bit_length() - 1
+                extra = run - (1 << r)
+                code, length = ac_p.encode[r << 4]
+                bw.write(code, length)
+                if r:
+                    bw.write(extra, r)
+                left -= run
+            bw.flush()
+            out += bw.out
+
+    out += b"\xff\xd9"
     return bytes(out)
 
 
