@@ -9,7 +9,8 @@ oracle/jpegcodec.py — r5), and PCM16 WAV samples (r5), each
 round-tripped through a closed-form DuckDB oracle. The generic
 `decode_media` stand-in below still models the external-codec seam a
 deployment would fill with PIL/ffmpeg (`_REAL_DECODE` branch) for
-formats beyond those — e.g. progressive JPEG or compressed audio.
+formats beyond those — e.g. WebP/AVIF or compressed audio (baseline
+AND progressive JPEG both decode for real in oracle/jpegcodec.py).
 Also real, and tested: the Spark-side plumbing — binary column schema,
 deterministic payload synthesis, batch shapes, UDF signatures, explode
 fanout for frames, and the aggregation contracts. Frame sampling and
@@ -527,8 +528,8 @@ def multimodal_jpeg_pixel_stats(spark, sf_dir):
 
 @register("multimodal_progressive_jpeg_stats", sql="""
     -- same closed form as the baseline JPEG query: progressive
-    -- transmission (SOF2, 7 scans: DC at Al=1, raw-bit DC refinement,
-    -- per-component EOB-run AC bands) reconstructs the identical
+    -- transmission (SOF2, 8 scans: DC at Al=1, raw-bit DC refinement,
+    -- 2 EOB-run AC band scans per component) reconstructs the identical
     -- pixels, and the worker additionally decodes the baseline twin
     -- and pins bit-equality as the matches_baseline column.
     WITH p AS (

@@ -24,6 +24,7 @@ slices, modeling two crawls of the same web.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 from crawspark.registry import register
@@ -54,17 +55,27 @@ def _hashes(urls: DataFrame, cond: str) -> DataFrame:
 
 
 def _bottom_k(hashes: DataFrame) -> DataFrame:
-    """The k smallest DISTINCT hashes, computed scale-style: local
-    bottom-k per input partition (collect_set is partially aggregated
-    map-side; the slice caps what crosses the wire at k values per
-    partition), then one bottom-k merge of ≤ k·partitions strings."""
-    per_part = (hashes
-                .groupBy(F.spark_partition_id().alias("pid"))
-                .agg(F.slice(F.array_sort(F.collect_set("h")), 1, K)
-                     .alias("cand")))
-    return (per_part.select(F.explode("cand").alias("h"))
-            .agg(F.slice(F.array_sort(F.collect_set("h")), 1, K)
-                 .alias("sketch")))
+    """The k smallest DISTINCT hashes, computed scale-style: a TRUE
+    local bottom-k per input partition (an Arrow-batched pass that
+    never holds more than ~8K distinct strings and emits at most K
+    rows), then one bottom-k merge of ≤ K·partitions strings. Only K
+    values per partition ever cross the shuffle — the full-key-space
+    exchange an exact COUNT(DISTINCT) needs never happens. (A
+    groupBy(spark_partition_id).agg(slice(collect_set...)) formulation
+    does NOT have this property: the slice runs after the aggregate,
+    so the whole per-partition distinct set crosses the wire — r5
+    review finding.)"""
+    def local_bottom_k(batches):
+        seen: set = set()
+        for pdf in batches:
+            seen.update(pdf["h"])
+            if len(seen) > 8 * K:  # keep the candidate pool bounded
+                seen = set(sorted(seen)[:K])
+        yield pd.DataFrame({"h": sorted(seen)[:K]})
+
+    per_part = hashes.mapInPandas(local_bottom_k, "h string")
+    return per_part.agg(
+        F.slice(F.array_sort(F.collect_set("h")), 1, K).alias("sketch"))
 
 
 def _estimate(sketch_col):

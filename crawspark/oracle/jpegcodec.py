@@ -401,6 +401,14 @@ def _decode_scan(payload, start, frame, scan_comps, ss, se, ah, al,
     units = _scan_units(frame, scan_comps)
     tabs = {ci: (huff_dc.get(dc_id), huff_ac.get(ac_id))
             for ci, dc_id, ac_id in scan_comps}
+    # a scan referencing an undefined Huffman table must fail cleanly
+    # (return-None contract), not leak AttributeError from decode(None);
+    # DC refinement reads raw bits and needs no table at all
+    need_dc = ss == 0 and ah == 0
+    need_ac = se > 0
+    for ci, (dct, act) in tabs.items():
+        if (need_dc and dct is None) or (need_ac and act is None):
+            raise ValueError("scan references undefined Huffman table")
     pred = {ci: 0 for ci, _dc, _ac in scan_comps}
     eobrun = 0
     seg_iter = iter(segments)
@@ -710,9 +718,9 @@ def make_progressive_jpeg_pixels(w: int, h: int, cb: int = 128,
                                  cr: int = 128,
                                  subsample: str = "444") -> bytes:
     """Progressive (SOF2) twin of ``make_jpeg_pixels``: the same
-    block-constant image transmitted as SEVEN scans — interleaved DC at
-    Al=1, a raw-bit DC refinement to Al=0, then per-component AC band
-    scans (1–5, then 6–63) that are pure EOB runs (all AC zero). The
+    block-constant image transmitted as EIGHT scans — interleaved DC at
+    Al=1, a raw-bit DC refinement to Al=0, then two AC band scans per
+    component (1–5, then 6–63) that are pure EOB runs (all AC zero). The
     decoded pixels are bit-identical to the baseline twin, so the same
     closed-form oracle pins the whole multi-scan path: successive
     approximation DC, non-interleaved AC block geometry, and EOBRUN

@@ -585,33 +585,15 @@ def _decode_filters(body: bytes, content: bytes) -> bytes | None:
     stream's text must not be mistaken for the object's filter chain
     (r4 review finding — reproduced dropping a valid stream)."""
     km = _RE_STREAM_KW.search(body)
-    dict_end = km.start() if km else len(body)
-    fm = _RE_FILTER.search(body, 0, dict_end)
-    if not fm:
+    head = body[:km.start() if km else len(body)]
+    names = _filter_names(head)
+    if not names:
         return content
-    if fm.group(1) is not None:
-        names = re.findall(rb"/([A-Za-z0-9]+)", fm.group(1))
-    else:
-        names = [fm.group(2)]
-    em = _RE_EARLYCHANGE.search(body, 0, dict_end)
+    em = _RE_EARLYCHANGE.search(head)
     early = int(em.group(1)) if em else 1
-    for name in names:
-        try:
-            if name == b"FlateDecode":
-                content = zlib.decompress(content)
-            elif name == b"ASCIIHexDecode":
-                content = _ascii_hex_decode(content)
-            elif name == b"ASCII85Decode":
-                content = _ascii85_decode(content)
-            elif name == b"LZWDecode":
-                content = _lzw_decode(content, early)
-            elif name == b"RunLengthDecode":
-                content = _runlength_decode(content)
-            else:
-                return None  # unsupported filter (DCT/JPX/CCITT image codecs)
-        except (ValueError, IndexError, zlib.error):
-            return None
-    return content
+    # delegates to the shared chain (also used by extract_pdf_images) so
+    # the five-filter semantics live in exactly one place
+    return _apply_basic_filters(content, names, early)
 
 
 # /Length as a DIRECT integer. The (?=[^0-9]) guard plus the indirect-ref

@@ -13,10 +13,14 @@ from crawspark.rules import STOPWORDS, STOPWORDS_EN
 # \w excludes combining marks (categories Mn/Mc are not isalnum), which
 # shatters Devanagari words on their vowel signs (matras) — "में" would
 # tokenize as "म" + "." The Devanagari block (U+0900–U+097F, rules_v5)
-# is therefore kept as word characters; other scripts are unaffected
-# (Arabic tables are undiacritized, so stripping Arabic Mn diacritics
-# stays correct).
-_RE_PUNCT = re.compile(r"[^\w\sऀ-ॿ]|_", re.UNICODE)
+# is therefore kept as word characters — EXCEPT its punctuation: danda
+# U+0964 / double danda U+0965 (the Hindi full stop; sentence-final
+# auxiliaries like है।/था। must still tokenize bare) and the
+# abbreviation sign U+0970. Other scripts are unaffected (Arabic
+# tables are undiacritized, so stripping Arabic Mn diacritics stays
+# correct).
+_RE_PUNCT = re.compile(
+    r"[^\w\sऀ-ॣ०-९ॱ-ॿ]|_", re.UNICODE)
 
 # ASCII fast path: translate table built FROM the regex (equivalent by
 # construction — a char maps to space iff the regex would replace it).

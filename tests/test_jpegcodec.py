@@ -500,3 +500,30 @@ def test_zigzag_is_spec_order_and_orientation():
     assert got[5] == (exp,) * 3
     # horizontal cosine integrates to zero across the row -> mean 128
     assert got[2] == 128.0
+
+
+def test_missing_dht_returns_none_not_raise():
+    # A scan referencing an undefined Huffman table must return None
+    # (and keep extract_pdf_images' "never raises" contract), not leak
+    # AttributeError from decoding with a missing table (r5 review
+    # finding, reproduced on DHT-stripped files).
+    base = make_jpeg_pixels(16, 16, 118, 138)
+    out = bytearray()
+    i = 0
+    while i < len(base) - 1:
+        if base[i] == 0xFF and base[i + 1] == 0xC4:  # strip DHT segments
+            seglen = struct.unpack(">H", base[i + 2:i + 4])[0]
+            i += 2 + seglen
+            continue
+        out.append(base[i])
+        i += 1
+    out.append(base[-1])
+    stripped = bytes(out)
+    assert decode_jpeg_pixels(stripped) is None
+    from crawspark.oracle.pdfparse import (
+        extract_pdf_images,
+        make_pdf_with_images,
+    )
+    pdf = make_pdf_with_images(stripped, 16, 16, 24, 12)
+    imgs = extract_pdf_images(pdf.decode("latin-1"))
+    assert imgs[0]["decoded"] is False and imgs[1]["decoded"] is True

@@ -306,3 +306,14 @@ def test_robots_edge_cases():
     # Allow wins a specificity tie (RFC 9309 §2.2.2)
     rules = [(False, "/a"), (True, "/a")]
     assert robots_allowed(rules, "/a/page") is True
+
+
+def test_hindi_danda_is_punctuation():
+    # danda/double danda are the Devanagari full stop — sentence-final
+    # auxiliaries must tokenize bare or the hi stopword table misses
+    # them on real text (r5 review finding).
+    from crawspark.oracle.stats import tokenize, word_stats
+    assert tokenize("यह कहानी है। वह था॥") == [
+        "यह", "कहानी", "है", "वह", "था"]
+    n, sw = word_stats("यह कहानी है। वह था।", "hi")
+    assert (n, sw) == (5, 4)
