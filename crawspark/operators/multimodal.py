@@ -729,6 +729,53 @@ def multimodal_image_dims(spark, sf_dir):
         synth_parse, "doc_id long, fmt string, width int, height int")
 
 
+@register("multimodal_webp_avif_dims", sql="""
+    SELECT doc_id,
+           CASE WHEN doc_id % 4 = 3 THEN 'avif' ELSE 'webp' END AS fmt,
+           CASE doc_id % 4 WHEN 0 THEN 'vp8' WHEN 1 THEN 'vp8l'
+                WHEN 2 THEN 'vp8x' ELSE 'avif' END AS kind,
+           CAST(120 + (doc_id % 50) * 5 AS INT) AS width,
+           CAST(90 + (doc_id % 40) * 4 AS INT) AS height
+    FROM documents WHERE doc_id % 11 = 6
+""")
+def multimodal_webp_avif_dims(spark, sf_dir):
+    # WebP + AVIF header decode (r5): the two dominant modern web image
+    # formats. Genuine container bytes synthesized per doc — VP8 lossy
+    # keyframe sync + 14-bit dims, VP8L packed 14-bit fields, VP8X
+    # 24-bit canvas, and AVIF's meta/iprp/ipco/ispe FullBox walk — then
+    # parsed back and hashed against the closed-form oracle.
+    def synth_parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from crawspark.oracle.imagemeta import (
+            make_avif_bytes,
+            make_webp_bytes,
+            parse_image_dims,
+        )
+        kinds = ("vp8", "vp8l", "vp8x", "avif")
+        for pdf in batches:
+            out = {"doc_id": [], "fmt": [], "kind": [], "width": [],
+                   "height": []}
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                kind = kinds[d % 4]
+                w, h = 120 + (d % 50) * 5, 90 + (d % 40) * 4
+                payload = (make_avif_bytes(w, h) if kind == "avif"
+                           else make_webp_bytes(kind, w, h))
+                parsed = parse_image_dims(payload)
+                fmt, gw, gh = parsed if parsed else ("", -1, -1)
+                out["doc_id"].append(d)
+                out["fmt"].append(fmt)
+                out["kind"].append(kind)
+                out["width"].append(gw)
+                out["height"].append(gh)
+            yield pd.DataFrame(out)
+
+    docs = (read_testdata(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") % 11 == 6).select("doc_id"))
+    return docs.mapInPandas(
+        synth_parse, "doc_id long, fmt string, kind string, width int, "
+                     "height int")
+
+
 @register("multimodal_av_meta", sql="""
     SELECT doc_id,
            CASE WHEN doc_id % 2 = 0 THEN 'wav' ELSE 'mp4' END AS container,

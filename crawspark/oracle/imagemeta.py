@@ -40,6 +40,10 @@ def parse_image_dims(payload: bytes) -> tuple[str, int, int] | None:
         if payload[:2] == b"BM" and len(payload) >= 26:
             w, h = struct.unpack("<ii", payload[18:26])
             return "bmp", w, abs(h)  # negative height = top-down rows
+        if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+            return parse_webp_dims(payload)
+        if payload[4:8] == b"ftyp":
+            return parse_avif_dims(payload)
     except (struct.error, IndexError):
         return None
     return None
@@ -194,6 +198,109 @@ def _find_box(data: bytes, start: int, end: int, path: tuple) -> int | None:
             return _find_box(data, body, min(i + size, end), path[1:])
         i += size
     return None
+
+
+# ---------------------------------------------------------------------------
+# WebP + AVIF header decode (r5): the two dominant modern web image
+# formats. WebP is RIFF-chunked (VP8 lossy keyframe / VP8L lossless /
+# VP8X extended canvas); AVIF is ISO-BMFF with dims in meta/iprp/ipco/
+# ispe — `meta` is a FullBox, so the walk skips its 4 version/flags
+# bytes before descending (the plain _find_box walker would misparse).
+# ---------------------------------------------------------------------------
+
+
+def parse_webp_dims(payload: bytes) -> tuple[str, int, int] | None:
+    """('webp', w, h) from a RIFF/WEBP container: VP8 lossy keyframe
+    (3-byte frame tag, 9D 01 2A sync, 14-bit LE dims), VP8L lossless
+    (0x2F signature byte, then w-1 / h-1 packed as 14-bit fields of a
+    32-bit LE word), or VP8X extended (24-bit LE canvas minus one).
+    None for anything else. Never raises."""
+    try:
+        if payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
+            return None
+        i = 12
+        n = len(payload)
+        while i + 8 <= n:
+            cid = payload[i:i + 4]
+            size = struct.unpack("<I", payload[i + 4:i + 8])[0]
+            body = payload[i + 8:i + 8 + size]
+            if cid == b"VP8 " and len(body) >= 10:
+                if body[3:6] != b"\x9d\x01\x2a":  # keyframe start code
+                    return None
+                w = struct.unpack("<H", body[6:8])[0] & 0x3FFF
+                h = struct.unpack("<H", body[8:10])[0] & 0x3FFF
+                return ("webp", w, h)
+            if cid == b"VP8L" and len(body) >= 5:
+                if body[0] != 0x2F:  # lossless signature
+                    return None
+                bits = struct.unpack("<I", body[1:5])[0]
+                return ("webp", (bits & 0x3FFF) + 1,
+                        ((bits >> 14) & 0x3FFF) + 1)
+            if cid == b"VP8X" and len(body) >= 10:
+                w = 1 + int.from_bytes(body[4:7], "little")
+                h = 1 + int.from_bytes(body[7:10], "little")
+                return ("webp", w, h)
+            i += 8 + size + (size & 1)  # RIFF even-offset padding
+        return None
+    except (struct.error, IndexError):
+        return None
+
+
+def parse_avif_dims(payload: bytes) -> tuple[str, int, int] | None:
+    """('avif', w, h) from an ISO-BMFF AVIF: ftyp major brand avif/avis,
+    dims from the ispe property (meta → iprp → ipco → ispe, where meta
+    is a FullBox whose 4 version/flags bytes precede its children).
+    Never raises."""
+    try:
+        ftyp = _find_box(payload, 0, len(payload), (b"ftyp",))
+        if ftyp is None or payload[ftyp:ftyp + 4] not in (b"avif", b"avis"):
+            return None
+        meta = _find_box(payload, 0, len(payload), (b"meta",))
+        if meta is None or meta < 8:
+            return None
+        size = struct.unpack(">I", payload[meta - 8:meta - 4])[0]
+        if size < 8:  # largesize / to-end forms not used by meta
+            return None
+        end = min(meta - 8 + size, len(payload))
+        ispe = _find_box(payload, meta + 4, end, (b"iprp", b"ipco", b"ispe"))
+        if ispe is None:
+            return None
+        w, h = struct.unpack(">II", payload[ispe + 4:ispe + 12])
+        return ("avif", w, h)
+    except (struct.error, IndexError):
+        return None
+
+
+def make_webp_bytes(kind: str, w: int, h: int) -> bytes:
+    """Minimal RIFF/WEBP of the given flavor ('vp8', 'vp8l', 'vp8x')."""
+    if kind == "vp8":
+        body = (b"\x00\x00\x00" + b"\x9d\x01\x2a"
+                + struct.pack("<HH", w & 0x3FFF, h & 0x3FFF))
+    elif kind == "vp8l":
+        bits = (w - 1) | ((h - 1) << 14)
+        body = b"\x2f" + struct.pack("<I", bits)
+    elif kind == "vp8x":
+        body = (b"\x00\x00\x00\x00"
+                + (w - 1).to_bytes(3, "little")
+                + (h - 1).to_bytes(3, "little"))
+    else:
+        raise ValueError(kind)
+    cid = {"vp8": b"VP8 ", "vp8l": b"VP8L", "vp8x": b"VP8X"}[kind]
+    chunk = cid + struct.pack("<I", len(body)) + body
+    if len(body) & 1:
+        chunk += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+
+def make_avif_bytes(w: int, h: int) -> bytes:
+    """Minimal AVIF: ftyp(avif) + meta FullBox{iprp{ipco{ispe}}}."""
+    def box(t: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(body)) + t + body
+
+    ispe = box(b"ispe", b"\x00\x00\x00\x00" + struct.pack(">II", w, h))
+    meta = box(b"meta", b"\x00\x00\x00\x00"  # FullBox version/flags
+               + box(b"iprp", box(b"ipco", ispe)))
+    return box(b"ftyp", b"avif\x00\x00\x00\x00avifmif1") + meta
 
 
 def make_wav_bytes(channels: int, sample_rate: int,

@@ -347,3 +347,51 @@ def test_wav_pcm_rejects_non_pcm16_mono():
     s = [((i * 97) % 2048) - 1024 for i in range(3)]
     assert got[0] == 3 and got[1] == max(abs(x) for x in s)
     assert got[2] == sum(s)
+
+
+def test_webp_hand_vectors():
+    # Literal spec bytes, not round-trips: VP8L w=2,h=3 packs
+    # (w-1)|((h-1)<<14) = 1|0x8000 = 0x8001 -> LE 01 80 00 00 after the
+    # 0x2F signature; VP8 lossy carries 14-bit LE dims after the
+    # 9D 01 2A keyframe sync; VP8X stores canvas-1 as 24-bit LE.
+    import struct
+
+    from crawspark.oracle.imagemeta import parse_image_dims, parse_webp_dims
+
+    vp8l = (b"RIFF" + struct.pack("<I", 4 + 8 + 6) + b"WEBP"
+            + b"VP8L" + struct.pack("<I", 5) + b"\x2f\x01\x80\x00\x00"
+            + b"\x00")
+    assert parse_webp_dims(vp8l) == ("webp", 2, 3)
+    body = b"\x00\x00\x00" + b"\x9d\x01\x2a" + struct.pack("<HH", 640, 480)
+    vp8 = (b"RIFF" + struct.pack("<I", 4 + 8 + len(body)) + b"WEBP"
+           + b"VP8 " + struct.pack("<I", len(body)) + body)
+    assert parse_webp_dims(vp8) == ("webp", 640, 480)
+    vp8x = (b"RIFF" + struct.pack("<I", 4 + 8 + 10) + b"WEBP"
+            + b"VP8X" + struct.pack("<I", 10) + b"\x00\x00\x00\x00"
+            + (799).to_bytes(3, "little") + (599).to_bytes(3, "little"))
+    assert parse_webp_dims(vp8x) == ("webp", 800, 600)
+    assert parse_image_dims(vp8l) == ("webp", 2, 3)
+    # bad sync code -> None
+    bad = bytearray(vp8)
+    bad[23] = 0x00
+    assert parse_webp_dims(bytes(bad)) is None
+
+
+def test_webp_avif_roundtrip_and_rejections():
+    from crawspark.oracle.imagemeta import (
+        make_avif_bytes,
+        make_mp4_bytes,
+        make_webp_bytes,
+        parse_avif_dims,
+        parse_image_dims,
+    )
+
+    for kind in ("vp8", "vp8l", "vp8x"):
+        assert parse_image_dims(make_webp_bytes(kind, 320, 240)) == (
+            "webp", 320, 240)
+    assert parse_image_dims(make_avif_bytes(1024, 768)) == (
+        "avif", 1024, 768)
+    # an MP4 has ftyp but brand isom, not avif -> None via the avif path
+    assert parse_avif_dims(make_mp4_bytes(1000, 640, 360)) is None
+    assert parse_image_dims(b"RIFFxxxxWAVE") is None
+    assert parse_avif_dims(b"\x00" * 16) is None
