@@ -776,6 +776,84 @@ def multimodal_webp_avif_dims(spark, sf_dir):
                      "height int")
 
 
+@register("multimodal_audio_headers", sql="""
+    -- closed form of the synthesized streams: MP3 duration is
+    -- audio_bytes*8/bitrate with audio_bytes = n_frames * (144*br*1000
+    -- // rate) (CBR, no padding; the ID3v2 tag is skipped by the
+    -- parser and excluded here); FLAC duration is total*1000//rate.
+    WITH p AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 2 = 0 THEN 'mp3' ELSE 'flac' END AS fmt,
+             CASE doc_id % 5 WHEN 0 THEN 128 WHEN 1 THEN 192
+                  WHEN 2 THEN 320 WHEN 3 THEN 64 ELSE 96 END AS br,
+             CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+                  ELSE 32000 END AS mrate,
+             CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+                  ELSE 22050 END AS frate,
+             50 + doc_id % 40 AS n_frames,
+             100000 + (doc_id % 50) * 977 AS total_samples
+      FROM documents WHERE doc_id % 7 = 5
+    )
+    SELECT doc_id, fmt,
+           CASE WHEN fmt = 'mp3' THEN CAST(br AS INT) ELSE 0 END
+             AS bitrate_kbps,
+           CAST(CASE WHEN fmt = 'mp3' THEN mrate ELSE frate END AS INT)
+             AS sample_rate,
+           CASE WHEN fmt = 'flac' THEN CAST(1 + doc_id % 2 AS INT)
+                ELSE 0 END AS channels,
+           CAST(CASE WHEN fmt = 'mp3'
+                THEN (n_frames * ((144 * br * 1000) // mrate)) * 8 // br
+                ELSE total_samples * 1000 // frate END AS BIGINT)
+             AS duration_ms
+    FROM p
+""")
+def multimodal_audio_headers(spark, sf_dir):
+    # MP3 + FLAC header decode (r5): the dominant compressed web audio
+    # formats. Genuine streams synthesized per doc — CBR MPEG-1 Layer
+    # III frames behind a synchsafe-sized ID3v2 tag, and FLAC
+    # STREAMINFO with its 20/3/5/36-bit packed fields — parsed back and
+    # hashed against the closed-form oracle.
+    def synth_parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from crawspark.oracle.imagemeta import (
+            make_flac_bytes,
+            make_mp3_bytes,
+            parse_flac_meta,
+            parse_mp3_meta,
+        )
+        brs = (128, 192, 320, 64, 96)
+        for pdf in batches:
+            out = {"doc_id": [], "fmt": [], "bitrate_kbps": [],
+                   "sample_rate": [], "channels": [], "duration_ms": []}
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                if d % 2 == 0:
+                    br = brs[d % 5]
+                    rate = (44100, 48000, 32000)[d % 3]
+                    payload = make_mp3_bytes(br, rate, 50 + d % 40,
+                                             id3_size=(d % 4) * 17)
+                    got = parse_mp3_meta(payload)
+                    gbr, grate, gdur = got if got else (-1, -1, -1)
+                    row = ("mp3", gbr, grate, 0, gdur)
+                else:
+                    rate = (44100, 48000, 22050)[d % 3]
+                    total = 100000 + (d % 50) * 977
+                    payload = make_flac_bytes(rate, 1 + d % 2, total)
+                    got = parse_flac_meta(payload)
+                    grate, gch, _gt, gdur = got if got else (-1, -1, -1, -1)
+                    row = ("flac", 0, grate, gch, gdur)
+                out["doc_id"].append(d)
+                for k, v in zip(("fmt", "bitrate_kbps", "sample_rate",
+                                 "channels", "duration_ms"), row):
+                    out[k].append(v)
+            yield pd.DataFrame(out)
+
+    docs = (read_testdata(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") % 7 == 5).select("doc_id"))
+    return docs.mapInPandas(
+        synth_parse, "doc_id long, fmt string, bitrate_kbps int, "
+                     "sample_rate int, channels int, duration_ms long")
+
+
 @register("multimodal_av_meta", sql="""
     SELECT doc_id,
            CASE WHEN doc_id % 2 = 0 THEN 'wav' ELSE 'mp4' END AS container,

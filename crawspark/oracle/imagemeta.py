@@ -303,6 +303,102 @@ def make_avif_bytes(w: int, h: int) -> bytes:
     return box(b"ftyp", b"avif\x00\x00\x00\x00avifmif1") + meta
 
 
+# ---------------------------------------------------------------------------
+# MP3 + FLAC header decode (r5): the dominant compressed web audio
+# formats. MP3 needs the ID3v2 skip (synchsafe size) before the first
+# 11-bit frame sync; FLAC's STREAMINFO block carries bit-packed rate /
+# channels / total-sample fields.
+# ---------------------------------------------------------------------------
+
+# MPEG-1 Layer III tables (ISO 11172-3): bitrate index -> kbps,
+# sample-rate index -> Hz.
+_MP3_BITRATES = (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192,
+                 224, 256, 320)
+_MP3_RATES = (44100, 48000, 32000)
+
+
+def parse_mp3_meta(payload: bytes):
+    """(bitrate_kbps, sample_rate, est_duration_ms) from the first
+    MPEG-1 Layer III frame header, skipping a leading ID3v2 tag (whose
+    size is SYNCHSAFE: 4x7 bits). CBR estimate: duration = audio bytes
+    * 8 / bitrate. None for anything unrecognized. Never raises."""
+    try:
+        i = 0
+        if payload[:3] == b"ID3" and len(payload) >= 10:
+            size = ((payload[6] << 21) | (payload[7] << 14)
+                    | (payload[8] << 7) | payload[9])
+            i = 10 + size  # tag header + synchsafe body size
+        if i + 4 > len(payload):
+            return None
+        b0, b1, b2, _b3 = payload[i:i + 4]
+        if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
+            return None  # no frame sync
+        if (b1 & 0x18) != 0x18 or (b1 & 0x06) != 0x02:
+            return None  # only MPEG-1 Layer III
+        br_idx, sr_idx = b2 >> 4, (b2 >> 2) & 0x03
+        if br_idx in (0, 15) or sr_idx == 3:
+            return None  # free-format / invalid
+        bitrate = _MP3_BITRATES[br_idx]
+        rate = _MP3_RATES[sr_idx]
+        audio_bytes = len(payload) - i
+        return bitrate, rate, audio_bytes * 8 // bitrate  # /1000*1000
+    except (struct.error, IndexError):
+        return None
+
+
+def parse_flac_meta(payload: bytes):
+    """(sample_rate, channels, total_samples, duration_ms) from FLAC
+    STREAMINFO (the mandatory first metadata block): sample rate is 20
+    bits, channels-1 is 3, bits-per-sample-1 is 5, total samples 36
+    (RFC 9639 §8.2). None for non-FLAC. Never raises."""
+    try:
+        if payload[:4] != b"fLaC" or len(payload) < 4 + 4 + 34:
+            return None
+        btype = payload[4] & 0x7F
+        size = int.from_bytes(payload[5:8], "big")
+        if btype != 0 or size < 34:
+            return None  # STREAMINFO must come first
+        info = payload[8:8 + 34]
+        bits = int.from_bytes(info[10:18], "big")  # 64 bits from byte 10
+        rate = bits >> 44
+        channels = ((bits >> 41) & 0x07) + 1
+        total = bits & ((1 << 36) - 1)
+        if rate == 0:
+            return None
+        return rate, channels, total, total * 1000 // rate
+    except (struct.error, IndexError):
+        return None
+
+
+def make_mp3_bytes(bitrate_kbps: int, sample_rate: int, n_frames: int,
+                   id3_size: int = 0) -> bytes:
+    """CBR MPEG-1 Layer III stream: optional ID3v2 tag (synchsafe size)
+    + n_frames frames of 144*bitrate/rate bytes each (no padding)."""
+    out = bytearray()
+    if id3_size:
+        out += (b"ID3\x04\x00\x00"
+                + bytes(((id3_size >> 21) & 0x7F, (id3_size >> 14) & 0x7F,
+                         (id3_size >> 7) & 0x7F, id3_size & 0x7F))
+                + b"\x00" * id3_size)
+    br_idx = _MP3_BITRATES.index(bitrate_kbps)
+    sr_idx = _MP3_RATES.index(sample_rate)
+    header = bytes((0xFF, 0xFB, (br_idx << 4) | (sr_idx << 2), 0x00))
+    frame_len = 144 * bitrate_kbps * 1000 // sample_rate
+    frame = header + bytes(frame_len - 4)
+    for _ in range(n_frames):
+        out += frame
+    return bytes(out)
+
+
+def make_flac_bytes(sample_rate: int, channels: int,
+                    total_samples: int) -> bytes:
+    """fLaC magic + last-block STREAMINFO with the bit-packed fields."""
+    bits = (sample_rate << 44) | ((channels - 1) << 41) | (15 << 36) \
+        | total_samples
+    info = bytes(10) + bits.to_bytes(8, "big") + bytes(16)
+    return b"fLaC" + bytes([0x80]) + (34).to_bytes(3, "big") + info
+
+
 def make_wav_bytes(channels: int, sample_rate: int,
                    duration_ms: int) -> bytes:
     """Minimal RIFF/WAVE (PCM16) header + truncated data chunk sized for

@@ -395,3 +395,38 @@ def test_webp_avif_roundtrip_and_rejections():
     assert parse_avif_dims(make_mp4_bytes(1000, 640, 360)) is None
     assert parse_image_dims(b"RIFFxxxxWAVE") is None
     assert parse_avif_dims(b"\x00" * 16) is None
+
+
+def test_mp3_hand_vectors_and_id3_skip():
+    # Literal ISO 11172-3 header bytes: FF FB = sync + MPEG-1 Layer III;
+    # third byte 0x92 = bitrate index 9 (128 kbps), samplerate index 0
+    # (44100). 418-byte payload -> duration 418*8//128 = 26 ms.
+    from crawspark.oracle.imagemeta import parse_mp3_meta
+
+    frame = bytes((0xFF, 0xFB, 0x92, 0x00)) + bytes(414)
+    assert parse_mp3_meta(frame) == (128, 44100, 26)
+    # ID3v2 tag with SYNCHSAFE size 0x7F+1=128+... : size bytes
+    # (0, 0, 1, 3) -> 131 body bytes, then the same frame
+    id3 = b"ID3\x04\x00\x00" + bytes((0, 0, 1, 3)) + bytes(131) + frame
+    assert parse_mp3_meta(id3) == (128, 44100, 26)
+    # Layer II (b1 bit pattern 0xFD) and free-format bitrate rejected
+    assert parse_mp3_meta(bytes((0xFF, 0xFD, 0x92, 0x00)) + bytes(40)) is None
+    assert parse_mp3_meta(bytes((0xFF, 0xFB, 0x02, 0x00)) + bytes(40)) is None
+    assert parse_mp3_meta(b"no sync here") is None
+
+
+def test_flac_hand_vector():
+    # STREAMINFO bit layout (RFC 9639 §8.2): the 64 bits from byte 10
+    # are [20b rate][3b ch-1][5b bps-1][36b total]. Packed by hand for
+    # rate=8000, ch=2, total=16000 -> 2000 ms.
+    from crawspark.oracle.imagemeta import parse_flac_meta
+
+    bits = (8000 << 44) | (1 << 41) | (15 << 36) | 16000
+    info = bytes(10) + bits.to_bytes(8, "big") + bytes(16)
+    payload = b"fLaC" + bytes([0x80]) + (34).to_bytes(3, "big") + info
+    assert parse_flac_meta(payload) == (8000, 2, 16000, 2000)
+    assert parse_flac_meta(payload[:20]) is None  # truncated
+    assert parse_flac_meta(b"OggS" + payload[4:]) is None
+    # a non-STREAMINFO first block is rejected
+    bad = b"fLaC" + bytes([0x84]) + (34).to_bytes(3, "big") + info
+    assert parse_flac_meta(bad) is None
