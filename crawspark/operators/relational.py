@@ -857,3 +857,65 @@ def canonicalize_outlinks(spark, sf_dir):
             .select(canon.alias("canon"), scheme.alias("s"))
             .filter(F.col("s") != "")
             .groupBy("canon").agg(F.count("*").alias("n_urls")))
+
+
+@register("sitemap_frontier_seed", sql="""
+    -- closed form of oracle/sitemap.make_sitemap: every 7th doc serves
+    -- a sitemapindex (child sitemap refs, kind='sitemap'), the rest a
+    -- urlset with lastmod = 2025-01-01 + (d+j)%365 days and priority
+    -- ((d+j)%10)/10; DuckDB date+int stays a DATE so the VARCHAR cast
+    -- is the same ISO day string ElementTree hands back.
+    WITH p AS (SELECT doc_id FROM documents WHERE doc_id % 6 = 2),
+    u AS (
+      SELECT p.doc_id, g.j,
+             CASE WHEN p.doc_id % 7 = 0 THEN 'sitemap' ELSE 'url' END
+               AS kind
+      FROM p, range(8) g(j)
+      WHERE g.j < CASE WHEN p.doc_id % 7 = 0 THEN 2 + p.doc_id % 3
+                       ELSE 3 + p.doc_id % 5 END
+    )
+    SELECT doc_id, CAST(j AS INT) AS idx, kind,
+           CASE WHEN kind = 'sitemap'
+                THEN 'https://s' || (doc_id % 37) || '.example.com/sm/'
+                     || doc_id || '/child' || j || '.xml'
+                ELSE 'https://s' || (doc_id % 37) || '.example.com/p/'
+                     || doc_id || '/' || j END AS loc,
+           CASE WHEN kind = 'sitemap' THEN ''
+                ELSE CAST(DATE '2025-01-01' + CAST((doc_id + j) % 365
+                          AS INT) AS VARCHAR) END AS lastmod,
+           CASE WHEN kind = 'sitemap' THEN -1.0
+                ELSE CAST((doc_id + j) % 10 AS DOUBLE) / 10 END
+             AS priority
+    FROM u
+""")
+def sitemap_frontier_seed(spark, sf_dir):
+    """Frontier seeding from sitemap.xml (sitemaps.org protocol) — the
+    companion to `robots_filter_frontier`: per host, parse the sitemap
+    (urlset entries with lastmod/priority, or sitemapindex children to
+    recurse into) and emit one frontier row per entry. Parsing runs
+    Arrow-batched per document; every parsed field is driver-hashed
+    against the closed-form oracle. Namespace-agnostic: half the
+    synthesized urlsets carry the sitemaps.org namespace, half none."""
+    import pandas as pd
+
+    def synth_parse(batches):
+        from crawspark.oracle.sitemap import make_sitemap, parse_sitemap
+        for pdf in batches:
+            out = {"doc_id": [], "idx": [], "kind": [], "loc": [],
+                   "lastmod": [], "priority": []}
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                for j, rec in enumerate(parse_sitemap(make_sitemap(d))):
+                    out["doc_id"].append(d)
+                    out["idx"].append(j)
+                    out["kind"].append(rec["kind"])
+                    out["loc"].append(rec["loc"])
+                    out["lastmod"].append(rec["lastmod"])
+                    out["priority"].append(rec["priority"])
+            yield pd.DataFrame(out)
+
+    docs = (read_testdata(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") % 6 == 2).select("doc_id"))
+    return docs.mapInPandas(
+        synth_parse, "doc_id long, idx int, kind string, loc string, "
+                     "lastmod string, priority double")

@@ -317,3 +317,28 @@ def test_hindi_danda_is_punctuation():
         "यह", "कहानी", "है", "वह", "था"]
     n, sw = word_stats("यह कहानी है। वह था।", "hi")
     assert (n, sw) == (5, 4)
+
+
+def test_sitemap_parse_protocol_shapes():
+    from crawspark.oracle.sitemap import parse_sitemap
+
+    # namespaced urlset; entries without <loc> are dropped per the spec
+    xml = ('<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+           "<url><loc> https://a/1 </loc><lastmod>2025-03-01</lastmod>"
+           "<priority>0.8</priority></url>"
+           "<url><lastmod>2025-03-02</lastmod></url>"
+           "<url><loc>https://a/2</loc><priority>junk</priority></url>"
+           "</urlset>")
+    got = parse_sitemap(xml)
+    assert [r["loc"] for r in got] == ["https://a/1", "https://a/2"]
+    assert got[0]["lastmod"] == "2025-03-01" and got[0]["priority"] == 0.8
+    assert got[1]["priority"] == -1.0  # unparseable priority ignored
+    # sitemapindex children come back kind='sitemap'
+    idx = ("<sitemapindex><sitemap><loc>https://a/sm1.xml</loc></sitemap>"
+           "<sitemap><loc>https://a/sm2.xml</loc></sitemap></sitemapindex>")
+    kids = parse_sitemap(idx)
+    assert [r["kind"] for r in kids] == ["sitemap", "sitemap"]
+    # malformed XML and non-sitemap roots yield []
+    assert parse_sitemap("<urlset><url>") == []
+    assert parse_sitemap("not xml at all") == []
+    assert parse_sitemap("<rss><channel/></rss>") == []
