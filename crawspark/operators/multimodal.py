@@ -776,6 +776,71 @@ def multimodal_webp_avif_dims(spark, sf_dir):
                      "height int")
 
 
+@register("multimodal_tiff_ico_svg_dims", sql="""
+    SELECT doc_id,
+           CASE doc_id % 5 WHEN 0 THEN 'tiff' WHEN 1 THEN 'tiff'
+                WHEN 2 THEN 'ico' ELSE 'svg' END AS fmt,
+           CASE doc_id % 5 WHEN 0 THEN 'tiff-le' WHEN 1 THEN 'tiff-be'
+                WHEN 2 THEN 'ico' WHEN 3 THEN 'svg-attrs'
+                ELSE 'svg-viewbox' END AS kind,
+           CAST(CASE WHEN doc_id % 5 = 2 THEN
+                  CASE WHEN (doc_id // 5) % 2 = 0 THEN 256
+                       ELSE 16 + (doc_id % 15) * 16 END
+                ELSE 100 + (doc_id % 60) * 3 END AS INT) AS width,
+           CAST(CASE WHEN doc_id % 5 = 2 THEN
+                  CASE WHEN (doc_id // 5) % 2 = 0 THEN 256
+                       ELSE 16 + (doc_id % 13) * 16 END
+                ELSE 80 + (doc_id % 45) * 3 END AS INT) AS height
+    FROM documents WHERE doc_id % 13 = 8
+""")
+def multimodal_tiff_ico_svg_dims(spark, sf_dir):
+    # TIFF (both byte orders, SHORT + LONG tag values), ICO (including
+    # the 0-byte-means-256 quirk), and SVG (width/height attrs with
+    # units, and the viewBox fallback) — genuine bytes synthesized per
+    # doc, parsed back, dims hashed against the closed-form oracle.
+    def synth_parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from crawspark.oracle.imagemeta import (
+            make_ico_bytes,
+            make_svg_bytes,
+            make_tiff_bytes,
+            parse_image_dims,
+        )
+        kinds = ("tiff-le", "tiff-be", "ico", "svg-attrs", "svg-viewbox")
+        for pdf in batches:
+            out = {"doc_id": [], "fmt": [], "kind": [], "width": [],
+                   "height": []}
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                kind = kinds[d % 5]
+                if kind == "ico":
+                    if (d // 5) % 2 == 0:
+                        w = h = 256
+                    else:
+                        w, h = 16 + (d % 15) * 16, 16 + (d % 13) * 16
+                    payload = make_ico_bytes(w, h)
+                else:
+                    w, h = 100 + (d % 60) * 3, 80 + (d % 45) * 3
+                    if kind.startswith("tiff"):
+                        payload = make_tiff_bytes(w, h, kind == "tiff-be")
+                    else:
+                        payload = make_svg_bytes(
+                            w, h, viewbox=kind == "svg-viewbox")
+                parsed = parse_image_dims(payload)
+                fmt, gw, gh = parsed if parsed else ("", -1, -1)
+                out["doc_id"].append(d)
+                out["fmt"].append(fmt)
+                out["kind"].append(kind)
+                out["width"].append(gw)
+                out["height"].append(gh)
+            yield pd.DataFrame(out)
+
+    docs = (read_testdata(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") % 13 == 8).select("doc_id"))
+    return docs.mapInPandas(
+        synth_parse, "doc_id long, fmt string, kind string, width int, "
+                     "height int")
+
+
 @register("multimodal_audio_headers", sql="""
     -- closed form of the synthesized streams: MP3 duration is
     -- audio_bytes*8/bitrate with audio_bytes = n_frames * (144*br*1000

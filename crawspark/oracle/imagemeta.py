@@ -13,6 +13,7 @@ before any pixel work.
 
 from __future__ import annotations
 
+import re
 import struct
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
@@ -44,6 +45,12 @@ def parse_image_dims(payload: bytes) -> tuple[str, int, int] | None:
             return parse_webp_dims(payload)
         if payload[4:8] == b"ftyp":
             return parse_avif_dims(payload)
+        if payload[:4] in (b"II\x2a\x00", b"MM\x00\x2a"):
+            return parse_tiff_dims(payload)
+        if payload[:4] == b"\x00\x00\x01\x00":
+            return parse_ico_dims(payload)
+        if b"<svg" in payload[:4096]:
+            return parse_svg_dims(payload)
     except (struct.error, IndexError):
         return None
     return None
@@ -301,6 +308,125 @@ def make_avif_bytes(w: int, h: int) -> bytes:
     meta = box(b"meta", b"\x00\x00\x00\x00"  # FullBox version/flags
                + box(b"iprp", box(b"ipco", ispe)))
     return box(b"ftyp", b"avif\x00\x00\x00\x00avifmif1") + meta
+
+
+# ---------------------------------------------------------------------------
+# TIFF + ICO + SVG dims (r5): the remaining web image containers. TIFF
+# is an endian-tagged IFD walk (SHORT values are left-justified in the
+# 4-byte field, so the same slice works for II and MM); ICO stores a
+# dimension byte where 0 means 256; SVG is text — width/height
+# attributes with optional units, else the viewBox.
+# ---------------------------------------------------------------------------
+
+
+def parse_tiff_dims(payload: bytes) -> tuple[str, int, int] | None:
+    """('tiff', w, h) from the first IFD's ImageWidth (256) /
+    ImageLength (257) tags, II or MM byte order, SHORT or LONG values.
+    Never raises."""
+    try:
+        if payload[:4] == b"II\x2a\x00":
+            e = "<"
+        elif payload[:4] == b"MM\x00\x2a":
+            e = ">"
+        else:
+            return None
+        off = struct.unpack(e + "I", payload[4:8])[0]
+        n = struct.unpack(e + "H", payload[off:off + 2])[0]
+        w = h = None
+        for i in range(n):
+            ent = payload[off + 2 + 12 * i:off + 14 + 12 * i]
+            if len(ent) < 12:
+                return None
+            tag, typ = struct.unpack(e + "HH", ent[:4])
+            if tag in (256, 257):
+                if typ == 3:  # SHORT, left-justified in the value field
+                    val = struct.unpack(e + "H", ent[8:10])[0]
+                elif typ == 4:  # LONG
+                    val = struct.unpack(e + "I", ent[8:12])[0]
+                else:
+                    continue
+                if tag == 256:
+                    w = val
+                else:
+                    h = val
+        return ("tiff", w, h) if w and h else None
+    except (struct.error, IndexError):
+        return None
+
+
+def parse_ico_dims(payload: bytes) -> tuple[str, int, int] | None:
+    """('ico', w, h) from the first directory entry; a 0 dimension byte
+    means 256 (the format's one famous quirk). Never raises."""
+    try:
+        if payload[:4] != b"\x00\x00\x01\x00" or len(payload) < 8:
+            return None
+        count = struct.unpack("<H", payload[4:6])[0]
+        if count == 0 or len(payload) < 6 + 16:
+            return None
+        w, h = payload[6], payload[7]
+        return ("ico", w or 256, h or 256)
+    except (struct.error, IndexError):
+        return None
+
+
+_RE_SVG_TAG = re.compile(rb"<svg\b[^>]*>", re.DOTALL)
+_RE_SVG_W = re.compile(rb"""\bwidth\s*=\s*["']\s*([0-9.]+)""")
+_RE_SVG_H = re.compile(rb"""\bheight\s*=\s*["']\s*([0-9.]+)""")
+_RE_SVG_VB = re.compile(
+    rb"""\bviewBox\s*=\s*["']\s*[0-9.+-]+[\s,]+[0-9.+-]+[\s,]+"""
+    rb"""([0-9.]+)[\s,]+([0-9.]+)""")
+
+
+def parse_svg_dims(payload: bytes) -> tuple[str, int, int] | None:
+    """('svg', w, h) from the root <svg> tag: width/height attributes
+    (leading number; units like 'px' ignored), falling back to the
+    viewBox's third/fourth values. Never raises."""
+    try:
+        m = _RE_SVG_TAG.search(payload[:4096])
+        if not m:
+            return None
+        tag = m.group(0)
+        wm, hm = _RE_SVG_W.search(tag), _RE_SVG_H.search(tag)
+        if wm and hm:
+            return ("svg", int(round(float(wm.group(1)))),
+                    int(round(float(hm.group(1)))))
+        vb = _RE_SVG_VB.search(tag)
+        if vb:
+            return ("svg", int(round(float(vb.group(1)))),
+                    int(round(float(vb.group(2)))))
+        return None
+    except (ValueError, IndexError):
+        return None
+
+
+def make_tiff_bytes(w: int, h: int, big_endian: bool = False) -> bytes:
+    """Minimal single-IFD TIFF: width as SHORT, length as LONG (one of
+    each value type on the parse path)."""
+    e = ">" if big_endian else "<"
+    magic = b"MM\x00\x2a" if big_endian else b"II\x2a\x00"
+    entries = (
+        struct.pack(e + "HHI", 256, 3, 1) + struct.pack(e + "H", w) + b"\x00\x00"
+        + struct.pack(e + "HHI", 257, 4, 1) + struct.pack(e + "I", h))
+    ifd = struct.pack(e + "H", 2) + entries + struct.pack(e + "I", 0)
+    return magic + struct.pack(e + "I", 8) + ifd
+
+
+def make_ico_bytes(w: int, h: int) -> bytes:
+    """ICONDIR + one entry (dims 256 encode as 0)."""
+    return (b"\x00\x00\x01\x00\x01\x00"
+            + bytes((w % 256, h % 256)) + b"\x00\x00\x01\x00\x20\x00"
+            + struct.pack("<II", 40, 22))
+
+
+def make_svg_bytes(w: int, h: int, viewbox: bool = False) -> bytes:
+    if viewbox:
+        body = (f'<?xml version="1.0"?>\n<svg xmlns='
+                f'"http://www.w3.org/2000/svg" viewBox="0 0 {w} {h}">'
+                f"<rect/></svg>")
+    else:
+        body = (f'<svg width="{w}px" height="{h}px">'
+                f"<circle r=\"4\"/></svg>")
+    return body.encode("utf-8")
 
 
 # ---------------------------------------------------------------------------

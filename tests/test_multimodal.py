@@ -430,3 +430,86 @@ def test_flac_hand_vector():
     # a non-STREAMINFO first block is rejected
     bad = b"fLaC" + bytes([0x84]) + (34).to_bytes(3, "big") + info
     assert parse_flac_meta(bad) is None
+
+
+def test_tiff_hand_vectors():
+    # Literal TIFF 6.0 bytes, both byte orders. LE: "II 2A 00", first
+    # IFD at 8; entry = tag(2) type(2) count(4) value(4) with SHORT
+    # values LEFT-justified in the 4-byte field (spec §2, "Types").
+    from crawspark.oracle.imagemeta import parse_image_dims, parse_tiff_dims
+
+    le = (b"II\x2a\x00" + b"\x08\x00\x00\x00"
+          + b"\x02\x00"                                  # 2 entries
+          + b"\x00\x01\x03\x00\x01\x00\x00\x00\x40\x00\x00\x00"  # 256 SHORT 64
+          + b"\x01\x01\x04\x00\x01\x00\x00\x00\x30\x00\x00\x00"  # 257 LONG 48
+          + b"\x00\x00\x00\x00")
+    assert parse_tiff_dims(le) == ("tiff", 64, 48)
+    assert parse_image_dims(le) == ("tiff", 64, 48)
+    be = (b"MM\x00\x2a" + b"\x00\x00\x00\x08"
+          + b"\x00\x02"
+          + b"\x01\x00\x00\x03\x00\x00\x00\x01\x00\x40\x00\x00"  # SHORT 64
+          + b"\x01\x01\x00\x04\x00\x00\x00\x01\x00\x00\x00\x30"  # LONG 48
+          + b"\x00\x00\x00\x00")
+    assert parse_tiff_dims(be) == ("tiff", 64, 48)
+    # RATIONAL-typed width entry is skipped -> dims incomplete -> None
+    rat = bytearray(le)
+    rat[12] = 0x05
+    assert parse_tiff_dims(bytes(rat)) is None
+    # truncated IFD -> None
+    assert parse_tiff_dims(le[:20]) is None
+    assert parse_tiff_dims(b"II\x2b\x00" + le[4:]) is None  # BigTIFF magic
+
+
+def test_ico_svg_hand_vectors():
+    from crawspark.oracle.imagemeta import (
+        parse_ico_dims,
+        parse_image_dims,
+        parse_svg_dims,
+    )
+
+    # ICONDIR: reserved=0, type=1, count=1; entry width=16 height=32.
+    ico = (b"\x00\x00\x01\x00\x01\x00" + bytes((16, 32))
+           + b"\x00\x00\x01\x00\x20\x00" + b"\x28\x00\x00\x00"
+           + b"\x16\x00\x00\x00")
+    assert parse_ico_dims(ico) == ("ico", 16, 32)
+    # the famous quirk: a 0 dimension byte means 256
+    quirk = bytearray(ico)
+    quirk[6] = quirk[7] = 0
+    assert parse_ico_dims(bytes(quirk)) == ("ico", 256, 256)
+    assert parse_image_dims(bytes(quirk)) == ("ico", 256, 256)
+    # CUR files (type=2) and empty directories are rejected
+    assert parse_ico_dims(b"\x00\x00\x02\x00\x01\x00" + ico[6:]) is None
+    assert parse_ico_dims(b"\x00\x00\x01\x00\x00\x00") is None
+
+    svg = (b'<?xml version="1.0"?>\n<svg xmlns="http://www.w3.org/2000/svg"'
+           b' width="120px" height= "90" ><rect/></svg>')
+    assert parse_svg_dims(svg) == ("svg", 120, 90)
+    vb = b'<svg viewBox="0 0 300 150"><circle r="1"/></svg>'
+    assert parse_svg_dims(vb) == ("svg", 300, 150)
+    assert parse_image_dims(vb) == ("svg", 300, 150)
+    # width/height win over viewBox when both present
+    both = b'<svg width="10" height="20" viewBox="0 0 300 150"/>'
+    assert parse_svg_dims(both) == ("svg", 10, 20)
+    # negative-origin viewBox still yields the extent values
+    neg = b'<svg viewBox="-5 -5, 50 25"/>'
+    assert parse_svg_dims(neg) == ("svg", 50, 25)
+    assert parse_svg_dims(b"<html><body>no svg tag</body></html>") is None
+    assert parse_svg_dims(b"<svg><rect/></svg>") is None
+
+
+def test_tiff_ico_svg_roundtrip():
+    from crawspark.oracle.imagemeta import (
+        make_ico_bytes,
+        make_svg_bytes,
+        make_tiff_bytes,
+        parse_image_dims,
+    )
+
+    for be in (False, True):
+        assert parse_image_dims(make_tiff_bytes(321, 123, be)) == (
+            "tiff", 321, 123)
+    assert parse_image_dims(make_ico_bytes(48, 64)) == ("ico", 48, 64)
+    assert parse_image_dims(make_ico_bytes(256, 256)) == ("ico", 256, 256)
+    assert parse_image_dims(make_svg_bytes(640, 480)) == ("svg", 640, 480)
+    assert parse_image_dims(make_svg_bytes(640, 480, viewbox=True)) == (
+        "svg", 640, 480)
