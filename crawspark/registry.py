@@ -50,6 +50,7 @@ def load_all() -> dict[str, QuerySpec]:
         merge,
         multimodal,
         relational,
+        sampling,
         similarity,
         sketches,
         textops,

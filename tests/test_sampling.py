@@ -1,0 +1,130 @@
+"""Deterministic-sampling operators (operators/sampling.py): semantics
+pinned against an independent pure-Python replay of the hash math, plan
+properties pinned against the executed plan (broadcast-only joins, the
+WindowGroupLimit partial, TakeOrderedAndProject)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from crawspark.operators.sampling import (
+    _BERN_THRESH,
+    _MIX_BUDGET,
+    _MIX_WEIGHTS,
+    _PRIO_K,
+    _STRAT_K,
+    _TWO60,
+    mixture_token_budget,
+    sample_hash_bernoulli,
+    sample_stratified_topk,
+    sample_weighted_priority,
+)
+from crawspark.plans import executed_plan
+
+
+def _h60_py(doc_id: int, salt: str = "samp") -> int:
+    return int(hashlib.md5(f"{salt}:{doc_id}".encode()).hexdigest()[:15], 16)
+
+
+def _docs(sf_dir):
+    return duckdb.sql(
+        f"SELECT doc_id, lang, source, n_chars FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')").fetchall()
+
+
+def test_bernoulli_matches_python_replay(spark, sf_dir):
+    # The sampled set is a pure function of md5(doc_id): replay the
+    # threshold selection doc-by-doc in Python and compare aggregates.
+    rows = {r["source"]: (r["n_sampled"], r["chars_sampled"], r["min_doc_id"])
+            for r in sample_hash_bernoulli(spark, sf_dir).collect()}
+    expect: dict[str, list] = {}
+    for doc_id, _lang, source, n_chars in _docs(sf_dir):
+        t = _BERN_THRESH.get(source)
+        if t is not None and _h60_py(doc_id) < t:
+            expect.setdefault(source, []).append((doc_id, n_chars))
+    assert rows == {s: (len(v), sum(c for _, c in v), min(d for d, _ in v))
+                    for s, v in expect.items()}
+
+
+def test_stratified_exact_k_smallest_hashes(spark, sf_dir):
+    got = sample_stratified_topk(spark, sf_dir).collect()
+    by_lang: dict[str, list] = {}
+    for doc_id, lang, _s, _c in _docs(sf_dir):
+        by_lang.setdefault(lang, []).append((_h60_py(doc_id), doc_id))
+    for lang, hs in by_lang.items():
+        want = [d for _, d in sorted(hs)[:_STRAT_K]]
+        sel = sorted((r["rank"], r["doc_id"]) for r in got
+                     if r["lang"] == lang)
+        assert [d for _, d in sel] == want, lang
+        assert [k for k, _ in sel] == list(range(1, len(want) + 1))
+
+
+def test_weighted_priority_is_exact_topk(spark, sf_dir):
+    # Brute-force the same w/u priority in Python (same IEEE double ops)
+    # and check the operator returns exactly the global top-K.
+    got = [r["doc_id"] for r in
+           sample_weighted_priority(spark, sf_dir).collect()]
+    prios = [(-(n_chars / ((_h60_py(doc_id) + 1) / _TWO60)), doc_id)
+             for doc_id, _l, _s, n_chars in _docs(sf_dir)]
+    want = [d for _, d in sorted(prios)[:_PRIO_K]]
+    assert got == want
+    # heavier docs are overrepresented: the sample's mean weight must
+    # exceed the corpus mean (the point of weighted sampling)
+    rows = sample_weighted_priority(spark, sf_dir).collect()
+    corpus_mean = (sum(n for *_, n in _docs(sf_dir)) / len(_docs(sf_dir)))
+    assert sum(r["weight"] for r in rows) / len(rows) > corpus_mean
+
+
+def test_mixture_budget_fractions_and_replay(spark, sf_dir):
+    rows = {r["source"]: r for r in
+            mixture_token_budget(spark, sf_dir).collect()}
+    totals: dict[str, int] = {}
+    for _d, _l, source, n_chars in _docs(sf_dir):
+        if source in _MIX_WEIGHTS:
+            totals[source] = totals.get(source, 0) + n_chars
+    for source, w in _MIX_WEIGHTS.items():
+        frac = min(1.0, (_MIX_BUDGET * w) / totals[source])
+        thresh = int(frac * _TWO60)
+        taken = [(d, c) for d, _l, s, c in _docs(sf_dir)
+                 if s == source and _h60_py(d, "mix") < thresh]
+        r = rows[source]
+        assert (r["n_docs"], r["chars_taken"]) == (
+            len(taken), sum(c for _, c in taken)), source
+        assert r["frac"] == pytest.approx(round(frac, 6))
+        # a fully-budgeted source takes everything; others stay under
+        if frac >= 1.0:
+            assert r["chars_taken"] == totals[source]
+
+
+def test_sampling_plan_properties(spark, sf_dir):
+    # bernoulli + mixture: broadcast joins only, no sort-merge; the scan
+    # side is never shuffled before the filter (the 100 TB claim).
+    for fn, n_bhj in ((sample_hash_bernoulli, 1), (mixture_token_budget, 2)):
+        plan = executed_plan(fn(spark, sf_dir))
+        assert plan.count("BroadcastHashJoin") == n_bhj, fn.__name__
+        assert "SortMergeJoin" not in plan, fn.__name__
+    # stratified: ONE exchange, with the rank-limit pushed down as a
+    # PARTIAL WindowGroupLimit before it (each map task ships <= K rows
+    # per stratum — the optimizer-native form of the salt tournament)
+    plan = executed_plan(sample_stratified_topk(spark, sf_dir))
+    assert plan.count("Exchange") == 1, plan
+    assert "WindowGroupLimit" in plan and "Partial" in plan, plan
+    # weighted: global top-K compiles to TakeOrderedAndProject (map-side
+    # partial top-k) — no Exchange, no global Sort
+    plan = executed_plan(sample_weighted_priority(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Exchange" not in plan, plan
+
+
+def test_sampling_is_idempotent(spark, sf_dir):
+    # Re-running the job yields the identical sample — the property that
+    # makes resume-after-failure safe for a sampling stage.
+    a = sorted(r["doc_id"] for r in
+               sample_stratified_topk(spark, sf_dir).collect())
+    b = sorted(r["doc_id"] for r in
+               sample_stratified_topk(spark, sf_dir).collect())
+    assert a == b
