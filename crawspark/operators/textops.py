@@ -341,3 +341,83 @@ def redact_pii(spark, sf_dir):
                     F.md5(redacted).alias("redacted_hash"),
                     F.size(F.regexp_extract_all(raw, F.lit(_PII_EMAIL), 0))
                     .alias("n_emails")))
+
+
+# C4-style line gates [Raffel et al. 2020 §2.2, public]: keep lines
+# that are sentence-like (>=5 words, terminal punctuation), drop pages
+# with too few kept lines, with "lorem ipsum", with code braces, and
+# lines mentioning javascript. The flat testdata text has no line
+# structure, so the query synthesizes a deterministic page per doc
+# (8-word lines; punctuation/javascript/lorem/brace injected by
+# doc_id arithmetic) and then GENUINELY parses the constructed lines —
+# the same synthesize-then-parse pattern as the media-header queries.
+_C4_LINES_EXPR = """
+    transform(sequence(0, greatest(int(ceil(size(w) / 8.0)), 1) - 1), j ->
+      concat(array_join(slice(w, j * 8 + 1, 8), ' '),
+             CASE (doc_id + j) % 4 WHEN 1 THEN '.' WHEN 2 THEN '!'
+                  WHEN 3 THEN ' javascript.' ELSE '' END,
+             CASE WHEN j = 0 AND doc_id % 31 = 0
+                  THEN ' lorem ipsum' ELSE '' END,
+             CASE WHEN j = 0 AND doc_id % 37 = 0 THEN ' {' ELSE '' END))
+"""
+_C4_KEPT_EXPR = """
+    filter(lines, l -> size(split(l, ' ')) >= 5 AND l RLIKE '[.!?]$'
+                   AND NOT contains(l, 'javascript')
+                   AND NOT contains(l, '{'))
+"""
+
+
+@register("quality_c4_gates", sql="""
+    WITH base AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), pages AS (
+      SELECT doc_id,
+        [ array_to_string(w[j*8+1 : j*8+8], ' ')
+          || CASE (doc_id + j) % 4 WHEN 1 THEN '.' WHEN 2 THEN '!'
+                  WHEN 3 THEN ' javascript.' ELSE '' END
+          || CASE WHEN j = 0 AND doc_id % 31 = 0
+                  THEN ' lorem ipsum' ELSE '' END
+          || CASE WHEN j = 0 AND doc_id % 37 = 0 THEN ' {' ELSE '' END
+          FOR j IN range(0, greatest(CAST(ceil(len(w) / 8.0) AS INT), 1)) ]
+          AS lines
+      FROM base
+    ), gated AS (
+      SELECT doc_id, lines,
+        list_filter(lines, l -> len(string_split(l, ' ')) >= 5
+                            AND regexp_matches(l, '[.!?]$')
+                            AND NOT contains(l, 'javascript')
+                            AND NOT contains(l, '{')) AS kept
+      FROM pages
+    )
+    SELECT doc_id,
+      CAST(len(lines) AS INT) AS n_lines,
+      CAST(len(kept) AS INT) AS n_kept_lines,
+      CAST(CASE WHEN len(kept) >= 3
+                 AND NOT contains(array_to_string(lines, ' '), 'lorem ipsum')
+                 AND NOT contains(array_to_string(lines, ' '), '{')
+            THEN 1 ELSE 0 END AS INT) AS keep,
+      -- array_to_string([]) is NULL in DuckDB but concat_ws is '' in
+      -- Spark — coalesce so an all-dropped page reports 0 chars
+      CAST(coalesce(length(array_to_string(kept, ' ')), 0) AS INT)
+        AS kept_chars
+    FROM gated
+""")
+def quality_c4_gates(spark, sf_dir):
+    # All JVM-side higher-order functions — construct lines once, then
+    # three narrow projections; no shuffle at all (per-doc map only).
+    docs = read_testdata(spark, sf_dir, "documents")
+    page = F.concat_ws(" ", F.col("lines"))
+    keep = (F.when((F.size("kept") >= 3)
+                   & ~F.contains(page, F.lit("lorem ipsum"))
+                   & ~F.contains(page, F.lit("{")), 1)
+            .otherwise(0))
+    return (docs
+            .select("doc_id", F.split("text", " ").alias("w"))
+            .withColumn("lines", F.expr(_C4_LINES_EXPR))
+            .withColumn("kept", F.expr(_C4_KEPT_EXPR))
+            .select("doc_id",
+                    F.size("lines").cast("int").alias("n_lines"),
+                    F.size("kept").cast("int").alias("n_kept_lines"),
+                    keep.cast("int").alias("keep"),
+                    F.length(F.concat_ws(" ", F.col("kept"))).cast("int")
+                    .alias("kept_chars")))

@@ -128,3 +128,37 @@ def test_sampling_is_idempotent(spark, sf_dir):
     b = sorted(r["doc_id"] for r in
                sample_stratified_topk(spark, sf_dir).collect())
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# C4 line gates (textops.quality_c4_gates) — semantic pins on the gate
+# logic itself, independent of the oracle twin.
+# ---------------------------------------------------------------------------
+
+
+def test_c4_gates_semantics(spark, sf_dir):
+    from crawspark.operators.textops import quality_c4_gates
+    from crawspark.plans import executed_plan
+
+    df = quality_c4_gates(spark, sf_dir)
+    rows = {r["doc_id"]: r for r in df.collect()}
+    texts = dict(duckdb.sql(
+        f"SELECT doc_id, text FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')").fetchall())
+    for doc_id, r in rows.items():
+        n_words = len(texts[doc_id].split(" "))
+        # line count follows the 8-word chunking
+        assert r["n_lines"] == max(-(-n_words // 8), 1)
+        # a page containing lorem ipsum or a brace is never kept
+        if doc_id % 31 == 0 or doc_id % 37 == 0:
+            assert r["keep"] == 0, doc_id
+        # kept lines are a subset of all lines and imply kept chars
+        assert 0 <= r["n_kept_lines"] <= r["n_lines"]
+        assert (r["kept_chars"] > 0) == (r["n_kept_lines"] > 0)
+        if r["keep"] == 1:
+            assert r["n_kept_lines"] >= 3
+    # both outcomes occur — the gates discriminate on this corpus
+    keeps = {r["keep"] for r in rows.values()}
+    assert keeps == {0, 1}
+    # pure per-doc map: zero exchanges in the executed plan
+    assert "Exchange" not in executed_plan(df)
