@@ -982,3 +982,62 @@ def multimodal_av_meta(spark, sf_dir):
         synth_parse, "doc_id long, container string, channels int, "
                      "sample_rate int, duration_ms long, width int, "
                      "height int")
+
+
+@register("pdf_ccitt_images", sql="""
+    -- closed form of make_pdf_with_ccitt: a white w x h page with a
+    -- black bw x bh rectangle, Group 4 coded. Stored-sample mean is
+    -- 255*black_frac when /BlackIs1, else 255*white_frac, with the
+    -- division computed exactly as the decoder does: (n-k)/n, not 1-k/n.
+    WITH p AS (
+      SELECT doc_id,
+             16 + (doc_id % 10) * 8 AS w, 10 + (doc_id % 7) * 4 AS h,
+             (4 + doc_id % 9) * (2 + doc_id % 4) AS black_px,
+             doc_id % 2 = 1 AS black_is_1
+      FROM documents WHERE doc_id % 11 = 4
+    )
+    SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           'CCITTFaxDecode' AS filt, CAST(1 AS INT) AS decoded,
+           CASE WHEN black_is_1
+                THEN 255.0 * (CAST(black_px AS DOUBLE) / (w * h))
+                ELSE 255.0 * (CAST(w * h - black_px AS DOUBLE) / (w * h))
+           END AS mean_gray
+    FROM p
+""")
+def pdf_ccitt_images(spark, sf_dir):
+    # Scanned-PDF route: /CCITTFaxDecode Group 4 (T.6) bitstreams
+    # decoded by the from-scratch MMR codec (oracle/ccittcodec.py) —
+    # closes the last common PDF image codec gap (JPX/JBIG2 remain
+    # metadata-only). Each doc synthesizes a real G4-coded PDF
+    # (byte-aligned rows for every third doc, /BlackIs1 for odd docs)
+    # and reports the decoded stored-sample mean against the rectangle
+    # closed form.
+    def synth_decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from crawspark.oracle.pdfparse import (
+            extract_pdf_images,
+            make_pdf_with_ccitt,
+        )
+        for pdf in batches:
+            out = {"doc_id": [], "width": [], "height": [], "filt": [],
+                   "decoded": [], "mean_gray": []}
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = 16 + (d % 10) * 8, 10 + (d % 7) * 4
+                doc = make_pdf_with_ccitt(
+                    w, h, x0=d % 5, bw=4 + d % 9, y0=1 + d % 4,
+                    bh=2 + d % 4, black_is_1=d % 2 == 1,
+                    byte_align=d % 3 == 0)
+                for rec in extract_pdf_images(doc.decode("latin-1")):
+                    out["doc_id"].append(d)
+                    out["width"].append(rec["width"])
+                    out["height"].append(rec["height"])
+                    out["filt"].append(rec["filter"])
+                    out["decoded"].append(1 if rec["decoded"] else 0)
+                    out["mean_gray"].append(rec["mean_r"])
+            yield pd.DataFrame(out)
+
+    docs = (read_testdata(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") % 11 == 4).select("doc_id"))
+    return docs.mapInPandas(
+        synth_decode, "doc_id long, width int, height int, filt string, "
+                      "decoded int, mean_gray double")

@@ -33,11 +33,13 @@ Type0/CID composite fonts (2-byte Identity-H codes); LZW honors
 /DecodeParms /EarlyChange 0. Image XObjects (r5, ``extract_pdf_images``)
 report per-image metadata and REAL pixel means: /DCTDecode through the
 from-scratch baseline JPEG decoder (oracle/jpegcodec.py), raw-sample
-Flate/LZW 8-bit DeviceRGB/DeviceGray with bpp-aware PNG /Predictor undo.
-Not handled: JPXDecode/CCITTFaxDecode pixel data (metadata-only,
-``decoded=False``), CID fonts without /ToUnicode (glyph-id codes carry
-no recoverable text — emitted as empty), predefined CMap names — gaps
-documented in SURVEY.md §2.3.
+Flate/LZW 8-bit DeviceRGB/DeviceGray with bpp-aware PNG /Predictor undo,
+and /CCITTFaxDecode Group 4 (/K < 0) through the from-scratch T.6 MMR
+codec (oracle/ccittcodec.py) honoring /Columns /Rows /BlackIs1
+/EncodedByteAlign. Not handled: JPXDecode/JBIG2Decode pixel data and
+CCITT G3 (/K >= 0) — metadata-only, ``decoded=False`` — CID fonts
+without /ToUnicode (glyph-id codes carry no recoverable text — emitted
+as empty), predefined CMap names — gaps documented in SURVEY.md §2.3.
 
 Input transport: raw PDF bytes arrive latin-1-mapped into the ``text``
 field of a ``kind='pdf'`` span (FIXTURES.md §1.1) — lossless bytes 0-255.
@@ -1017,8 +1019,10 @@ def extract_pdf_text(payload: str) -> list[str]:
 # Image XObjects (r5): /Subtype /Image metadata + REAL pixel decode where
 # the embedded codec allows — /DCTDecode routes through the from-scratch
 # baseline JPEG decoder (oracle/jpegcodec.py), /FlateDecode raw samples
-# inflate via zlib with PNG /Predictor rows undone bpp-aware. JPXDecode /
-# CCITTFaxDecode stay metadata-only (decoded=False), honestly reported.
+# inflate via zlib with PNG /Predictor rows undone bpp-aware,
+# /CCITTFaxDecode K<0 through the T.6 codec (oracle/ccittcodec.py).
+# JPXDecode / JBIG2 / G3 stay metadata-only (decoded=False), honestly
+# reported.
 # ---------------------------------------------------------------------------
 
 _RE_IMG_W = re.compile(rb"/Width\s+(\d+)")
@@ -1026,6 +1030,11 @@ _RE_IMG_H = re.compile(rb"/Height\s+(\d+)")
 _RE_IMG_BPC = re.compile(rb"/BitsPerComponent\s+(\d+)")
 _RE_IMG_CS = re.compile(rb"/ColorSpace\s*/([A-Za-z0-9]+)")
 _RE_IMG_COLORS = re.compile(rb"/Colors\s+(\d+)")
+_RE_CCITT_K = re.compile(rb"/K\s+(-?\d+)")
+_RE_CCITT_COLS = re.compile(rb"/Columns\s+(\d+)")
+_RE_CCITT_ROWS = re.compile(rb"/Rows\s+(\d+)")
+_RE_CCITT_BLACK1 = re.compile(rb"/BlackIs1\s+(true|false)")
+_RE_CCITT_ALIGN = re.compile(rb"/EncodedByteAlign\s+(true|false)")
 
 _BASIC_FILTERS = (b"FlateDecode", b"ASCIIHexDecode", b"ASCII85Decode",
                   b"LZWDecode", b"RunLengthDecode")
@@ -1110,6 +1119,32 @@ def extract_pdf_images(payload: str) -> list[dict]:
                 if got is not None and got[0] == w and got[1] == h:
                     rec["decoded"] = True
                     rec["mean_r"], rec["mean_g"], rec["mean_b"] = got[2:5]
+        elif raw is not None and names and names[-1] == b"CCITTFaxDecode":
+            # Group 4 only (/K < 0 — the overwhelmingly common case in
+            # scanned PDFs); G3 (/K >= 0) stays metadata-only.
+            km = _RE_CCITT_K.search(head)
+            k = int(km.group(1)) if km else 0
+            pre = _apply_basic_filters(raw, names[:-1], early)
+            if k < 0 and pre is not None:
+                from crawspark.oracle.ccittcodec import decode_g4
+                cm2 = _RE_CCITT_COLS.search(head)
+                cols = int(cm2.group(1)) if cm2 else 1728
+                rm = _RE_CCITT_ROWS.search(head)
+                nrows = int(rm.group(1)) if rm else h
+                b1m = _RE_CCITT_BLACK1.search(head)
+                black_is_1 = bool(b1m) and b1m.group(1) == b"true"
+                am = _RE_CCITT_ALIGN.search(head)
+                aligned = bool(am) and am.group(1) == b"true"
+                px = decode_g4(pre, cols, rows=nrows, byte_align=aligned)
+                if px is not None and cols == w and len(px) == h:
+                    n_white = sum(r.count(1) for r in px)
+                    n = cols * len(px)
+                    # default (BlackIs1 false): 0 bits are black, so the
+                    # 1-bit gray sample is 1 for white; BlackIs1 flips it
+                    frac = (n - n_white if black_is_1 else n_white) / n
+                    rec["mean_r"] = rec["mean_g"] = rec["mean_b"] = (
+                        255.0 * frac)
+                    rec["decoded"] = True
         elif (raw is not None and bpc == 8
               and cs in ("DeviceRGB", "DeviceGray")
               and names and all(n in _BASIC_FILTERS for n in names)):
@@ -1192,5 +1227,50 @@ def make_pdf_with_images(jpeg_bytes: bytes, jw: int, jh: int,
                      + b" /Length " + str(len(samples)).encode()
                      + b" >>\nstream\n" + samples + b"\nendstream"))
     parts.append(obj(6, b"<< /Length " + str(len(content)).encode()
+                     + b" >>\nstream\n" + content + b"\nendstream"))
+    return b"".join(parts) + b"%%EOF\n"
+
+def make_pdf_with_ccitt(w: int, h: int, x0: int, bw: int, y0: int,
+                        bh: int, black_is_1: bool = False,
+                        byte_align: bool = False) -> bytes:
+    """One-page PDF whose image XObject is a REAL Group 4 (T.6)
+    bitstream: a w x h page, white except a black rectangle
+    [x0, x0+bw) x [y0, y0+bh). Closed form for the oracle:
+    mean = 255 * (bw*bh)/(w*h) when BlackIs1, else
+    255 * (1 - (bw*bh)/(w*h))."""
+    from crawspark.oracle.ccittcodec import encode_g4
+
+    rows_px = []
+    for y in range(h):
+        row = bytearray([1]) * w
+        if y0 <= y < y0 + bh:
+            for x in range(x0, min(x0 + bw, w)):
+                row[x] = 0
+        rows_px.append(bytes(row))
+    data = encode_g4(rows_px, w, byte_align=byte_align)
+    tf = b"true" if black_is_1 else b"false"
+    af = b"true" if byte_align else b"false"
+
+    def obj(num: int, body: bytes) -> bytes:
+        return str(num).encode() + b" 0 obj\n" + body + b"\nendobj\n"
+
+    content = b"q 72 0 0 72 36 360 cm /Im1 Do Q"
+    parts = [b"%PDF-1.5\n"]
+    parts.append(obj(1, b"<< /Type /Catalog /Pages 2 0 R >>"))
+    parts.append(obj(2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>"))
+    parts.append(obj(
+        3, b"<< /Type /Page /Parent 2 0 R /Contents 5 0 R /Resources"
+           b" << /XObject << /Im1 4 0 R >> >> >>"))
+    parts.append(obj(4, b"<< /Subtype /Image /Width " + str(w).encode()
+                     + b" /Height " + str(h).encode()
+                     + b" /ColorSpace /DeviceGray /BitsPerComponent 1"
+                     + b" /Filter /CCITTFaxDecode /DecodeParms << /K -1"
+                     + b" /Columns " + str(w).encode()
+                     + b" /Rows " + str(h).encode()
+                     + b" /BlackIs1 " + tf
+                     + b" /EncodedByteAlign " + af + b" >>"
+                     + b" /Length " + str(len(data)).encode()
+                     + b" >>\nstream\n" + data + b"\nendstream"))
+    parts.append(obj(5, b"<< /Length " + str(len(content)).encode()
                      + b" >>\nstream\n" + content + b"\nendstream"))
     return b"".join(parts) + b"%%EOF\n"
