@@ -54,6 +54,7 @@ def load_all() -> dict[str, QuerySpec]:
         similarity,
         sketches,
         textops,
+        webarchive,
     )
     from crawspark.streaming import queries as _streaming_queries  # noqa: F401
     return REGISTRY
