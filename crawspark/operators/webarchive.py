@@ -143,6 +143,64 @@ def http_decode_responses(spark, sf_dir):
                      "trailer_doc long, body_md5 string, body_len int")
 
 
+_SPAN_HASH_SQL = """
+    SELECT doc_id,
+           md5(array_to_string(list_transform(spans, s ->
+             s.kind || chr(31) || coalesce(s.text, '') || chr(31) ||
+             coalesce(s.media_ref, '') || chr(31) ||
+             CAST(s."offset" AS VARCHAR) || chr(30)), '')) AS span_hash
+    FROM __ORACLE_PQ__
+"""
+
+
+def _extract_from_warc_sql(sf_dir: str) -> str:
+    from crawspark.operators.extraction_queries import extract_oracle_path
+    return _SPAN_HASH_SQL.replace(
+        "__ORACLE_PQ__", f"read_parquet('{extract_oracle_path(sf_dir)}')")
+
+
+@register("extract_from_warc", sql=_extract_from_warc_sql)
+def extract_from_warc(spark, sf_dir):
+    """End-to-end archive replay: documents → interleaved shape → WARC
+    segment bytes (per-span records, HTTP framing grid, per-record gzip
+    members on odd segments) → parse back → vectorized extraction, all
+    fused in ONE Arrow hop per task (no intermediate ever crosses a
+    shuffle). The oracle is the FROZEN extraction parquet — independent
+    of every storage-layer line — so the driver's per-document
+    span-sequence md5 proves the WARC build/parse + HTTP framing +
+    utf-8 transport chain is lossless end to end: any byte the archive
+    round trip drops or reorders flips a hash."""
+    from pyspark.sql import functions as F2
+
+    from crawspark.operators.extract import (
+        TARGET_BATCH_BYTES, _chunk_docs, _extract_rows, _iter_rows)
+    from crawspark.schema import EXTRACTED_SPANS
+
+    def _warc_extract_arrow(batches):
+        from crawspark.corpus import interleave_from_text
+        from crawspark.oracle.warc import (
+            interleaved_from_segment, segment_from_interleaved)
+        docs = (interleaved_from_segment(segment_from_interleaved(
+                    interleave_from_text(r["doc_id"], r.get("text") or "",
+                                         r.get("lang") or "en")))
+                for batch in batches for r in _iter_rows(batch))
+        for rows in _chunk_docs(docs, TARGET_BATCH_BYTES):
+            yield _extract_rows(rows)
+
+    df = read_testdata(spark, sf_dir, "documents")
+    sc = df.sparkSession.sparkContext
+    cols = df.select("doc_id", "text", "lang")
+    if cols.rdd.getNumPartitions() < sc.defaultParallelism:
+        cols = cols.repartition(sc.defaultParallelism)
+    ext = cols.mapInArrow(_warc_extract_arrow, EXTRACTED_SPANS)
+    canon = F2.expr(
+        "array_join(transform(spans, s -> concat("
+        "s.kind, char(31), coalesce(s.text, ''), char(31), "
+        "coalesce(s.media_ref, ''), char(31), cast(s.offset as string), "
+        "char(30))), '')")
+    return ext.select("doc_id", F2.md5(canon).alias("span_hash"))
+
+
 @register("warc_host_stats", sql=f"""
     -- per-host rollup over the parsed archive: fetch volume, how much
     -- decoded payload each host contributed, and its HTTP error rate —

@@ -173,6 +173,38 @@ def _gzip_bytes(data: bytes) -> bytes:
     return co.compress(data) + co.flush()
 
 
+_WIRE_CHUNK = 1024  # chunk payload size for real (non-synthetic) bodies
+
+
+def build_response(body: bytes, variant: int, *, status: int = 200,
+                   content_type: str = "text/html; charset=utf-8",
+                   extra_headers: tuple = ()) -> bytes:
+    """Serialize one HTTP/1.1 response around ``body`` using the same
+    2×2 framing grid as the synthetic corpus (variant % 4): 0 =
+    Content-Length identity, 1 = chunked identity, 2 = Content-Length
+    gzip, 3 = chunked gzip. ``extra_headers`` are (name, value) pairs
+    appended verbatim (values must be latin-1 safe). The builder is the
+    encode half of ``parse_response`` — every output round-trips."""
+    variant %= 4
+    headers = [f"HTTP/1.1 {status} {REASONS.get(status, 'OK')}",
+               f"Content-Type: {content_type}"]
+    headers += [f"{k}: {v}" for k, v in extra_headers]
+    wire = body
+    if variant >= 2:
+        headers.append("Content-Encoding: gzip")
+        wire = _gzip_bytes(body)
+    if variant % 2 == 1:
+        headers.append("Transfer-Encoding: chunked")
+        chunks = [wire[i:i + _WIRE_CHUNK]
+                  for i in range(0, len(wire), _WIRE_CHUNK)]
+        framed = b"".join(b"%x\r\n%s\r\n" % (len(c), c) for c in chunks)
+        wire = framed + b"0\r\n\r\n"
+    else:
+        headers.append(f"Content-Length: {len(wire)}")
+    head = "\r\n".join(headers).encode("latin-1")
+    return head + b"\r\n\r\n" + wire
+
+
 def make_response(d: int, j: int) -> bytes:
     """Deterministic raw HTTP response for (doc d, variant j). The wire
     framing cycles through the 2×2 grid by (d+j)%4: 0 = Content-Length

@@ -106,8 +106,11 @@ def parse_warc(data: bytes) -> list[dict]:
 
 def build_record(warc_type: str, block: bytes, *, target_uri: str = "",
                  date: str = "", record_id: str = "",
-                 content_type: str = "", version: str = "1.1") -> bytes:
-    """Serialize one WARC record (header fields in canonical order)."""
+                 content_type: str = "", version: str = "1.1",
+                 extra_fields: tuple = ()) -> bytes:
+    """Serialize one WARC record (header fields in canonical order;
+    ``extra_fields`` are (name, value) pairs — values must be latin-1
+    safe, percent-encode anything else)."""
     fields = [("WARC-Type", warc_type)]
     if record_id:
         fields.append(("WARC-Record-ID", record_id))
@@ -117,6 +120,7 @@ def build_record(warc_type: str, block: bytes, *, target_uri: str = "",
         fields.append(("WARC-Target-URI", target_uri))
     if content_type:
         fields.append(("Content-Type", content_type))
+    fields.extend(extra_fields)
     fields.append(("Content-Length", str(len(block))))
     head = b"".join(b"%s: %s\r\n" % (k.encode("latin-1"),
                                      v.encode("latin-1"))
@@ -135,6 +139,97 @@ def build_warc(records: list[bytes], *, gzip_members: bool = False) -> bytes:
         co = zlib.compressobj(6, zlib.DEFLATED, 31)
         out += co.compress(rec) + co.flush()
     return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Interleaved document ↔ WARC segment (the storage round trip)
+# ---------------------------------------------------------------------------
+#
+# One record per span. Text-payload spans (html/pdf/text) ship as
+# ``response`` records whose block is a full HTTP/1.1 message
+# (httpmsg.build_response — framing variant cycles the 2×2
+# chunked × gzip grid per span); media spans ship as ``resource``
+# records with the raw caption bytes as the block. Span identity
+# (kind, media_ref, offset, null-ness of text) rides in X-Crawspark-*
+# named fields — WARC 1.1 §4 allows extension fields; values are
+# percent-encoded so any unicode media_ref stays latin-1 safe on the
+# wire. ``interleaved_from_segment`` inverts the mapping exactly, so
+# segment→parse→extract equals direct extraction span for span — the
+# property the driver-hashed ``extract_from_warc`` query pins against
+# the frozen extraction oracle.
+
+_HTTP_KINDS = ("html", "pdf", "text")
+
+
+def segment_from_interleaved(doc: dict) -> bytes:
+    """Interleaved doc {doc_id, spans} → one WARC segment. Gzip member
+    framing (Annex C) is used when crc32(doc_id) is odd, plain
+    otherwise — both paths stay on the round-trip hash path."""
+    from urllib.parse import quote
+
+    from crawspark.oracle import httpmsg
+
+    doc_id = str(doc["doc_id"])
+    seed = zlib.crc32(doc_id.encode("utf-8"))
+    recs = [build_record(
+        "warcinfo", b"software: crawspark/1.0\r\n",
+        record_id=f"<urn:crawspark:{quote(doc_id, safe='')}:info>",
+        content_type="application/warc-fields",
+        extra_fields=(("X-Crawspark-Doc", quote(doc_id, safe="")),))]
+    for i, span in enumerate(doc["spans"] or []):
+        text = span.get("text")
+        kind = span.get("kind") or ""
+        fields = [("X-Crawspark-Kind", quote(kind, safe="")),
+                  ("X-Crawspark-Offset", str(span.get("offset")))]
+        if span.get("media_ref") is not None:
+            fields.append(("X-Crawspark-Media-Ref",
+                           quote(span["media_ref"], safe="")))
+        if text is None:
+            fields.append(("X-Crawspark-Null-Text", "1"))
+        body = (text or "").encode("utf-8")
+        uri = f"urn:crawspark:{quote(doc_id, safe='')}/{i}"
+        if kind in _HTTP_KINDS:
+            block = httpmsg.build_response(body, seed + i)
+            recs.append(build_record(
+                "response", block, target_uri=uri,
+                content_type="application/http;msgtype=response",
+                extra_fields=tuple(fields)))
+        else:
+            recs.append(build_record(
+                "resource", body, target_uri=uri,
+                content_type="application/octet-stream",
+                extra_fields=tuple(fields)))
+    return build_warc(recs, gzip_members=bool(seed % 2))
+
+
+def interleaved_from_segment(data: bytes) -> dict:
+    """Inverse of ``segment_from_interleaved``: WARC segment bytes →
+    {doc_id, spans} with spans ordered by their recorded offset."""
+    from urllib.parse import unquote
+
+    from crawspark.oracle import httpmsg
+
+    doc_id = ""
+    spans: list[dict] = []
+    for rec in parse_warc(data):
+        h = rec["headers"]
+        if rec["warc_type"] == "warcinfo":
+            doc_id = unquote(h.get("x-crawspark-doc", ""))
+            continue
+        if rec["warc_type"] == "response":
+            resp = httpmsg.parse_response(rec["block"])
+            body = b"" if resp is None else resp["body"]
+        else:
+            body = rec["block"]
+        text = (None if h.get("x-crawspark-null-text") == "1"
+                else body.decode("utf-8"))
+        ref = h.get("x-crawspark-media-ref")
+        spans.append({"kind": unquote(h.get("x-crawspark-kind", "")),
+                      "text": text,
+                      "media_ref": None if ref is None else unquote(ref),
+                      "offset": int(h.get("x-crawspark-offset", "0"))})
+    spans.sort(key=lambda s: s["offset"])
+    return {"doc_id": doc_id, "spans": spans}
 
 
 # ---------------------------------------------------------------------------

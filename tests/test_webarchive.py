@@ -152,6 +152,63 @@ def test_warc_truncated_and_garbage():
 
 
 # ---------------------------------------------------------------------------
+# interleaved-doc ↔ segment codec (the extract_from_warc transport)
+# ---------------------------------------------------------------------------
+
+def test_build_response_grid_hand_expectations():
+    body = "héllo wörld ✓ " .encode("utf-8") * 200  # > one wire chunk
+    for variant in range(4):
+        raw = httpmsg.build_response(body, variant,
+                                     extra_headers=(("X-K", "v"),))
+        resp = httpmsg.parse_response(raw)
+        assert resp["body"] == body
+        assert resp["headers"]["x-k"] == "v"
+        # framing actually varies: the grid is exercised, not collapsed
+        assert ("chunked" in resp["headers"].get("transfer-encoding", "")) \
+            == (variant % 2 == 1)
+        assert ("gzip" in resp["headers"].get("content-encoding", "")) \
+            == (variant >= 2)
+
+
+def test_segment_roundtrip_synthetic_corpus():
+    from crawspark.corpus import make_doc
+    for i in range(40):  # multi-span docs with media refs + captions
+        d = make_doc(42, i)
+        assert warc.interleaved_from_segment(
+            warc.segment_from_interleaved(d)) == d
+
+
+def test_segment_roundtrip_adversarial_spans():
+    # null text, unicode media_ref and doc_id, framing-trap bytes in a
+    # text body (CRLFCRLF, NULs, the 0x1f/0x1e canon separators), spans
+    # arriving out of offset order.
+    d = {"doc_id": "weird/док 1", "spans": [
+        {"kind": "media", "text": None,
+         "media_ref": "img://päth/ü?x=1&y=2", "offset": 1},
+        {"kind": "html", "text": "", "media_ref": None, "offset": 0},
+        {"kind": "text", "text": "trap\r\n\r\ntrap\x1f\x1e\x00",
+         "media_ref": None, "offset": 2},
+    ]}
+    rt = warc.interleaved_from_segment(warc.segment_from_interleaved(d))
+    assert rt["doc_id"] == d["doc_id"]
+    assert rt["spans"] == sorted(d["spans"], key=lambda s: s["offset"])
+
+
+def test_extract_from_warc_matches_direct_extraction(spark):
+    # Archive replay must equal the direct pipeline span for span: the
+    # registry query's oracle pins it against the frozen parquet at the
+    # driver SF; this pins Spark-vs-Spark at sf0.001 as well.
+    from crawspark.registry import load_all
+    reg = load_all()
+    sf = "/root/testdata/sf0.001"
+    via_warc = {r.doc_id: r.span_hash
+                for r in reg["extract_from_warc"].spark(spark, sf).collect()}
+    direct = {r.doc_id: r.span_hash
+              for r in reg["extract_span_hashes"].spark(spark, sf).collect()}
+    assert via_warc == direct and len(via_warc) == 500
+
+
+# ---------------------------------------------------------------------------
 # Spark file source
 # ---------------------------------------------------------------------------
 
