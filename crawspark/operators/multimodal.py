@@ -1041,3 +1041,62 @@ def pdf_ccitt_images(spark, sf_dir):
     return docs.mapInPandas(
         synth_decode, "doc_id long, width int, height int, filt string, "
                       "decoded int, mean_gray double")
+
+
+@register("pdf_ccitt_g3_images", sql="""
+    -- closed form of make_pdf_with_ccitt with k >= 0: Group 3 (T.4)
+    -- coded — 1D MH when k=0, mixed 1D/2D when k>0; same rectangle
+    -- geometry and BlackIs1 semantics as the G4 query.
+    WITH p AS (
+      SELECT doc_id,
+             16 + (doc_id % 10) * 8 AS w, 10 + (doc_id % 7) * 4 AS h,
+             (4 + doc_id % 9) * (2 + doc_id % 4) AS black_px,
+             doc_id % 2 = 1 AS black_is_1,
+             CAST([0, 2, 4][(doc_id % 3) + 1] AS INT) AS k
+      FROM documents WHERE doc_id % 11 = 7
+    )
+    SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           k, CAST(1 AS INT) AS decoded,
+           CASE WHEN black_is_1
+                THEN 255.0 * (CAST(black_px AS DOUBLE) / (w * h))
+                ELSE 255.0 * (CAST(w * h - black_px AS DOUBLE) / (w * h))
+           END AS mean_gray
+    FROM p
+""")
+def pdf_ccitt_g3_images(spark, sf_dir):
+    # Group 3 fax route: /CCITTFaxDecode /K >= 0 — 1D Modified-Huffman
+    # rows (K=0) and EOL+tag mixed 1D/2D lines (K>0) decoded by the
+    # from-scratch T.4 codec, cycling K 0/2/4, /EncodedByteAlign on
+    # every fifth doc, /BlackIs1 on odd docs. With pdf_ccitt_images
+    # (G4) this puts every CCITT K class a scanned-PDF corpus carries
+    # on the driver's hash path.
+    def synth_decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from crawspark.oracle.pdfparse import (
+            extract_pdf_images,
+            make_pdf_with_ccitt,
+        )
+        for pdf in batches:
+            out = {"doc_id": [], "width": [], "height": [], "k": [],
+                   "decoded": [], "mean_gray": []}
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = 16 + (d % 10) * 8, 10 + (d % 7) * 4
+                k = (0, 2, 4)[d % 3]
+                doc = make_pdf_with_ccitt(
+                    w, h, x0=d % 5, bw=4 + d % 9, y0=1 + d % 4,
+                    bh=2 + d % 4, black_is_1=d % 2 == 1,
+                    byte_align=d % 5 == 0, k=k)
+                for rec in extract_pdf_images(doc.decode("latin-1")):
+                    out["doc_id"].append(d)
+                    out["width"].append(rec["width"])
+                    out["height"].append(rec["height"])
+                    out["k"].append(k)
+                    out["decoded"].append(1 if rec["decoded"] else 0)
+                    out["mean_gray"].append(rec["mean_r"])
+            yield pd.DataFrame(out)
+
+    docs = (read_testdata(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") % 11 == 7).select("doc_id"))
+    return docs.mapInPandas(
+        synth_decode, "doc_id long, width int, height int, k int, "
+                      "decoded int, mean_gray double")

@@ -181,6 +181,64 @@ def _b1_b2(ref_changes: list[int], a0: int, color_white: bool,
     return b1, min(b2, columns)
 
 
+def _decode_row_2d(bits: _Bits, ref_changes: list[int],
+                   columns: int) -> bytes | None:
+    """One 2D-coded row (shared by T.6 and T.4 K>0). None on malform."""
+    row = bytearray([1]) * columns
+    a0 = -1
+    white = True
+    while a0 < columns:
+        b1, b2 = _b1_b2(ref_changes, a0, white, columns)
+        if bits.peek(1) == "1":  # V0
+            bits.read(1)
+            a1 = b1
+        elif bits.peek(3) == MODE_HORIZ:
+            bits.read(3)
+            r1 = _read_run(bits, white)
+            r2 = _read_run(bits, not white)
+            if r1 is None or r2 is None:
+                return None
+            start = max(a0, 0)
+            a1 = min(start + r1, columns)
+            a2 = min(a1 + r2, columns)
+            if a2 <= a0 and a0 >= 0:  # malformed: no progress
+                return None
+            if not white:
+                for i in range(start, a1):
+                    row[i] = 0
+            else:
+                for i in range(a1, a2):
+                    row[i] = 0
+            a0 = a2
+            continue
+        elif bits.peek(4) == MODE_PASS:
+            bits.read(4)
+            if not white:
+                for i in range(max(a0, 0), b2):
+                    row[i] = 0
+            a0 = b2
+            continue
+        else:
+            for d in (1, -1, 2, -2, 3, -3):
+                code = MODE_V[d]
+                if bits.peek(len(code)) == code:
+                    bits.read(len(code))
+                    a1 = b1 + d
+                    break
+            else:
+                return None
+            a1 = max(0, min(a1, columns))
+        # vertical modes land here: run a0..a1 in current colour
+        if a1 <= a0:  # malformed: changing elements must advance
+            return None
+        if not white:
+            for i in range(max(a0, 0), a1):
+                row[i] = 0
+        a0 = a1
+        white = not white
+    return bytes(row)
+
+
 def decode_g4(data: bytes, columns: int, rows: int | None = None,
               byte_align: bool = False) -> list[bytes] | None:
     """Decode a T.6 bitstream into rows of 0(black)/1(white) bytes.
@@ -194,69 +252,106 @@ def decode_g4(data: bytes, columns: int, rows: int | None = None,
             break
         if rows is None and bits.pos >= len(data) * 8 - 7:
             break  # trailing pad bits only
-        row = bytearray([1]) * columns
-        a0 = -1
-        white = True
-        ok = True
-        while a0 < columns:
-            b1, b2 = _b1_b2(ref_changes, a0, white, columns)
-            if bits.peek(1) == "1":  # V0
-                bits.read(1)
-                a1 = b1
-            elif bits.peek(3) == MODE_HORIZ:
-                bits.read(3)
-                r1 = _read_run(bits, white)
-                r2 = _read_run(bits, not white)
-                if r1 is None or r2 is None:
-                    ok = False
-                    break
-                start = max(a0, 0)
-                a1 = min(start + r1, columns)
-                a2 = min(a1 + r2, columns)
-                if a2 <= a0 and a0 >= 0:  # malformed: no progress
-                    ok = False
-                    break
-                if not white:
-                    for i in range(start, a1):
-                        row[i] = 0
-                else:
-                    for i in range(a1, a2):
-                        row[i] = 0
-                a0 = a2
-                continue
-            elif bits.peek(4) == MODE_PASS:
-                bits.read(4)
-                if not white:
-                    for i in range(max(a0, 0), b2):
-                        row[i] = 0
-                a0 = b2
-                continue
-            else:
-                for d in (1, -1, 2, -2, 3, -3):
-                    code = MODE_V[d]
-                    if bits.peek(len(code)) == code:
-                        bits.read(len(code))
-                        a1 = b1 + d
-                        break
-                else:
-                    ok = False
-                    break
-                a1 = max(0, min(a1, columns))
-            # vertical modes land here: run a0..a1 in current colour
-            if a1 <= a0:  # malformed: changing elements must advance
-                ok = False
-                break
-            if not white:
-                for i in range(max(a0, 0), a1):
-                    row[i] = 0
-            a0 = a1
-            white = not white
-        if not ok:
+        row = _decode_row_2d(bits, ref_changes, columns)
+        if row is None:
             return None
-        out.append(bytes(row))
-        ref_changes = _changes(bytes(row))
+        out.append(row)
+        ref_changes = _changes(row)
         if byte_align:
             bits.align()
+    return out
+
+
+# --- Group 3 (ITU-T T.4) — 1D Modified Huffman (K = 0) and mixed
+# 1D/2D (K > 0), the /CCITTFaxDecode K >= 0 cases and TIFF
+# Compression=2/3. EOL = eleven 0s + 1 (T.4 §2.2.2); no valid code
+# word or fill sequence contains eleven consecutive 0s followed by a 1
+# at a non-EOL position, so scanning zeros-then-one is unambiguous.
+
+EOL = "000000000001"
+
+
+def _try_eol(bits: _Bits) -> bool:
+    """Consume fill zeros + one EOL if the stream continues with
+    (zeros*, EOL); otherwise leave the position untouched."""
+    save = bits.pos
+    zeros = 0
+    while True:
+        b = bits.read(1)
+        if b == "0":
+            zeros += 1
+            continue
+        if b == "1" and zeros >= 11:
+            return True
+        bits.pos = save
+        return False
+
+
+def _peek_eol(bits: _Bits) -> bool:
+    save = bits.pos
+    got = _try_eol(bits)
+    bits.pos = save
+    return got
+
+
+def _decode_row_1d(bits: _Bits, columns: int) -> bytes | None:
+    """One 1D (MH) row: alternating run-length codes starting with a
+    white run (possibly 0), totalling exactly ``columns`` pixels."""
+    row = bytearray([1]) * columns
+    pos = 0
+    white = True
+    while pos < columns:
+        run = _read_run(bits, white)
+        if run is None or pos + run > columns:
+            return None
+        if not white:
+            for i in range(pos, pos + run):
+                row[i] = 0
+        pos += run
+        white = not white
+    return bytes(row)
+
+
+def decode_g3(data: bytes, columns: int, rows: int | None = None,
+              k: int = 0, byte_align: bool = False) -> list[bytes] | None:
+    """Decode a T.4 Group 3 bitstream into rows of 0(black)/1(white)
+    bytes. ``k`` is the /CCITTFaxDecode K value: 0 → every line 1D
+    (EOLs optional, as PDF emits them); K > 0 → each line is preceded
+    by EOL + a tag bit (1 = 1D, 0 = 2D vs the previous line, T.4
+    §2.2.4). Terminates on RTC (consecutive EOLs), after ``rows``, or
+    at end of data. Returns None on malformed input."""
+    bits = _Bits(data)
+    out: list[bytes] = []
+    ref_changes: list[int] = []
+    saw_eol = False
+    while rows is None or len(out) < rows:
+        if byte_align and not saw_eol:
+            # no-EOL framing (TIFF Compression=2 style): each row begins
+            # at a byte boundary. When EOLs are present alignment fill is
+            # consumed by the fill-tolerant EOL scan instead — aligning
+            # there could eat leading zeros of an unpadded RTC.
+            bits.align()
+        one_dim = True
+        if _try_eol(bits):
+            saw_eol = True
+            if k > 0:
+                tag = bits.read(1)
+                if tag is None:
+                    break
+                one_dim = tag == "1"
+            if _peek_eol(bits):
+                break  # RTC: an EOL immediately after an EOL(+tag)
+        else:
+            if bits.pos >= len(data) * 8 - 7:
+                break  # trailing pad bits only
+            if k > 0 and out:
+                return None  # mixed mode requires EOL+tag between lines
+        row = (_decode_row_1d(bits, columns) if one_dim
+               else _decode_row_2d(bits, ref_changes, columns))
+        if row is None:
+            return None
+        out.append(row)
+        ref_changes = _changes(row)
     return out
 
 
@@ -274,50 +369,116 @@ def _encode_run(run: int, white: bool) -> str:
     return "".join(out)
 
 
+def _encode_row_2d(row: bytes, ref_changes: list[int],
+                   columns: int) -> list[str]:
+    """2D-code one row against the reference line: pass when b2 < a1,
+    vertical when |a1-b1| <= 3, horizontal otherwise."""
+    bits: list[str] = []
+    cur_changes = _changes(row)
+    a0 = -1
+    white = True
+    while a0 < columns:
+        # a1: next change right of a0 to the opposite of current colour
+        a1 = columns
+        for i, c in enumerate(cur_changes):
+            if c > a0 and i % 2 == (0 if white else 1):
+                a1 = c
+                break
+        b1, b2 = _b1_b2(ref_changes, a0, white, columns)
+        if b2 < a1:
+            bits.append(MODE_PASS)
+            a0 = b2
+        elif abs(a1 - b1) <= 3:
+            bits.append(MODE_V[a1 - b1])
+            a0 = a1
+            white = not white
+        else:
+            # a2: next change after a1 (back to current colour)
+            a2 = columns
+            for i, c in enumerate(cur_changes):
+                if c > a1 and i % 2 == (1 if white else 0):
+                    a2 = c
+                    break
+            start = max(a0, 0)
+            bits.append(MODE_HORIZ)
+            bits.append(_encode_run(a1 - start, white))
+            bits.append(_encode_run(a2 - a1, not white))
+            a0 = a2
+    return bits
+
+
+def _encode_row_1d(row: bytes, columns: int) -> list[str]:
+    """MH-code one row: alternating runs starting white (0-run first
+    when the row starts black)."""
+    bits: list[str] = []
+    changes = _changes(row) + [columns]
+    pos = 0
+    white = True
+    for c in changes:
+        bits.append(_encode_run(c - pos, white))
+        pos = c
+        white = not white
+        if pos >= columns:
+            break
+    return bits
+
+
 def encode_g4(rows_px: list[bytes], columns: int,
               byte_align: bool = False) -> bytes:
     """Encode rows of 0(black)/1(white) bytes as a T.6 bitstream ending
-    in EOFB. The standard coder: pass when b2 < a1, vertical when
-    |a1-b1| <= 3, horizontal otherwise."""
+    in EOFB."""
     bits: list[str] = []
     ref_changes: list[int] = []
     for row in rows_px:
-        cur_changes = _changes(row)
-        a0 = -1
-        white = True
-        while a0 < columns:
-            # a1: next change right of a0 to the opposite of current colour
-            a1 = columns
-            for i, c in enumerate(cur_changes):
-                if c > a0 and i % 2 == (0 if white else 1):
-                    a1 = c
-                    break
-            b1, b2 = _b1_b2(ref_changes, a0, white, columns)
-            if b2 < a1:
-                bits.append(MODE_PASS)
-                a0 = b2
-            elif abs(a1 - b1) <= 3:
-                bits.append(MODE_V[a1 - b1])
-                a0 = a1
-                white = not white
-            else:
-                # a2: next change after a1 (back to current colour)
-                a2 = columns
-                for i, c in enumerate(cur_changes):
-                    if c > a1 and i % 2 == (1 if white else 0):
-                        a2 = c
-                        break
-                start = max(a0, 0)
-                bits.append(MODE_HORIZ)
-                bits.append(_encode_run(a1 - start, white))
-                bits.append(_encode_run(a2 - a1, not white))
-                a0 = a2
-        ref_changes = cur_changes
+        bits.extend(_encode_row_2d(row, ref_changes, columns))
+        ref_changes = _changes(row)
         if byte_align:
             total = sum(len(b) for b in bits)
             if total % 8:
                 bits.append("0" * (8 - total % 8))
     bits.append(EOFB)
+    s = "".join(bits)
+    s += "0" * (-len(s) % 8)
+    return bytes(int(s[i:i + 8], 2) for i in range(0, len(s), 8))
+
+
+def encode_g3(rows_px: list[bytes], columns: int, k: int = 0,
+              byte_align: bool = False, with_eol: bool = True) -> bytes:
+    """Encode rows as a T.4 Group 3 bitstream. k=0: EOL + 1D codes per
+    line; k>0: EOL + tag bit per line, a 1D line every k lines (T.4
+    §2.2.4), 2D between; ends with RTC (six EOLs, tag 1 each in mixed
+    mode). ``byte_align``: fill zeros so each encoded line — EOL and
+    tag bit included — begins at a byte boundary (the PDF
+    /EncodedByteAlign contract). ``with_eol=False`` (k=0 only) emits
+    bare MH rows, byte-aligned per row — TIFF Compression=2 framing."""
+    bits: list[str] = []
+    total = 0
+
+    def emit(code: str) -> None:
+        nonlocal total
+        bits.append(code)
+        total += len(code)
+
+    ref_changes: list[int] = []
+    for idx, row in enumerate(rows_px):
+        one_dim = k <= 0 or idx % k == 0
+        if byte_align and total % 8:
+            # each encoded line — EOL and tag bit included — begins at a
+            # byte boundary (PDF 32000-1 /EncodedByteAlign)
+            emit("0" * (8 - total % 8))
+        if with_eol:
+            emit(EOL)
+            if k > 0:
+                emit("1" if one_dim else "0")
+        for code in (_encode_row_1d(row, columns) if one_dim
+                     else _encode_row_2d(row, ref_changes, columns)):
+            emit(code)
+        ref_changes = _changes(row)
+    if with_eol:
+        for _ in range(6):  # RTC
+            emit(EOL)
+            if k > 0:
+                emit("1")
     s = "".join(bits)
     s += "0" * (-len(s) % 8)
     return bytes(int(s[i:i + 8], 2) for i in range(0, len(s), 8))

@@ -34,10 +34,11 @@ Type0/CID composite fonts (2-byte Identity-H codes); LZW honors
 report per-image metadata and REAL pixel means: /DCTDecode through the
 from-scratch baseline JPEG decoder (oracle/jpegcodec.py), raw-sample
 Flate/LZW 8-bit DeviceRGB/DeviceGray with bpp-aware PNG /Predictor undo,
-and /CCITTFaxDecode Group 4 (/K < 0) through the from-scratch T.6 MMR
-codec (oracle/ccittcodec.py) honoring /Columns /Rows /BlackIs1
-/EncodedByteAlign. Not handled: JPXDecode/JBIG2Decode pixel data and
-CCITT G3 (/K >= 0) — metadata-only, ``decoded=False`` — CID fonts
+and /CCITTFaxDecode — Group 4 / T.6 MMR (/K < 0), Group 3 / T.4 1D MH
+(/K = 0) and mixed 1D/2D (/K > 0) — through the from-scratch codec
+(oracle/ccittcodec.py) honoring /Columns /Rows /BlackIs1
+/EncodedByteAlign. Not handled: JPXDecode/JBIG2Decode pixel data —
+metadata-only, ``decoded=False`` — CID fonts
 without /ToUnicode (glyph-id codes carry no recoverable text — emitted
 as empty), predefined CMap names — gaps documented in SURVEY.md §2.3.
 
@@ -1120,13 +1121,14 @@ def extract_pdf_images(payload: str) -> list[dict]:
                     rec["decoded"] = True
                     rec["mean_r"], rec["mean_g"], rec["mean_b"] = got[2:5]
         elif raw is not None and names and names[-1] == b"CCITTFaxDecode":
-            # Group 4 only (/K < 0 — the overwhelmingly common case in
-            # scanned PDFs); G3 (/K >= 0) stays metadata-only.
+            # /K < 0: Group 4 (T.6 MMR — the overwhelmingly common case
+            # in scanned PDFs); /K = 0: Group 3 1D (MH); /K > 0: G3
+            # mixed 1D/2D — all through the from-scratch T.4/T.6 codec.
             km = _RE_CCITT_K.search(head)
             k = int(km.group(1)) if km else 0
             pre = _apply_basic_filters(raw, names[:-1], early)
-            if k < 0 and pre is not None:
-                from crawspark.oracle.ccittcodec import decode_g4
+            if pre is not None:
+                from crawspark.oracle.ccittcodec import decode_g3, decode_g4
                 cm2 = _RE_CCITT_COLS.search(head)
                 cols = int(cm2.group(1)) if cm2 else 1728
                 rm = _RE_CCITT_ROWS.search(head)
@@ -1135,7 +1137,12 @@ def extract_pdf_images(payload: str) -> list[dict]:
                 black_is_1 = bool(b1m) and b1m.group(1) == b"true"
                 am = _RE_CCITT_ALIGN.search(head)
                 aligned = bool(am) and am.group(1) == b"true"
-                px = decode_g4(pre, cols, rows=nrows, byte_align=aligned)
+                if k < 0:
+                    px = decode_g4(pre, cols, rows=nrows,
+                                   byte_align=aligned)
+                else:
+                    px = decode_g3(pre, cols, rows=nrows, k=k,
+                                   byte_align=aligned)
                 if px is not None and cols == w and len(px) == h:
                     n_white = sum(r.count(1) for r in px)
                     n = cols * len(px)
@@ -1232,13 +1239,14 @@ def make_pdf_with_images(jpeg_bytes: bytes, jw: int, jh: int,
 
 def make_pdf_with_ccitt(w: int, h: int, x0: int, bw: int, y0: int,
                         bh: int, black_is_1: bool = False,
-                        byte_align: bool = False) -> bytes:
-    """One-page PDF whose image XObject is a REAL Group 4 (T.6)
-    bitstream: a w x h page, white except a black rectangle
-    [x0, x0+bw) x [y0, y0+bh). Closed form for the oracle:
-    mean = 255 * (bw*bh)/(w*h) when BlackIs1, else
+                        byte_align: bool = False, k: int = -1) -> bytes:
+    """One-page PDF whose image XObject is a REAL CCITT bitstream —
+    Group 4 / T.6 when ``k`` < 0 (the default), Group 3 / T.4 when
+    ``k`` >= 0 (1D MH at 0, mixed 1D/2D above): a w x h page, white
+    except a black rectangle [x0, x0+bw) x [y0, y0+bh). Closed form for
+    the oracle: mean = 255 * (bw*bh)/(w*h) when BlackIs1, else
     255 * (1 - (bw*bh)/(w*h))."""
-    from crawspark.oracle.ccittcodec import encode_g4
+    from crawspark.oracle.ccittcodec import encode_g3, encode_g4
 
     rows_px = []
     for y in range(h):
@@ -1247,7 +1255,8 @@ def make_pdf_with_ccitt(w: int, h: int, x0: int, bw: int, y0: int,
             for x in range(x0, min(x0 + bw, w)):
                 row[x] = 0
         rows_px.append(bytes(row))
-    data = encode_g4(rows_px, w, byte_align=byte_align)
+    data = (encode_g4(rows_px, w, byte_align=byte_align) if k < 0
+            else encode_g3(rows_px, w, k=k, byte_align=byte_align))
     tf = b"true" if black_is_1 else b"false"
     af = b"true" if byte_align else b"false"
 
@@ -1264,7 +1273,8 @@ def make_pdf_with_ccitt(w: int, h: int, x0: int, bw: int, y0: int,
     parts.append(obj(4, b"<< /Subtype /Image /Width " + str(w).encode()
                      + b" /Height " + str(h).encode()
                      + b" /ColorSpace /DeviceGray /BitsPerComponent 1"
-                     + b" /Filter /CCITTFaxDecode /DecodeParms << /K -1"
+                     + b" /Filter /CCITTFaxDecode /DecodeParms << /K "
+                     + str(k).encode()
                      + b" /Columns " + str(w).encode()
                      + b" /Rows " + str(h).encode()
                      + b" /BlackIs1 " + tf
