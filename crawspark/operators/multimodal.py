@@ -239,7 +239,11 @@ def multimodal_png_pixel_stats(spark, sf_dir):
             for doc_id in pdf["doc_id"]:
                 d = int(doc_id)
                 w, h = 64 + (d % 32) * 2, 32 + (d % 16) * 2
-                got = decode_png_pixels(make_png_pixels(w, h))
+                # odd docs are Adam7-interlaced (RFC 2083 §2.6) — the
+                # pixels are identical, so the closed-form oracle pins
+                # the deinterleave path too
+                got = decode_png_pixels(
+                    make_png_pixels(w, h, interlace=d % 2 == 1))
                 gw, gh, mr, mg, mb, sample = got if got else (
                     -1, -1, -1.0, -1.0, -1.0, (-1, -1, -1))
                 out["doc_id"].append(d)
@@ -297,7 +301,12 @@ def multimodal_gif_pixel_stats(spark, sf_dir):
             for doc_id in pdf["doc_id"]:
                 d = int(doc_id)
                 w, h = 64 + (d % 32) * 2, 32 + (d % 16) * 2
-                got = decode_gif_pixels(make_gif_pixels(w, h))
+                # vary the container per doc: Appendix E interlacing on
+                # odd docs, local-instead-of-global color table on every
+                # third — same pixels, so the oracle is unchanged and
+                # pins all four layout paths
+                got = decode_gif_pixels(make_gif_pixels(
+                    w, h, interlace=d % 2 == 1, local_palette=d % 3 == 0))
                 gw, gh, mr, mg, mb, sample = got if got else (
                     -1, -1, -1.0, -1.0, -1.0, (-1, -1, -1))
                 out["doc_id"].append(d)
@@ -1100,3 +1109,139 @@ def pdf_ccitt_g3_images(spark, sf_dir):
     return docs.mapInPandas(
         synth_decode, "doc_id long, width int, height int, k int, "
                       "decoded int, mean_gray double")
+
+
+@register("multimodal_tiff_pixel_stats", sql="""
+    -- strip-based TIFF decode across the variant grid (compression
+    -- none/LZW/PackBits x gray/RGB x predictor x endianness, keyed off
+    -- doc_id), all reproducing the same closed-form gradient:
+    -- RGB (x+2y, y, x) % 256, gray (x+3y) % 256 — no wraparound at
+    -- w <= 94, h <= 30.
+    SELECT doc_id,
+           CAST(64 + (doc_id % 16) * 2 AS INT) AS width,
+           CAST(16 + (doc_id % 8) * 2 AS INT) AS height,
+           CAST(CASE WHEN doc_id % 2 = 0
+                THEN (64 + (doc_id % 16) * 2 - 1) / 2.0
+                     + 3 * (16 + (doc_id % 8) * 2 - 1) / 2.0
+                ELSE (64 + (doc_id % 16) * 2 - 1) / 2.0
+                     + (16 + (doc_id % 8) * 2 - 1) END AS DOUBLE) AS mean_r,
+           CAST(CASE WHEN doc_id % 2 = 0
+                THEN (64 + (doc_id % 16) * 2 - 1) / 2.0
+                     + 3 * (16 + (doc_id % 8) * 2 - 1) / 2.0
+                ELSE (16 + (doc_id % 8) * 2 - 1) / 2.0 END AS DOUBLE)
+               AS mean_g,
+           CAST(CASE WHEN doc_id % 2 = 0
+                THEN (64 + (doc_id % 16) * 2 - 1) / 2.0
+                     + 3 * (16 + (doc_id % 8) * 2 - 1) / 2.0
+                ELSE (64 + (doc_id % 16) * 2 - 1) / 2.0 END AS DOUBLE)
+               AS mean_b,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 7 ELSE 5 END AS INT) AS p12_r,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 7 ELSE 2 END AS INT) AS p12_g,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 7 ELSE 1 END AS INT) AS p12_b
+    FROM documents WHERE doc_id % 9 = 1
+""")
+def multimodal_tiff_pixel_stats(spark, sf_dir):
+    # REAL TIFF pixel decode (r5, second session): the scanned-document
+    # container. Per doc the worker synthesizes a strip-based TIFF
+    # varying compression (1 none / 5 TIFF-LZW / 32773 PackBits),
+    # photometric (gray vs RGB), horizontal-differencing predictor,
+    # byte order (II/MM) and strip height, decodes the pixels back
+    # through the IFD walk, and hashes channel means + a sample pixel
+    # against the closed-form gradient. PackBits and the LZW encoder
+    # are pinned by the TIFF 6.0 §9 / PDF 32000-1 §7.4.4.2 spec worked
+    # examples in tests/test_tiff_pixels.py.
+    def synth_decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from crawspark.oracle.imagemeta import (
+            decode_tiff_pixels,
+            make_tiff_pixels,
+        )
+        for pdf in batches:
+            out = {"doc_id": [], "width": [], "height": [],
+                   "mean_r": [], "mean_g": [], "mean_b": [],
+                   "p12_r": [], "p12_g": [], "p12_b": []}
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = 64 + (d % 16) * 2, 16 + (d % 8) * 2
+                got = decode_tiff_pixels(make_tiff_pixels(
+                    w, h,
+                    compression=(1, 5, 32773)[d % 3],
+                    gray=d % 2 == 0,
+                    predictor=2 if d % 5 == 0 else 1,
+                    rows_per_strip=3 + d % 5,
+                    big_endian=d % 7 == 0))
+                gw, gh, mr, mg, mb, sample = got if got else (
+                    -1, -1, -1.0, -1.0, -1.0, (-1, -1, -1))
+                out["doc_id"].append(d)
+                out["width"].append(gw)
+                out["height"].append(gh)
+                out["mean_r"].append(mr)
+                out["mean_g"].append(mg)
+                out["mean_b"].append(mb)
+                out["p12_r"].append(sample[0])
+                out["p12_g"].append(sample[1])
+                out["p12_b"].append(sample[2])
+            yield pd.DataFrame(out)
+
+    docs = (read_testdata(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") % 9 == 1).select("doc_id"))
+    return docs.mapInPandas(
+        synth_decode, "doc_id long, width int, height int, mean_r double, "
+                      "mean_g double, mean_b double, p12_r int, "
+                      "p12_g int, p12_b int")
+
+
+@register("multimodal_tiff_fax_stats", sql="""
+    -- bilevel fax TIFF (WhiteIsZero): white page with a black
+    -- rectangle [x0, x0+bw) x [y0, y0+bh); the gray mean is the exact
+    -- area fraction and pixel (1,2) is black iff the rectangle covers
+    -- it (x0 <= 1 and y0 <= 2, since bw >= 4 and bh >= 3 always reach
+    -- past it).
+    SELECT doc_id,
+           CAST(20 + (doc_id % 6) * 4 AS INT) AS width,
+           CAST(12 + (doc_id % 5) * 3 AS INT) AS height,
+           CAST(255.0 * (1.0 - (4 + doc_id % 8) * (3 + doc_id % 6)
+                / ((20 + (doc_id % 6) * 4) * (12.0 + (doc_id % 5) * 3)))
+                AS DOUBLE) AS mean_gray,
+           CAST(CASE WHEN doc_id % 5 < 2 AND doc_id % 4 < 2
+                THEN 0 ELSE 255 END AS INT) AS p12
+    FROM documents WHERE doc_id % 9 = 5
+""")
+def multimodal_tiff_fax_stats(spark, sf_dir):
+    # Bilevel fax TIFF decode: Compression 2 (MH byte-aligned), 3 (T.4
+    # 1D and mixed 2D, with and without fill bits) and 4 (T.6) through
+    # the from-scratch ccittcodec, strip by strip, with
+    # PhotometricInterpretation 0 mapping sample 0 -> white. The black
+    # rectangle's closed-form area fraction pins every per-strip
+    # bitstream framing end to end.
+    def synth_decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from crawspark.oracle.imagemeta import (
+            decode_tiff_pixels,
+            make_tiff_fax,
+        )
+        for pdf in batches:
+            out = {"doc_id": [], "width": [], "height": [],
+                   "mean_gray": [], "p12": []}
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = 20 + (d % 6) * 4, 12 + (d % 5) * 3
+                got = decode_tiff_pixels(make_tiff_fax(
+                    w, h, x0=d % 5, bw=4 + d % 8, y0=1 + d % 4,
+                    bh=3 + d % 6,
+                    compression=(2, 3, 3, 4)[d % 4],
+                    t4_2d=d % 4 == 2,
+                    fill_align=d % 8 < 4,
+                    rows_per_strip=4 + d % 4))
+                gw, gh, mg, _, _, sample = got if got else (
+                    -1, -1, -1.0, -1.0, -1.0, (-1, -1, -1))
+                out["doc_id"].append(d)
+                out["width"].append(gw)
+                out["height"].append(gh)
+                out["mean_gray"].append(mg)
+                out["p12"].append(sample[0])
+            yield pd.DataFrame(out)
+
+    docs = (read_testdata(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") % 9 == 5).select("doc_id"))
+    return docs.mapInPandas(
+        synth_decode, "doc_id long, width int, height int, "
+                      "mean_gray double, p12 int")

@@ -659,34 +659,97 @@ def _png_filter_row(ftype: int, row: bytes, prev: bytes,
     return bytes(out)
 
 
-def make_png_pixels(w: int, h: int) -> bytes:
+# Adam7 pass grid (RFC 2083 §2.6): (x0, y0, dx, dy) per pass; each pass
+# is an independently filtered sub-image, empty passes contribute no
+# bytes at all.
+ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+         (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+
+def _gradient_px(x: int, y: int) -> bytes:
+    return bytes((((x + 2 * y) % 256), (y % 256), (x % 256)))
+
+
+def make_png_pixels(w: int, h: int, interlace: bool = False) -> bytes:
     """Real PNG (truecolor 8-bit) with the same deterministic gradient
     as make_bmp_pixels — R = (x + 2*y) % 256, G = y % 256, B = x % 256 —
     rows filtered cycling through types 0..4 (all five unfilter paths
-    exercised on decode) and deflate-compressed into one IDAT."""
+    exercised on decode) and deflate-compressed into one IDAT.
+    ``interlace`` emits the seven Adam7 sub-images instead of the
+    sequential rows (same pixels, so the closed forms hold)."""
     import zlib as _z
 
     raw = bytearray()
-    prev = bytes(w * 3)
-    for y in range(h):
-        row = bytearray()
-        for x in range(w):
-            row += bytes((((x + 2 * y) % 256), (y % 256), (x % 256)))
-        ftype = y % 5
-        raw.append(ftype)
-        raw += _png_filter_row(ftype, bytes(row), prev)
-        prev = bytes(row)
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    fcount = 0
+    passes = ADAM7 if interlace else ((0, 0, 1, 1),)
+    for x0, y0, dx, dy in passes:
+        xs = range(x0, w, dx)
+        ys = range(y0, h, dy)
+        if not xs or not ys:
+            continue
+        prev = bytes(len(xs) * 3)
+        for y in ys:
+            row = b"".join(_gradient_px(x, y) for x in xs)
+            ftype = fcount % 5
+            fcount += 1
+            raw.append(ftype)
+            raw += _png_filter_row(ftype, row, prev)
+            prev = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0,
+                       1 if interlace else 0)
     return (b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
             + _png_chunk(b"IDAT", _z.compress(bytes(raw)))
             + _png_chunk(b"IEND", b""))
 
 
+def _png_unfilter(raw: bytes, pos: int, n_px: int,
+                  n_rows: int, bpp: int = 3) -> tuple[list[bytearray], int] | None:
+    """Unfilter ``n_rows`` rows of ``n_px`` pixels starting at ``pos``
+    in the inflated stream (RFC 2083 §6, all five filter types).
+    Returns (rows, next_pos); None when the stream is short."""
+    stride = n_px * bpp
+    rows: list[bytearray] = []
+    prev = bytearray(stride)
+    for _ in range(n_rows):
+        if pos + 1 + stride > len(raw):
+            return None
+        ftype = raw[pos]
+        row = bytearray(raw[pos + 1:pos + 1 + stride])
+        pos += 1 + stride
+        if ftype == 1:      # Sub
+            for i2 in range(bpp, stride):
+                row[i2] = (row[i2] + row[i2 - bpp]) & 0xFF
+        elif ftype == 2:    # Up
+            for i2 in range(stride):
+                row[i2] = (row[i2] + prev[i2]) & 0xFF
+        elif ftype == 3:    # Average
+            for i2 in range(stride):
+                a = row[i2 - bpp] if i2 >= bpp else 0
+                row[i2] = (row[i2] + ((a + prev[i2]) >> 1)) & 0xFF
+        elif ftype == 4:    # Paeth
+            for i2 in range(stride):
+                a = row[i2 - bpp] if i2 >= bpp else 0
+                b = prev[i2]
+                c = prev[i2 - bpp] if i2 >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = (a if pa <= pb and pa <= pc
+                        else (b if pb <= pc else c))
+                row[i2] = (row[i2] + pred) & 0xFF
+        elif ftype != 0:
+            return None
+        rows.append(row)
+        prev = row
+    return rows, pos
+
+
 def decode_png_pixels(payload: bytes):
     """(w, h, mean_r, mean_g, mean_b, sample_rgb) from a truecolor-8 PNG:
     chunk walk → IDAT concat → zlib inflate → per-row unfilter (all five
-    RFC 2083 filter types, bpp=3). sample_rgb = image pixel (1, 2).
-    None for non-PNG bytes or other color types / bit depths."""
+    RFC 2083 filter types, bpp=3), Adam7 interlacing deinterleaved
+    (each pass unfilters as its own sub-image, §2.6). sample_rgb =
+    image pixel (1, 2). None for non-PNG bytes or other color types /
+    bit depths."""
     import zlib as _z
 
     try:
@@ -694,6 +757,7 @@ def decode_png_pixels(payload: bytes):
             return None
         i = 8
         w = h = None
+        interlace = 0
         idat = bytearray()
         while i + 8 <= len(payload):
             ln = struct.unpack(">I", payload[i:i + 4])[0]
@@ -701,7 +765,8 @@ def decode_png_pixels(payload: bytes):
             body = payload[i + 8:i + 8 + ln]
             if ctype == b"IHDR":
                 w, h, depth, color = struct.unpack(">IIBB", body[:10])
-                if depth != 8 or color != 2:
+                interlace = body[12]
+                if depth != 8 or color != 2 or interlace > 1:
                     return None
             elif ctype == b"IDAT":
                 idat += body
@@ -711,36 +776,32 @@ def decode_png_pixels(payload: bytes):
         if not (w and h and idat):
             return None
         raw = _z.decompress(bytes(idat))
-        stride = w * 3
-        bpp = 3
+        if interlace:
+            img = [bytearray(w * 3) for _ in range(h)]
+            pos = 0
+            for x0, y0, dx, dy in ADAM7:
+                xs = range(x0, w, dx)
+                ys = range(y0, h, dy)
+                if not xs or not ys:
+                    continue
+                got = _png_unfilter(raw, pos, len(xs), len(ys))
+                if got is None:
+                    return None
+                sub, pos = got
+                for ri, y in enumerate(ys):
+                    row = sub[ri]
+                    for ci, x in enumerate(xs):
+                        img[y][x * 3:x * 3 + 3] = row[ci * 3:ci * 3 + 3]
+            rows = img
+        else:
+            got = _png_unfilter(raw, 0, w, h)
+            if got is None:
+                return None
+            rows = got[0]
         sums = [0, 0, 0]
         sample = None
-        prev = bytearray(stride)
-        pos = 0
         for y in range(h):
-            ftype = raw[pos]
-            row = bytearray(raw[pos + 1:pos + 1 + stride])
-            pos += 1 + stride
-            if ftype == 1:      # Sub
-                for i2 in range(bpp, stride):
-                    row[i2] = (row[i2] + row[i2 - bpp]) & 0xFF
-            elif ftype == 2:    # Up
-                for i2 in range(stride):
-                    row[i2] = (row[i2] + prev[i2]) & 0xFF
-            elif ftype == 3:    # Average
-                for i2 in range(stride):
-                    a = row[i2 - bpp] if i2 >= bpp else 0
-                    row[i2] = (row[i2] + ((a + prev[i2]) >> 1)) & 0xFF
-            elif ftype == 4:    # Paeth
-                for i2 in range(stride):
-                    a = row[i2 - bpp] if i2 >= bpp else 0
-                    b = prev[i2]
-                    c = prev[i2 - bpp] if i2 >= bpp else 0
-                    p = a + b - c
-                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                    pred = (a if pa <= pb and pa <= pc
-                            else (b if pb <= pc else c))
-                    row[i2] = (row[i2] + pred) & 0xFF
+            row = rows[y]
             for x in range(w):
                 r, g, b2 = row[x * 3], row[x * 3 + 1], row[x * 3 + 2]
                 sums[0] += r
@@ -748,7 +809,6 @@ def decode_png_pixels(payload: bytes):
                 sums[2] += b2
                 if x == 1 and y == 2:
                     sample = (r, g, b2)
-            prev = row
         n = w * h
         return (w, h, sums[0] / n, sums[1] / n, sums[2] / n, sample)
     except (IndexError, struct.error, _z.error):
@@ -812,27 +872,48 @@ def _gif_lzw_encode(indices: bytes, min_code_size: int) -> bytes:
     return bytes(out)
 
 
-def make_gif_pixels(w: int, h: int) -> bytes:
-    """Real GIF89a with a 256-entry global palette (palette[i] =
-    (i, 255-i, i)) and the deterministic index gradient
-    idx(x, y) = (x + 2*y) % 256 — same closed-form channel means as the
-    BMP/PNG twins with G mirrored: mean_r = mean_b = (w-1)/2 + (h-1),
-    mean_g = 255 - mean_r (no wraparound while w + 2h <= 256)."""
+def gif_interlace_rows(h: int) -> list[int]:
+    """GIF89a Appendix E four-pass row order: 0,8,16… then 4,12… then
+    2,6,10… then the odd rows — the order interlaced row data is
+    STORED in."""
+    order = []
+    for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
+        order.extend(range(start, h, step))
+    return order
+
+
+def make_gif_pixels(w: int, h: int, interlace: bool = False,
+                    local_palette: bool = False) -> bytes:
+    """Real GIF89a with a 256-entry palette (palette[i] = (i, 255-i, i))
+    and the deterministic index gradient idx(x, y) = (x + 2*y) % 256 —
+    same closed-form channel means as the BMP/PNG twins with G
+    mirrored: mean_r = mean_b = (w-1)/2 + (h-1), mean_g = 255 - mean_r
+    (no wraparound while w + 2h <= 256). ``interlace`` stores rows in
+    the four-pass Appendix E order; ``local_palette`` attaches the
+    table to the image descriptor instead of the screen."""
     palette = bytearray()
     for i in range(256):
         palette += bytes((i, 255 - i, i))
+    row_order = gif_interlace_rows(h) if interlace else range(h)
     indices = bytes(((x + 2 * y) % 256)
-                    for y in range(h) for x in range(w))
+                    for y in row_order for x in range(w))
     lzw = _gif_lzw_encode(indices, 8)
     blocks = bytearray()
     for i in range(0, len(lzw), 255):
         chunk = lzw[i:i + 255]
         blocks += bytes([len(chunk)]) + chunk
     blocks += b"\x00"
-    return (b"GIF89a" + struct.pack("<HH", w, h) + b"\xf7\x00\x00"
-            + bytes(palette)
-            + b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
-            + b"\x08" + bytes(blocks) + b"\x3b")
+    ipacked = (0x40 if interlace else 0) | (0x87 if local_palette else 0)
+    out = bytearray(b"GIF89a" + struct.pack("<HH", w, h))
+    if local_palette:
+        out += b"\x00\x00\x00"  # no global color table
+    else:
+        out += b"\xf7\x00\x00" + bytes(palette)
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + bytes([ipacked])
+    if local_palette:
+        out += bytes(palette)
+    out += b"\x08" + bytes(blocks) + b"\x3b"
+    return bytes(out)
 
 
 def gif_lzw_decode(data: bytes, min_code_size: int) -> bytes | None:
@@ -889,20 +970,21 @@ def gif_lzw_decode(data: bytes, min_code_size: int) -> bytes | None:
 
 
 def decode_gif_pixels(payload: bytes):
-    """(w, h, mean_r, mean_g, mean_b, sample_rgb) from a GIF87a/89a with
-    a global color table: header walk → image descriptor → LZW decode →
-    palette lookup. sample_rgb is image pixel (1, 2). None for non-GIF
-    bytes, interlaced images, or local color tables."""
+    """(w, h, mean_r, mean_g, mean_b, sample_rgb) from a GIF87a/89a:
+    header walk → image descriptor → LZW decode → palette lookup, with
+    four-pass interlacing deinterleaved and a local color table taking
+    precedence over the global one (GIF89a §20-21). sample_rgb is image
+    pixel (1, 2). None for non-GIF or paletteless bytes."""
     try:
         if payload[:6] not in (b"GIF87a", b"GIF89a"):
             return None
         packed = payload[10]
-        if not packed & 0x80:
-            return None  # no global color table
-        gct_size = 2 << (packed & 0x07)
         i = 13
-        palette = payload[i:i + gct_size * 3]
-        i += gct_size * 3
+        palette = b""
+        if packed & 0x80:
+            gct_size = 2 << (packed & 0x07)
+            palette = payload[i:i + gct_size * 3]
+            i += gct_size * 3
         # skip extension blocks to the image descriptor
         while i < len(payload):
             b0 = payload[i]
@@ -919,9 +1001,14 @@ def decode_gif_pixels(payload: bytes):
                 return None
         w, h = struct.unpack("<HH", payload[i + 5:i + 9])
         ipacked = payload[i + 9]
-        if ipacked & 0xC0:  # local color table or interlace
-            return None
         i += 10
+        if ipacked & 0x80:  # local color table overrides the global
+            lct_size = 2 << (ipacked & 0x07)
+            palette = payload[i:i + lct_size * 3]
+            i += lct_size * 3
+        if not palette:
+            return None
+        interlaced = bool(ipacked & 0x40)
         min_code_size = payload[i]
         i += 1
         lzw = bytearray()
@@ -932,6 +1019,11 @@ def decode_gif_pixels(payload: bytes):
         indices = gif_lzw_decode(bytes(lzw), min_code_size)
         if indices is None or len(indices) < w * h:
             return None
+        if interlaced:
+            rows = [b""] * h
+            for seq, y in enumerate(gif_interlace_rows(h)):
+                rows[y] = indices[seq * w:(seq + 1) * w]
+            indices = b"".join(rows)
         sums = [0, 0, 0]
         sample = None
         for y in range(h):
@@ -946,6 +1038,387 @@ def decode_gif_pixels(payload: bytes):
         n = w * h
         return (w, h, sums[0] / n, sums[1] / n, sums[2] / n, sample)
     except (IndexError, struct.error):
+        return None
+
+
+# ---------------------------------------------------------------------------
+# REAL pixel decode for TIFF (r5, second session): the scanned-document
+# container. Strip-based: each strip decompresses independently —
+# Compression 1 (none), 5 (TIFF LZW = the MSB-first variable-width code
+# PDF /LZWDecode inherited, reused from oracle/pdfparse), 32773
+# (PackBits, TIFF 6.0 §9) for 8-bit gray/RGB; Compression 2 (CCITT MH,
+# byte-aligned rows, no EOLs), 3 (T.4 G3, /T4Options bit 0 = 2D, bit 2
+# = fill-to-byte) and 4 (T.6 G4) for bilevel fax through the
+# from-scratch ccittcodec. Predictor 2 (horizontal differencing,
+# TIFF 6.0 §14) is undone before sample use.
+# ---------------------------------------------------------------------------
+
+
+def packbits_decode(data: bytes, expected: int) -> bytes | None:
+    """TIFF 6.0 §9 PackBits: n in 0..127 → copy n+1 literal bytes;
+    n in -127..-1 → repeat next byte 1-n times; -128 is a no-op."""
+    out = bytearray()
+    i = 0
+    while i < len(data) and len(out) < expected:
+        n = data[i] - 256 if data[i] > 127 else data[i]
+        i += 1
+        if n >= 0:
+            if i + n + 1 > len(data):
+                return None
+            out += data[i:i + n + 1]
+            i += n + 1
+        elif n != -128:
+            if i >= len(data):
+                return None
+            out += bytes([data[i]]) * (1 - n)
+            i += 1
+    return bytes(out) if len(out) == expected else None
+
+
+def packbits_encode(data: bytes) -> bytes:
+    """Run-length PackBits encoder (runs >= 3 coded as repeats)."""
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and data[i + run] == data[i]:
+            run += 1
+        if run >= 3:
+            out += bytes([257 - run, data[i]])
+            i += run
+            continue
+        lit_start = i
+        while i < n and i - lit_start < 128:
+            run = 1
+            while i + run < n and run < 3 and data[i + run] == data[i]:
+                run += 1
+            if run >= 3:
+                break
+            i += 1
+        out += bytes([i - lit_start - 1]) + data[lit_start:i]
+    return bytes(out)
+
+
+def tiff_lzw_encode(data: bytes) -> bytes:
+    """TIFF 6.0 §13 LZW: MSB-first bit packing, 9→12-bit codes, 256 =
+    clear, 257 = EOI, width grows one code early (EarlyChange=1 — the
+    TIFF behavior PDF inherited). Inverse of pdfparse._lzw_decode."""
+    out_bits = bytearray()
+    acc = nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            out_bits.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    width = 9
+    emit(256, width)  # leading clear (TIFF requires it)
+    prev = b""
+    for byte in data:
+        cur = prev + bytes([byte])
+        if cur in table:
+            prev = cur
+            continue
+        emit(table[prev], width)
+        table[cur] = next_code
+        next_code += 1
+        # the DECODER's table runs one entry behind the encoder's (it
+        # cannot build an entry until the next code arrives), and it
+        # widens early (EarlyChange=1) when ITS count hits 2^w - 1 —
+        # which is the moment the ENCODER's next_code hits 2^w
+        if next_code == (1 << width) and width < 12:
+            width += 1
+        elif next_code == 4095:  # decoder table at 4094: reset both sides
+            emit(256, width)
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            width = 9
+        prev = bytes([byte])
+    if prev:
+        emit(table[prev], width)
+    emit(257, width)  # EOI
+    if nbits:
+        out_bits.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out_bits)
+
+
+def _tiff_gradient_row(y: int, w: int, gray: bool) -> bytes:
+    row = bytearray()
+    for x in range(w):
+        if gray:
+            row.append((x + 3 * y) % 256)
+        else:
+            row += bytes((((x + 2 * y) % 256), (y % 256), (x % 256)))
+    return bytes(row)
+
+
+def _ifd_bytes(e: str, entries: list[tuple[int, int, int, bytes]],
+               data_start: int) -> tuple[bytes, bytes]:
+    """(ifd, data_area) from (tag, type, count, value_bytes) entries;
+    values longer than 4 bytes are placed in the data area at
+    ``data_start`` and referenced by offset."""
+    data = bytearray()
+    out = struct.pack(e + "H", len(entries))
+    for tag, typ, count, val in sorted(entries):
+        if len(val) <= 4:
+            field = val + b"\x00" * (4 - len(val))
+        else:
+            field = struct.pack(e + "I", data_start + len(data))
+            data += val
+        out += struct.pack(e + "HHI", tag, typ, count) + field
+    return out + struct.pack(e + "I", 0), bytes(data)
+
+
+def make_tiff_pixels(w: int, h: int, compression: int = 1,
+                     gray: bool = False, predictor: int = 1,
+                     rows_per_strip: int = 5,
+                     big_endian: bool = False) -> bytes:
+    """Real strip-based TIFF with the deterministic gradient
+    (RGB: (x+2y)%256, y%256, x%256; gray: (x+3y)%256), one of
+    Compression 1/5/32773 per strip, optional horizontal-differencing
+    predictor (LZW path)."""
+    e = ">" if big_endian else "<"
+    spp = 1 if gray else 3
+    strips: list[bytes] = []
+    for y0 in range(0, h, rows_per_strip):
+        raw = bytearray()
+        for y in range(y0, min(y0 + rows_per_strip, h)):
+            row = _tiff_gradient_row(y, w, gray)
+            if predictor == 2:
+                row = bytearray(row)
+                for i in range(len(row) - 1, spp - 1, -1):
+                    row[i] = (row[i] - row[i - spp]) & 0xFF
+                row = bytes(row)
+            raw += row
+        if compression == 5:
+            strips.append(tiff_lzw_encode(bytes(raw)))
+        elif compression == 32773:
+            strips.append(packbits_encode(bytes(raw)))
+        else:
+            strips.append(bytes(raw))
+    n_strips = len(strips)
+    header = 8
+    # layout: header | IFD+data | strip data
+    offsets: list[int] = []
+    entries: list[tuple[int, int, int, bytes]] = [
+        (256, 4, 1, struct.pack(e + "I", w)),
+        (257, 4, 1, struct.pack(e + "I", h)),
+        (258, 3, spp, b"".join(struct.pack(e + "H", 8)
+                               for _ in range(spp))),
+        (259, 3, 1, struct.pack(e + "H", compression)),
+        (262, 3, 1, struct.pack(e + "H", 1 if gray else 2)),
+        (277, 3, 1, struct.pack(e + "H", spp)),
+        (278, 4, 1, struct.pack(e + "I", rows_per_strip)),
+        (279, 4, n_strips, b"".join(struct.pack(e + "I", len(s))
+                                    for s in strips)),
+        (317, 3, 1, struct.pack(e + "H", predictor)),
+    ]
+    # two passes: IFD size depends only on entry count, strip offsets on
+    # IFD+data size — compute with placeholder offsets first
+    placeholder = [(273, 4, n_strips,
+                    b"".join(struct.pack(e + "I", 0) for _ in strips))]
+    ifd0, data0 = _ifd_bytes(e, entries + placeholder, 0)
+    strips_start = header + len(ifd0) + len(data0)
+    pos = strips_start
+    for s in strips:
+        offsets.append(pos)
+        pos += len(s)
+    real = [(273, 4, n_strips,
+             b"".join(struct.pack(e + "I", o) for o in offsets))]
+    ifd, data = _ifd_bytes(e, entries + real, header + len(ifd0))
+    magic = b"MM\x00\x2a" if big_endian else b"II\x2a\x00"
+    return (magic + struct.pack(e + "I", header) + ifd + data
+            + b"".join(strips))
+
+
+def make_tiff_fax(w: int, h: int, x0: int, bw: int, y0: int, bh: int,
+                  compression: int = 4, t4_2d: bool = False,
+                  fill_align: bool = False,
+                  rows_per_strip: int = 6) -> bytes:
+    """Bilevel fax TIFF (PhotometricInterpretation 0 = WhiteIsZero):
+    white page, black rectangle [x0,x0+bw) x [y0,y0+bh). Compression 2
+    = MH byte-aligned rows, 3 = T.4 (optionally 2D / fill-aligned via
+    /T4Options), 4 = T.6. Each strip is an independent bitstream."""
+    from crawspark.oracle.ccittcodec import encode_g3, encode_g4
+
+    strips: list[bytes] = []
+    for ys in range(0, h, rows_per_strip):
+        rows_px = []
+        for y in range(ys, min(ys + rows_per_strip, h)):
+            row = bytearray([1]) * w
+            if y0 <= y < y0 + bh:
+                for x in range(x0, min(x0 + bw, w)):
+                    row[x] = 0
+            rows_px.append(bytes(row))
+        if compression == 2:
+            strips.append(encode_g3(rows_px, w, k=0, byte_align=True,
+                                    with_eol=False))
+        elif compression == 3:
+            strips.append(encode_g3(rows_px, w, k=4 if t4_2d else 0,
+                                    byte_align=fill_align))
+        else:
+            strips.append(encode_g4(rows_px, w))
+    e = "<"
+    t4opts = (1 if t4_2d else 0) | (4 if fill_align else 0)
+    entries: list[tuple[int, int, int, bytes]] = [
+        (256, 4, 1, struct.pack(e + "I", w)),
+        (257, 4, 1, struct.pack(e + "I", h)),
+        (258, 3, 1, struct.pack(e + "H", 1)),
+        (259, 3, 1, struct.pack(e + "H", compression)),
+        (262, 3, 1, struct.pack(e + "H", 0)),  # WhiteIsZero
+        (277, 3, 1, struct.pack(e + "H", 1)),
+        (278, 4, 1, struct.pack(e + "I", rows_per_strip)),
+        (279, 4, len(strips), b"".join(struct.pack(e + "I", len(s))
+                                       for s in strips)),
+    ]
+    if compression == 3:
+        entries.append((292, 4, 1, struct.pack(e + "I", t4opts)))
+    placeholder = [(273, 4, len(strips),
+                    b"".join(struct.pack(e + "I", 0) for _ in strips))]
+    ifd0, data0 = _ifd_bytes(e, entries + placeholder, 0)
+    strips_start = 8 + len(ifd0) + len(data0)
+    offsets = []
+    pos = strips_start
+    for s in strips:
+        offsets.append(pos)
+        pos += len(s)
+    real = [(273, 4, len(strips),
+             b"".join(struct.pack(e + "I", o) for o in offsets))]
+    ifd, data = _ifd_bytes(e, entries + real, 8 + len(ifd0))
+    return (b"II\x2a\x00" + struct.pack(e + "I", 8) + ifd + data
+            + b"".join(strips))
+
+
+def _tiff_tag_values(e: str, typ: int, count: int, field: bytes,
+                     payload: bytes) -> list[int] | None:
+    size = {3: 2, 4: 4}.get(typ)
+    if size is None:
+        return None
+    fmt = e + ("H" if typ == 3 else "I")
+    if size * count <= 4:
+        return [struct.unpack(fmt, field[i * size:(i + 1) * size])[0]
+                for i in range(count)]
+    off = struct.unpack(e + "I", field)[0]
+    if off + size * count > len(payload):
+        return None
+    return [struct.unpack(fmt, payload[off + i * size:
+                                       off + (i + 1) * size])[0]
+            for i in range(count)]
+
+
+def decode_tiff_pixels(payload: bytes):
+    """(w, h, mean_r, mean_g, mean_b, sample_rgb) from a strip-based
+    TIFF: IFD walk → per-strip decompress (none / LZW / PackBits for
+    8-bit gray+RGB; CCITT MH / T.4 / T.6 for bilevel fax) → predictor
+    undo → sample means. Gray and bilevel replicate across channels;
+    bilevel maps through PhotometricInterpretation (0 = WhiteIsZero).
+    sample_rgb = pixel (1, 2). None on anything malformed/unsupported."""
+    from crawspark.oracle.ccittcodec import decode_g3, decode_g4
+    from crawspark.oracle.pdfparse import _lzw_decode
+
+    try:
+        if payload[:4] == b"II\x2a\x00":
+            e = "<"
+        elif payload[:4] == b"MM\x00\x2a":
+            e = ">"
+        else:
+            return None
+        off = struct.unpack(e + "I", payload[4:8])[0]
+        n = struct.unpack(e + "H", payload[off:off + 2])[0]
+        tags: dict[int, list[int]] = {}
+        for i in range(n):
+            ent = payload[off + 2 + 12 * i:off + 14 + 12 * i]
+            if len(ent) < 12:
+                return None
+            tag, typ = struct.unpack(e + "HH", ent[:4])
+            count = struct.unpack(e + "I", ent[4:8])[0]
+            vals = _tiff_tag_values(e, typ, count, ent[8:12], payload)
+            if vals is not None:
+                tags[tag] = vals
+        w = tags.get(256, [0])[0]
+        h = tags.get(257, [0])[0]
+        comp = tags.get(259, [1])[0]
+        photo = tags.get(262, [1])[0]
+        spp = tags.get(277, [1])[0]
+        bits = tags.get(258, [1])
+        rps = tags.get(278, [h or 1])[0] or (h or 1)
+        offsets = tags.get(273)
+        counts = tags.get(279)
+        predictor = tags.get(317, [1])[0]
+        t4opts = tags.get(292, [0])[0]
+        if not (w and h and offsets and counts) \
+                or len(offsets) != len(counts):
+            return None
+        bilevel = comp in (2, 3, 4)
+        if bilevel:
+            if bits != [1] or spp != 1:
+                return None
+        elif bits != [8] * spp or spp not in (1, 3):
+            return None
+        rows: list[bytes] = []
+        for si, (so, sc) in enumerate(zip(offsets, counts)):
+            data = payload[so:so + sc]
+            if len(data) != sc:
+                return None
+            n_rows = min(rps, h - si * rps)
+            if bilevel:
+                if comp == 4:
+                    px = decode_g4(data, w, rows=n_rows)
+                elif comp == 3:
+                    px = decode_g3(data, w, rows=n_rows,
+                                   k=4 if t4opts & 1 else 0,
+                                   byte_align=bool(t4opts & 4))
+                else:  # MH: byte-aligned rows, no EOLs
+                    px = decode_g3(data, w, rows=n_rows, byte_align=True)
+                if px is None or len(px) != n_rows:
+                    return None
+                for r in px:
+                    # WhiteIsZero: white (1 in codec space) → sample 0;
+                    # sample 0 renders white → gray value 255 - 255*s
+                    if photo == 0:
+                        rows.append(bytes(255 if v else 0 for v in r))
+                    else:
+                        rows.append(bytes(0 if v else 255 for v in r))
+                continue
+            stride = w * spp
+            if comp == 5:
+                data = _lzw_decode(data)
+            elif comp == 32773:
+                data = packbits_decode(data, n_rows * stride)
+            elif comp != 1:
+                return None
+            if data is None or len(data) < n_rows * stride:
+                return None
+            for ri in range(n_rows):
+                row = bytearray(data[ri * stride:(ri + 1) * stride])
+                if predictor == 2:
+                    for i2 in range(spp, stride):
+                        row[i2] = (row[i2] + row[i2 - spp]) & 0xFF
+                rows.append(bytes(row))
+        if len(rows) != h:
+            return None
+        sums = [0, 0, 0]
+        sample = None
+        for y, row in enumerate(rows):
+            for x in range(w):
+                if spp == 3:
+                    r, g, b = row[x * 3], row[x * 3 + 1], row[x * 3 + 2]
+                else:
+                    r = g = b = row[x]
+                sums[0] += r
+                sums[1] += g
+                sums[2] += b
+                if x == 1 and y == 2:
+                    sample = (r, g, b)
+        npx = w * h
+        return (w, h, sums[0] / npx, sums[1] / npx, sums[2] / npx, sample)
+    except (IndexError, struct.error, ValueError):
         return None
 
 
