@@ -55,6 +55,29 @@ def _sf_sql(template: str):
 EXTRACT_ORACLE_PATH = os.path.join(_ORACLE_DIR, "sf0_01.parquet")
 ORACLE_PQ = "__ORACLE_PQ__"
 
+# THE canonical span-sequence serialization (kind/text/media_ref/offset
+# in order, 0x1f field / 0x1e record separators) — the single
+# cross-module contract behind every per-document span-sequence md5
+# (extract_span_hashes here, extract_from_warc in webarchive.py). The
+# Spark expression and the DuckDB SQL below must stay byte-identical in
+# output; import these, never inline a copy (r5 review finding).
+# array_join(transform(...)) is linear in total span bytes; an
+# aggregate() fold recopies the growing accumulator per span (O(n^2) on
+# big documents).
+SPAN_CANON_EXPR = (
+    "array_join(transform(spans, s -> concat("
+    "s.kind, char(31), coalesce(s.text, ''), char(31), "
+    "coalesce(s.media_ref, ''), char(31), cast(s.offset as string), "
+    "char(30))), '')")
+SPAN_HASH_SQL = f"""
+    SELECT doc_id,
+           md5(array_to_string(list_transform(spans, s ->
+             s.kind || chr(31) || coalesce(s.text, '') || chr(31) ||
+             coalesce(s.media_ref, '') || chr(31) ||
+             CAST(s."offset" AS VARCHAR) || chr(30)), '')) AS span_hash
+    FROM {ORACLE_PQ}
+"""
+
 
 def _extracted(spark, sf_dir):
     from crawspark.operators.extract import interleave_and_extract
@@ -161,32 +184,17 @@ def window_span_order(spark, sf_dir):
             .groupBy("offsets_dense").agg(F.count("*").alias("n_docs")))
 
 
-@register("extract_span_hashes", sql=_sf_sql(f"""
-    SELECT doc_id,
-           md5(array_to_string(list_transform(spans, s ->
-             s.kind || chr(31) || coalesce(s.text, '') || chr(31) ||
-             coalesce(s.media_ref, '') || chr(31) ||
-             CAST(s."offset" AS VARCHAR) || chr(30)), '')) AS span_hash
-    FROM {ORACLE_PQ}
-"""))
+@register("extract_span_hashes", sql=_sf_sql(SPAN_HASH_SQL))
 def extract_span_hashes(spark, sf_dir):
     # THE strongest driver-visible extraction check: one md5 per document
-    # over the canonical serialization of its FULL span sequence
-    # (kind/text/media_ref/offset in order, 0x1f/0x1e separators). Any
-    # single-character or ordering deviation from the frozen oracle
-    # flips the row's hash — per-document span-sequence equality enforced
-    # by the driver's value compare, not just by local fixtures.
-    # array_join(transform(...)) is linear in total span bytes; an
-    # aggregate() fold recopies the growing accumulator per span (O(n^2)
-    # on big documents). Identical output to the DuckDB
-    # array_to_string(list_transform(...)).
-    canon = F.expr(
-        "array_join(transform(spans, s -> concat("
-        "s.kind, char(31), coalesce(s.text, ''), char(31), "
-        "coalesce(s.media_ref, ''), char(31), cast(s.offset as string), "
-        "char(30))), '')")
+    # over the canonical serialization of its FULL span sequence (see
+    # SPAN_CANON_EXPR above). Any single-character or ordering deviation
+    # from the frozen oracle flips the row's hash — per-document
+    # span-sequence equality enforced by the driver's value compare, not
+    # just by local fixtures.
     return (_extracted(spark, sf_dir)
-            .select("doc_id", F.md5(canon).alias("span_hash")))
+            .select("doc_id", F.md5(F.expr(SPAN_CANON_EXPR))
+                    .alias("span_hash")))
 
 
 @register("extract_publish_dates", sql=_sf_sql(f"""

@@ -1162,9 +1162,12 @@ def multimodal_tiff_pixel_stats(spark, sf_dir):
             for doc_id in pdf["doc_id"]:
                 d = int(doc_id)
                 w, h = 64 + (d % 16) * 2, 16 + (d % 8) * 2
+                # the doc filter d % 9 == 1 forces d % 3 == 1, so the
+                # compression index must be coprime with 9 or the grid
+                # collapses to LZW-only (r5 review finding)
                 got = decode_tiff_pixels(make_tiff_pixels(
                     w, h,
-                    compression=(1, 5, 32773)[d % 3],
+                    compression=(1, 5, 32773)[(d // 9) % 3],
                     gray=d % 2 == 0,
                     predictor=2 if d % 5 == 0 else 1,
                     rows_per_strip=3 + d % 5,

@@ -143,20 +143,12 @@ def http_decode_responses(spark, sf_dir):
                      "trailer_doc long, body_md5 string, body_len int")
 
 
-_SPAN_HASH_SQL = """
-    SELECT doc_id,
-           md5(array_to_string(list_transform(spans, s ->
-             s.kind || chr(31) || coalesce(s.text, '') || chr(31) ||
-             coalesce(s.media_ref, '') || chr(31) ||
-             CAST(s."offset" AS VARCHAR) || chr(30)), '')) AS span_hash
-    FROM __ORACLE_PQ__
-"""
-
-
 def _extract_from_warc_sql(sf_dir: str) -> str:
-    from crawspark.operators.extraction_queries import extract_oracle_path
-    return _SPAN_HASH_SQL.replace(
-        "__ORACLE_PQ__", f"read_parquet('{extract_oracle_path(sf_dir)}')")
+    # the span-canon contract lives in ONE place (extraction_queries);
+    # inlining a copy here risked silent hash-parity drift (r5 review)
+    from crawspark.operators.extraction_queries import (
+        SPAN_HASH_SQL, _sf_sql)
+    return _sf_sql(SPAN_HASH_SQL)(sf_dir)
 
 
 @register("extract_from_warc", sql=_extract_from_warc_sql)
@@ -192,13 +184,10 @@ def extract_from_warc(spark, sf_dir):
     cols = df.select("doc_id", "text", "lang")
     if cols.rdd.getNumPartitions() < sc.defaultParallelism:
         cols = cols.repartition(sc.defaultParallelism)
+    from crawspark.operators.extraction_queries import SPAN_CANON_EXPR
     ext = cols.mapInArrow(_warc_extract_arrow, EXTRACTED_SPANS)
-    canon = F2.expr(
-        "array_join(transform(spans, s -> concat("
-        "s.kind, char(31), coalesce(s.text, ''), char(31), "
-        "coalesce(s.media_ref, ''), char(31), cast(s.offset as string), "
-        "char(30))), '')")
-    return ext.select("doc_id", F2.md5(canon).alias("span_hash"))
+    return ext.select("doc_id",
+                      F2.md5(F2.expr(SPAN_CANON_EXPR)).alias("span_hash"))
 
 
 @register("warc_host_stats", sql=f"""

@@ -29,11 +29,18 @@ CRLF = b"\r\n"
 
 def _split_head(raw: bytes) -> tuple[bytes, bytes] | None:
     # RFC 9112 §2.2: a lone LF SHOULD be tolerated as a line terminator.
+    # Split at whichever blank line occurs FIRST — an LF-framed head
+    # followed by a body that happens to contain CRLFCRLF must not have
+    # its head extended into the body (r5 review finding).
+    best = None
     for sep in (b"\r\n\r\n", b"\n\n"):
         i = raw.find(sep)
-        if i >= 0:
-            return raw[:i], raw[i + len(sep):]
-    return None
+        if i >= 0 and (best is None or i < best[0]):
+            best = (i, sep)
+    if best is None:
+        return None
+    i, sep = best
+    return raw[:i], raw[i + len(sep):]
 
 
 def _parse_headers(lines: list[bytes]) -> dict[str, str]:
@@ -178,14 +185,20 @@ _WIRE_CHUNK = 1024  # chunk payload size for real (non-synthetic) bodies
 
 def build_response(body: bytes, variant: int, *, status: int = 200,
                    content_type: str = "text/html; charset=utf-8",
-                   extra_headers: tuple = ()) -> bytes:
+                   extra_headers: tuple = (), chunk_size: int = 0,
+                   trailers: tuple = ()) -> bytes:
     """Serialize one HTTP/1.1 response around ``body`` using the same
     2×2 framing grid as the synthetic corpus (variant % 4): 0 =
     Content-Length identity, 1 = chunked identity, 2 = Content-Length
     gzip, 3 = chunked gzip. ``extra_headers`` are (name, value) pairs
-    appended verbatim (values must be latin-1 safe). The builder is the
-    encode half of ``parse_response`` — every output round-trips."""
+    appended verbatim (values must be latin-1 safe); ``chunk_size``
+    overrides the default wire chunk; ``trailers`` are (name, value)
+    pairs emitted after the last chunk (chunked variants only, RFC 9112
+    §7.1.2). The builder is the encode half of ``parse_response`` —
+    every output round-trips. The ONLY serializer: make_response wraps
+    this rather than keeping a second framing copy (r5 review)."""
     variant %= 4
+    chunk_size = chunk_size or _WIRE_CHUNK
     headers = [f"HTTP/1.1 {status} {REASONS.get(status, 'OK')}",
                f"Content-Type: {content_type}"]
     headers += [f"{k}: {v}" for k, v in extra_headers]
@@ -195,10 +208,11 @@ def build_response(body: bytes, variant: int, *, status: int = 200,
         wire = _gzip_bytes(body)
     if variant % 2 == 1:
         headers.append("Transfer-Encoding: chunked")
-        chunks = [wire[i:i + _WIRE_CHUNK]
-                  for i in range(0, len(wire), _WIRE_CHUNK)]
+        chunks = [wire[i:i + chunk_size]
+                  for i in range(0, len(wire), chunk_size)]
         framed = b"".join(b"%x\r\n%s\r\n" % (len(c), c) for c in chunks)
-        wire = framed + b"0\r\n\r\n"
+        trailer = "".join(f"{k}: {v}\r\n" for k, v in trailers)
+        wire = framed + b"0\r\n" + trailer.encode("latin-1") + b"\r\n"
     else:
         headers.append(f"Content-Length: {len(wire)}")
     head = "\r\n".join(headers).encode("latin-1")
@@ -211,23 +225,10 @@ def make_response(d: int, j: int) -> bytes:
     identity, 1 = chunked identity, 2 = Content-Length gzip, 3 = chunked
     gzip with a trailer field (X-Crawl-Doc: {d}) that parsing must
     consume and merge."""
-    status = STATUS_GRID[(d + j) % 5]
-    payload = body_text(d, j).encode("ascii")
     variant = (d + j) % 4
-    headers = [f"HTTP/1.1 {status} {REASONS[status]}",
-               "Content-Type: text/html; charset=utf-8",
-               f"Server: synth/{d % 3}"]
-    wire = payload
-    if variant >= 2:
-        headers.append("Content-Encoding: gzip")
-        wire = _gzip_bytes(payload)
-    if variant % 2 == 1:
-        headers.append("Transfer-Encoding: chunked")
-        chunks = [wire[i:i + _CHUNK] for i in range(0, len(wire), _CHUNK)]
-        framed = b"".join(b"%x\r\n%s\r\n" % (len(c), c) for c in chunks)
-        trailer = b"X-Crawl-Doc: %d\r\n" % d if variant == 3 else b""
-        wire = framed + b"0\r\n" + trailer + b"\r\n"
-    else:
-        headers.append(f"Content-Length: {len(wire)}")
-    head = "\r\n".join(headers).encode("ascii")
-    return head + b"\r\n\r\n" + wire
+    return build_response(
+        body_text(d, j).encode("ascii"), variant,
+        status=STATUS_GRID[(d + j) % 5],
+        extra_headers=(("Server", f"synth/{d % 3}"),),
+        chunk_size=_CHUNK,
+        trailers=(("X-Crawl-Doc", d),) if variant == 3 else ())

@@ -370,8 +370,8 @@ def parse_ico_dims(payload: bytes) -> tuple[str, int, int] | None:
 
 
 _RE_SVG_TAG = re.compile(rb"<svg\b[^>]*>", re.DOTALL)
-_RE_SVG_W = re.compile(rb"""\bwidth\s*=\s*["']\s*([0-9.]+)""")
-_RE_SVG_H = re.compile(rb"""\bheight\s*=\s*["']\s*([0-9.]+)""")
+_RE_SVG_W = re.compile(rb"""\bwidth\s*=\s*["']\s*([0-9.]+)\s*(%?)""")
+_RE_SVG_H = re.compile(rb"""\bheight\s*=\s*["']\s*([0-9.]+)\s*(%?)""")
 _RE_SVG_VB = re.compile(
     rb"""\bviewBox\s*=\s*["']\s*[0-9.+-]+[\s,]+[0-9.+-]+[\s,]+"""
     rb"""([0-9.]+)[\s,]+([0-9.]+)""")
@@ -379,7 +379,9 @@ _RE_SVG_VB = re.compile(
 
 def parse_svg_dims(payload: bytes) -> tuple[str, int, int] | None:
     """('svg', w, h) from the root <svg> tag: width/height attributes
-    (leading number; units like 'px' ignored), falling back to the
+    (leading number; units like 'px' ignored, but '%' is a fraction of
+    the viewport, not a length — percentage dims fall through to the
+    viewBox like missing ones; r5 review finding), falling back to the
     viewBox's third/fourth values. Never raises."""
     try:
         m = _RE_SVG_TAG.search(payload[:4096])
@@ -387,6 +389,10 @@ def parse_svg_dims(payload: bytes) -> tuple[str, int, int] | None:
             return None
         tag = m.group(0)
         wm, hm = _RE_SVG_W.search(tag), _RE_SVG_H.search(tag)
+        if wm and wm.group(2) == b"%":
+            wm = None
+        if hm and hm.group(2) == b"%":
+            hm = None
         if wm and hm:
             return ("svg", int(round(float(wm.group(1)))),
                     int(round(float(hm.group(1)))))
@@ -1019,6 +1025,12 @@ def decode_gif_pixels(payload: bytes):
         indices = gif_lzw_decode(bytes(lzw), min_code_size)
         if indices is None or len(indices) < w * h:
             return None
+        # a stream may emit indices past a short color table (legal
+        # encoders never do, corrupt crawl bytes can) — reject instead
+        # of letting the palette slice underfill the (r,g,b) unpack
+        # (r5 review finding: ValueError escaped the except tuple)
+        if max(indices[:w * h]) * 3 + 3 > len(palette):
+            return None
         if interlaced:
             rows = [b""] * h
             for seq, y in enumerate(gif_interlace_rows(h)):
@@ -1037,7 +1049,7 @@ def decode_gif_pixels(payload: bytes):
                     sample = (r, g, b)
         n = w * h
         return (w, h, sums[0] / n, sums[1] / n, sums[2] / n, sample)
-    except (IndexError, struct.error):
+    except (IndexError, struct.error, ValueError):
         return None
 
 
@@ -1142,6 +1154,15 @@ def tiff_lzw_encode(data: bytes) -> bytes:
         prev = bytes([byte])
     if prev:
         emit(table[prev], width)
+        # the decoder completes its pending entry on this final code,
+        # catching its table up to next_code, and (EarlyChange) widens
+        # when that count reaches 2^w - 1 — one step EARLIER than the
+        # encoder's in-loop check, so the EOI must be emitted one bit
+        # wider exactly at that boundary (765/1789/... appends since
+        # the last clear) or the decoder reads it at w+1 and trails
+        # garbage (r5 review finding, reproduced at 765 appends)
+        if next_code == (1 << width) - 1 and width < 12:
+            width += 1
     emit(257, width)  # EOI
     if nbits:
         out_bits.append((acc << (8 - nbits)) & 0xFF)

@@ -81,8 +81,11 @@ def make_sitemap(doc_id: int) -> str:
             f"child{j}.xml</loc></sitemap>"
             for j in range(2 + d % 3))
         return f"<sitemapindex>{kids}</sitemapindex>"
+    # keyed off d // 2 so the toggle still alternates under callers
+    # that pre-filter doc_id to a fixed parity, e.g. the registry's
+    # d % 6 == 2 which is always even (r5 review finding)
     ns = (' xmlns="http://www.sitemaps.org/schemas/sitemap/0.9"'
-          if d % 2 == 0 else "")
+          if (d // 2) % 2 == 0 else "")
     urls = []
     for j in range(3 + d % 5):
         day = (datetime.date(2025, 1, 1)

@@ -513,3 +513,67 @@ def test_tiff_ico_svg_roundtrip():
     assert parse_image_dims(make_svg_bytes(640, 480)) == ("svg", 640, 480)
     assert parse_image_dims(make_svg_bytes(640, 480, viewbox=True)) == (
         "svg", 640, 480)
+
+
+def test_gif_index_past_short_palette_rejected():
+    # corrupt-crawl regression (r5 review): a stream whose LZW indices
+    # exceed the declared color-table size must decode to None, not let
+    # the short palette slice underfill the (r, g, b) unpack and leak a
+    # ValueError past the except tuple.
+    import struct as _struct
+
+    from crawspark.oracle.imagemeta import _gif_lzw_encode, decode_gif_pixels
+
+    w = h = 4
+    # 4-entry global table (packed 0x81) but min_code_size 3 indices up
+    # to 7 — index 7 has no palette entry
+    indices = bytes((x + y) % 8 for y in range(h) for x in range(w))
+    lzw = _gif_lzw_encode(indices, 3)
+    blocks = bytearray()
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i:i + 255]
+        blocks += bytes([len(chunk)]) + chunk
+    blocks += b"\x00"
+    gif = (b"GIF89a" + _struct.pack("<HH", w, h) + b"\x81\x00\x00"
+           + bytes(12)  # 4 RGB entries, all black
+           + b"\x2c" + _struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+           + b"\x03" + bytes(blocks) + b"\x3b")
+    assert decode_gif_pixels(gif) is None
+    # in-range indices through the same short table still decode
+    ok_idx = bytes((x + y) % 4 for y in range(h) for x in range(w))
+    lzw2 = _gif_lzw_encode(ok_idx, 3)
+    blocks2 = bytes([len(lzw2)]) + lzw2 + b"\x00"
+    palette = b"".join(bytes((i, 255 - i, i)) for i in range(4))
+    gif2 = (b"GIF89a" + _struct.pack("<HH", w, h) + b"\x81\x00\x00"
+            + palette
+            + b"\x2c" + _struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+            + b"\x03" + blocks2 + b"\x3b")
+    got = decode_gif_pixels(gif2)
+    assert got is not None and got[0] == 4 and got[1] == 4
+
+
+def test_svg_percentage_dims_fall_through_to_viewbox():
+    # r5 review: '100%' is a viewport fraction, not a length — treat a
+    # percentage width/height like a missing attribute (viewBox wins,
+    # else None), never as 100 px.
+    from crawspark.oracle.imagemeta import parse_svg_dims
+
+    pct_vb = b'<svg width="100%" height="100%" viewBox="0 0 640 480">'
+    assert parse_svg_dims(pct_vb) == ("svg", 640, 480)
+    assert parse_svg_dims(b'<svg width="100%" height="100%"/>') is None
+    # mixed: one percentage dim also defers to the viewBox
+    mixed = b'<svg width="320" height="50%" viewBox="0 0 320 240"/>'
+    assert parse_svg_dims(mixed) == ("svg", 320, 240)
+    # plain numeric + px dims still parse directly
+    assert parse_svg_dims(b'<svg width="100px" height="50">') == \
+        ("svg", 100, 50)
+
+
+def test_tiff_query_compression_grid_not_collapsed():
+    # r5 review: multimodal_tiff_pixel_stats filters doc_id % 9 == 1,
+    # which forces doc_id % 3 == 1 — an index of d % 3 would pin every
+    # doc to LZW. The shipped (d // 9) % 3 must cycle all three
+    # compressions across consecutive filtered ids.
+    ids = [d for d in range(1, 200) if d % 9 == 1]
+    assert {d % 3 for d in ids} == {1}          # the trap
+    assert {(d // 9) % 3 for d in ids} == {0, 1, 2}  # the fix

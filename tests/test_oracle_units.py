@@ -342,3 +342,22 @@ def test_sitemap_parse_protocol_shapes():
     assert parse_sitemap("<urlset><url>") == []
     assert parse_sitemap("not xml at all") == []
     assert parse_sitemap("<rss><channel/></rss>") == []
+
+
+def test_sitemap_namespace_toggle_alternates_under_even_ids():
+    # r5 review: the registry's sitemap_frontier_seed filter
+    # (doc_id % 6 == 2) only ever sees even ids, so an ns toggle keyed
+    # on d % 2 degenerated to always-namespaced. The d // 2 keying must
+    # yield both namespaced and bare urlsets across the filtered ids —
+    # and parsing must be identical either way.
+    from crawspark.oracle.sitemap import make_sitemap, parse_sitemap
+
+    filtered = [d for d in range(2, 200, 6) if d % 7 != 0]  # urlsets only
+    with_ns = {d: "sitemaps.org/schemas" in make_sitemap(d)
+               for d in filtered}
+    assert set(with_ns.values()) == {True, False}
+    for d in filtered[:6]:
+        xml = make_sitemap(d)
+        bare = xml.replace(
+            ' xmlns="http://www.sitemaps.org/schemas/sitemap/0.9"', "")
+        assert parse_sitemap(xml) == parse_sitemap(bare)

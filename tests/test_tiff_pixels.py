@@ -302,3 +302,23 @@ def test_gif_paletteless_rejected():
     patched = bytearray(g)
     patched[desc + 9] &= 0x40  # drop LCT flag (keep interlace bit only)
     assert decode_gif_pixels(bytes(patched)) is None
+
+
+def test_tiff_lzw_eoi_width_at_widen_boundary():
+    # EarlyChange boundary regression (r5 review): the final pending
+    # phrase catches the decoder's table up to the encoder's next_code,
+    # so when that lands exactly on 2^w - 1 the decoder widens BEFORE
+    # reading the EOI and the encoder must emit it one bit wider. The
+    # seed-7 blob prefixes below land the final append on 511/1023/2047
+    # (appends 253/765/1789); the pre-fix encoder emitted a 10/11-bit
+    # read as garbage at lengths 772 and 1814.
+    import random
+
+    from crawspark.oracle.imagemeta import tiff_lzw_encode
+    from crawspark.oracle.pdfparse import _lzw_decode
+
+    rng = random.Random(7)
+    blob = bytes(rng.randrange(256) for _ in range(2000))
+    for boundary_len in (254, 772, 1814):
+        data = blob[:boundary_len]
+        assert _lzw_decode(tiff_lzw_encode(data)) == data, boundary_len

@@ -231,3 +231,42 @@ def test_read_warc_source(spark, tmp_path):
     # metadata-only projection drops the payload column
     assert "block" not in read_warc(spark, str(tmp_path),
                                     with_block=False).columns
+
+
+def test_lf_framed_head_with_crlfcrlf_in_body():
+    # r5 review: an LF-framed head whose body contains CRLFCRLF must
+    # split at the FIRST blank line — the old separator-priority scan
+    # tried \r\n\r\n first and extended the head into the body.
+    raw = (b"HTTP/1.1 200 OK\n"
+           b"Content-Length: 14\n"
+           b"\n"
+           b"body\r\n\r\nmore..")
+    resp = httpmsg.parse_response(raw)
+    assert resp is not None
+    assert resp["status"] == 200
+    assert resp["body"] == b"body\r\n\r\nmore.."
+    # and the reverse order: CRLF head, body with a lone \n\n stays body
+    raw2 = (b"HTTP/1.1 200 OK\r\n"
+            b"Content-Length: 8\r\n"
+            b"\r\n"
+            b"ab\n\ncdef")
+    assert httpmsg.parse_response(raw2)["body"] == b"ab\n\ncdef"
+
+
+def test_make_response_is_build_response_wrapper():
+    # r5 review DRY fix: make_response no longer keeps its own framing
+    # copy. Pin the visible contract: the 2x2 grid varies, variant 3
+    # (and only variant 3) carries the X-Crawl-Doc trailer, and every
+    # response parses back to the synthetic body.
+    for d in range(8):
+        for j in range(4):
+            raw = httpmsg.make_response(d, j)
+            resp = httpmsg.parse_response(raw)
+            assert resp["body"] == httpmsg.body_text(d, j).encode("ascii")
+            assert resp["headers"]["server"] == f"synth/{d % 3}"
+            variant = (d + j) % 4
+            assert (b"Transfer-Encoding: chunked" in raw) == \
+                (variant % 2 == 1)
+            assert (b"Content-Encoding: gzip" in raw) == (variant >= 2)
+            assert (resp["headers"].get("x-crawl-doc") == str(d)) == \
+                (variant == 3)

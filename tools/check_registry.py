@@ -31,9 +31,18 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     ap.add_argument("--master", default="local[8]")
+    ap.add_argument("--only", nargs="*", default=None,
+                    help="check only these query names (milestone loop; "
+                         "the full run stays the round gate)")
     args = ap.parse_args()
 
     registry = load_all()
+    if args.only:
+        unknown = sorted(set(args.only) - set(registry))
+        if unknown:
+            print(f"unknown queries: {unknown}")
+            return 2
+        registry = {n: registry[n] for n in args.only}
     spark = get_spark(master=args.master, shuffle_partitions=8)
     con = duckdb.connect()
     for t in TESTDATA_TABLES:
