@@ -1,0 +1,283 @@
+"""Model-based corpus filtering and training-batch preparation — the
+published-pipeline quartet every large LLM dataset build runs between
+extraction and training:
+
+- ``quality_lm_perplexity``: CCNet-style n-gram LM scoring (Wenzek et
+  al. 2020) — train a smoothed bigram LM on a trusted slice, score
+  every document by mean negative log-probability.
+- ``boilerplate_corpus_lines``: CCNet's corpus-level paragraph dedup —
+  lines repeated across many documents are boilerplate (nav bars,
+  cookie banners), flagged by a cross-corpus frequency join.
+- ``dsir_importance_weights``: DSIR (Xie et al. 2023) hashed-n-gram
+  importance weights — log p_target/p_raw per hashed feature bucket,
+  summed per document, for importance resampling toward a target
+  domain.
+- ``pack_training_sequences``: GPT-style sequence packing — documents
+  concatenated in stable order within a shard and cut into fixed-size
+  context windows; emits per-document window spans so a trainer can
+  address its tokens.
+
+All four are pure DataFrame plans (no Python in the hot path) with
+exact DuckDB oracle twins. The synthetic `documents` table plays the
+corpus; source='src0' plays the trusted/target slice (CCNet uses
+Wikipedia there).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from crawspark.registry import register
+from crawspark.sources import read_testdata
+
+# Trusted/target slice for LM training and DSIR target distribution.
+_TARGET_SRC = "src0"
+# add-k smoothing for the bigram LM (CCNet uses modified Kneser-Ney via
+# KenLM; add-k keeps the oracle exactly SQL-expressible)
+_LM_K = 0.5
+# DSIR hashed-feature buckets (the paper uses 10k hashed bigrams; the
+# synthetic vocab is 31 words so 1024 unigram buckets already exercises
+# collision handling)
+_DSIR_B = 1024
+# pseudo-line width for corpus-level boilerplate (documents are
+# single-line word soup; 3-word windows repeat often enough across the
+# corpus to make the frequency gate non-degenerate at every SF)
+_LINE_W = 3
+_BOILER_MIN_DOCS = 3
+# training context window (tokens) and shard fan-out for packing
+_CTX = 256
+_PACK_SHARDS = 16
+
+
+@register("quality_lm_perplexity", sql=f"""
+    WITH toks AS (
+      SELECT doc_id, lang, source, string_split(text, ' ') AS ts
+      FROM documents
+    ), big AS (
+      SELECT doc_id, lang, source, ts[i] AS w1, ts[i + 1] AS w2
+      FROM (SELECT doc_id, lang, source, ts,
+                   unnest(generate_series(1, len(ts) - 1)) AS i
+            FROM toks WHERE len(ts) >= 2)
+    ), c12 AS (
+      SELECT w1, w2, count(*) AS c FROM big
+      WHERE source = '{_TARGET_SRC}' GROUP BY w1, w2
+    ), c1 AS (
+      SELECT w1, sum(c) AS c FROM c12 GROUP BY w1
+    ), v AS (
+      SELECT count(DISTINCT t) AS v
+      FROM (SELECT unnest(ts) AS t FROM toks
+            WHERE source = '{_TARGET_SRC}')
+    ), scored AS (
+      SELECT b.doc_id, b.lang,
+             -ln((coalesce(c12.c, 0) + {_LM_K})
+                 / (coalesce(c1.c, 0) + {_LM_K} * v.v)) AS nl
+      FROM big b
+      LEFT JOIN c12 ON b.w1 = c12.w1 AND b.w2 = c12.w2
+      LEFT JOIN c1 ON b.w1 = c1.w1
+      CROSS JOIN v
+    )
+    SELECT doc_id, lang, CAST(count(*) AS INT) AS n_bigrams,
+           CAST(round(avg(nl), 4) AS DOUBLE) AS avg_neg_logp
+    FROM scored GROUP BY doc_id, lang
+""")
+def quality_lm_perplexity(spark, sf_dir):
+    # CCNet quality gate: P(w2|w1) = (c12 + k) / (c1 + k·V) trained on
+    # the trusted slice; every doc scored by mean −ln P over its
+    # bigrams (low = in-domain fluent, high = out-of-domain/garbled).
+    # 100 TB shape: the MODEL is an aggregate of the (small, fixed)
+    # trusted slice — broadcast to the scorers; the corpus side is one
+    # explode + two broadcast joins + a per-doc partial agg, so the
+    # only wide exchange is the final groupBy(doc_id), and AQE coalesces
+    # it. The vocabulary scalar rides along as a 1-row broadcast.
+    docs = read_testdata(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", "lang", "source",
+                       F.split("text", " ").alias("ts"))
+    big = (toks.filter(F.size("ts") >= 2)
+           .select("doc_id", "lang", "source", F.explode(F.expr(
+               "zip_with(slice(ts, 1, size(ts) - 1),"
+               "         slice(ts, 2, size(ts) - 1),"
+               "         (a, b) -> struct(a AS w1, b AS w2))"))
+               .alias("bg"))
+           .select("doc_id", "lang", "source", "bg.w1", "bg.w2"))
+    train = big.filter(F.col("source") == _TARGET_SRC)
+    c12 = train.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    vocab = (toks.filter(F.col("source") == _TARGET_SRC)
+             .select(F.explode("ts").alias("t"))
+             .agg(F.countDistinct("t").alias("v")))
+    nl = -F.log((F.coalesce(F.col("c12"), F.lit(0)) + F.lit(_LM_K))
+                / (F.coalesce(F.col("c1"), F.lit(0))
+                   + F.lit(_LM_K) * F.col("v")))
+    return (big
+            .join(F.broadcast(c12), ["w1", "w2"], "left")
+            .join(F.broadcast(c1), ["w1"], "left")
+            .crossJoin(F.broadcast(vocab))
+            .groupBy("doc_id", "lang")
+            .agg(F.count("*").cast("int").alias("n_bigrams"),
+                 F.round(F.avg(nl), 4).alias("avg_neg_logp")))
+
+
+@register("boilerplate_corpus_lines", sql=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+    ), lines AS (
+      SELECT doc_id,
+             array_to_string(ts[(i - 1) * {_LINE_W} + 1 :
+                                (i - 1) * {_LINE_W} + {_LINE_W}], ' ')
+               AS line
+      FROM (SELECT doc_id, ts,
+                   unnest(generate_series(1, len(ts) // {_LINE_W})) AS i
+            FROM toks WHERE len(ts) >= {_LINE_W})
+    ), freq AS (
+      SELECT line, count(DISTINCT doc_id) AS ndocs
+      FROM lines GROUP BY line
+    )
+    SELECT l.doc_id,
+           CAST(count(*) AS INT) AS n_lines,
+           CAST(sum(CASE WHEN f.ndocs >= {_BOILER_MIN_DOCS}
+                         THEN 1 ELSE 0 END) AS INT) AS n_boiler_lines,
+           CAST(round(1.0 - sum(CASE WHEN f.ndocs >= {_BOILER_MIN_DOCS}
+                                     THEN 1 ELSE 0 END)
+                            / CAST(count(*) AS DOUBLE), 4) AS DOUBLE)
+             AS kept_ratio
+    FROM lines l JOIN freq f USING (line)
+    GROUP BY l.doc_id
+""")
+def boilerplate_corpus_lines(spark, sf_dir):
+    # CCNet corpus-level dedup: a line (3-word pseudo-line here — the
+    # synthetic docs are single-line soup) occurring in ≥3 distinct
+    # documents is boilerplate. 100 TB shape: the frequency pass
+    # shuffles (line_hash) with two-phase distinct-count; the hot
+    # BOILERPLATE SET (freq ≥ threshold) is tiny by Zipf — broadcast
+    # it back over the lines instead of re-shuffling the corpus, which
+    # is exactly CCNet's frequent-paragraph hash set.
+    docs = read_testdata(spark, sf_dir, "documents")
+    lines = (docs
+             .select("doc_id", F.split("text", " ").alias("ts"))
+             .filter(F.size("ts") >= _LINE_W)
+             .select("doc_id", F.explode(F.expr(
+                 f"transform(sequence(0, (size(ts) div {_LINE_W}) - 1),"
+                 f" j -> array_join(slice(ts, j * {_LINE_W} + 1,"
+                 f" {_LINE_W}), ' '))")).alias("line")))
+    boiler = (lines.groupBy("line")
+              .agg(F.countDistinct("doc_id").alias("ndocs"))
+              .filter(F.col("ndocs") >= _BOILER_MIN_DOCS))
+    flagged = lines.join(F.broadcast(boiler), "line", "left")
+    is_boiler = F.when(F.col("ndocs").isNotNull(), 1).otherwise(0)
+    return (flagged.groupBy("doc_id")
+            .agg(F.count("*").cast("int").alias("n_lines"),
+                 F.sum(is_boiler).cast("int").alias("n_boiler_lines"),
+                 F.round(1.0 - F.sum(is_boiler)
+                         / F.count("*").cast("double"), 4)
+                 .alias("kept_ratio")))
+
+
+@register("dsir_importance_weights", sql=f"""
+    WITH words AS (
+      SELECT doc_id, source,
+             CAST(('0x' || substr(md5(t), 1, 8))::UBIGINT % {_DSIR_B}
+                  AS BIGINT) AS bucket
+      FROM (SELECT doc_id, source, unnest(string_split(text, ' ')) AS t
+            FROM documents)
+    ), raw AS (
+      SELECT bucket, count(*) AS c FROM words GROUP BY bucket
+    ), tgt AS (
+      SELECT bucket, count(*) AS c FROM words
+      WHERE source = '{_TARGET_SRC}' GROUP BY bucket
+    ), totals AS (
+      SELECT (SELECT sum(c) FROM raw) AS n_raw,
+             (SELECT coalesce(sum(c), 0) FROM tgt) AS n_tgt
+    ), wt AS (
+      SELECT raw.bucket,
+             ln((coalesce(tgt.c, 0) + 1.0) / (totals.n_tgt + {_DSIR_B}))
+               - ln((raw.c + 1.0) / (totals.n_raw + {_DSIR_B}))
+               AS logw
+      FROM raw LEFT JOIN tgt USING (bucket) CROSS JOIN totals
+    )
+    SELECT w.doc_id, CAST(count(*) AS INT) AS n_tokens,
+           CAST(round(sum(wt.logw), 4) AS DOUBLE) AS log_weight
+    FROM words w JOIN wt USING (bucket)
+    GROUP BY w.doc_id
+""")
+def dsir_importance_weights(spark, sf_dir):
+    # DSIR data selection: hashed-feature importance weight
+    # log p_target(f)/p_raw(f) with add-1 smoothing over B buckets,
+    # summed per document — resample the raw corpus toward the target
+    # domain proportionally to exp(log_weight). 100 TB shape: the
+    # bucket-weight table is AT MOST B rows by construction — broadcast
+    # — so the corpus side is explode → broadcast join → per-doc agg;
+    # the only wide exchange is the final groupBy(doc_id). The md5-hex
+    # bucket is bit-identical in Spark (conv) and DuckDB (::UBIGINT),
+    # the same pairing the KMV sketches pin.
+    docs = read_testdata(spark, sf_dir, "documents")
+    words = (docs
+             .select("doc_id", "source",
+                     F.explode(F.split("text", " ")).alias("t"))
+             .select("doc_id", "source",
+                     F.pmod(F.conv(F.substring(F.md5("t"), 1, 8), 16, 10)
+                            .cast("long"), F.lit(_DSIR_B)).alias("bucket")))
+    raw = words.groupBy("bucket").agg(F.count("*").alias("c_raw"))
+    tgt = (words.filter(F.col("source") == _TARGET_SRC)
+           .groupBy("bucket").agg(F.count("*").alias("c_tgt")))
+    totals = (raw.agg(F.sum("c_raw").alias("n_raw"))
+              .crossJoin(tgt.agg(F.coalesce(F.sum("c_tgt"), F.lit(0))
+                                 .alias("n_tgt"))))
+    wt = (raw.join(tgt, "bucket", "left").crossJoin(F.broadcast(totals))
+          .select("bucket",
+                  (F.log((F.coalesce(F.col("c_tgt"), F.lit(0)) + 1.0)
+                         / (F.col("n_tgt") + _DSIR_B))
+                   - F.log((F.col("c_raw") + 1.0)
+                           / (F.col("n_raw") + _DSIR_B))).alias("logw")))
+    return (words.join(F.broadcast(wt), "bucket")
+            .groupBy("doc_id")
+            .agg(F.count("*").cast("int").alias("n_tokens"),
+                 F.round(F.sum("logw"), 4).alias("log_weight")))
+
+
+@register("pack_training_sequences", sql=f"""
+    WITH toks AS (
+      SELECT doc_id, lang, doc_id % {_PACK_SHARDS} AS shard,
+             len(string_split(text, ' ')) AS n_tokens
+      FROM documents
+    ), packed AS (
+      SELECT doc_id, lang, shard, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+      FROM toks
+    )
+    SELECT doc_id, lang, CAST(shard AS INT) AS shard,
+           CAST(n_tokens AS INT) AS n_tokens,
+           CAST((cum - n_tokens) // {_CTX} AS BIGINT) AS start_seq,
+           CAST((cum - 1) // {_CTX} AS BIGINT) AS end_seq,
+           CAST((cum - 1) // {_CTX} - (cum - n_tokens) // {_CTX} + 1
+                AS INT) AS n_seqs
+    FROM packed
+""")
+def pack_training_sequences(spark, sf_dir):
+    # GPT-style packing: concatenate documents in stable (doc_id) order
+    # within a (lang, shard) stream and cut into fixed _CTX-token
+    # windows; each doc reports the window span holding its tokens.
+    # 100 TB shape: packing is per-shard BY DESIGN — a global order
+    # would serialize on one window partition, so real pipelines pack
+    # within output shards; shard count scales with the cluster and
+    # the window is a single partial-free exchange on (lang, shard).
+    docs = read_testdata(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang", "shard").orderBy("doc_id") \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    toks = docs.select(
+        "doc_id", "lang",
+        F.pmod(F.col("doc_id"), F.lit(_PACK_SHARDS)).alias("shard"),
+        F.size(F.split("text", " ")).alias("n_tokens"))
+    cum = F.sum("n_tokens").over(w)
+    return (toks
+            .withColumn("cum", cum)
+            .select("doc_id", "lang",
+                    F.col("shard").cast("int").alias("shard"),
+                    F.col("n_tokens").cast("int").alias("n_tokens"),
+                    F.floor((F.col("cum") - F.col("n_tokens")) / _CTX)
+                    .alias("start_seq"),
+                    F.floor((F.col("cum") - 1) / _CTX).alias("end_seq"),
+                    (F.floor((F.col("cum") - 1) / _CTX)
+                     - F.floor((F.col("cum") - F.col("n_tokens")) / _CTX)
+                     + 1).cast("int").alias("n_seqs")))

@@ -47,6 +47,7 @@ def load_all() -> dict[str, QuerySpec]:
         dedup,
         export,
         extraction_queries,
+        lmquality,
         merge,
         multimodal,
         relational,

@@ -1,0 +1,172 @@
+"""Model-based corpus filtering (lmquality.py): independent
+pure-Python replays of each algorithm's definition, compared against
+the Spark plans on real testdata docs. The DuckDB twins pin
+Spark==SQL; these pin both against the published formulas
+(CCNet / DSIR / GPT packing) computed a third way.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from collections import Counter
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs():
+    import duckdb
+
+    con = duckdb.connect()
+    rows = con.execute(
+        "SELECT doc_id, lang, source, text FROM "
+        f"read_parquet('{SF}/documents.parquet') ORDER BY doc_id"
+    ).fetchall()
+    con.close()
+    return rows
+
+
+@pytest.fixture(scope="module")
+def docs():
+    return _docs()
+
+
+def test_lm_perplexity_matches_formula(spark, docs):
+    from crawspark.operators.lmquality import (
+        _LM_K,
+        _TARGET_SRC,
+        quality_lm_perplexity,
+    )
+
+    # pure-Python bigram LM over the target slice
+    c12: Counter = Counter()
+    vocab = set()
+    for _, _, source, text in docs:
+        if source != _TARGET_SRC:
+            continue
+        ts = text.split(" ")
+        vocab.update(ts)
+        c12.update(zip(ts, ts[1:]))
+    c1: Counter = Counter()
+    for (w1, _), c in c12.items():
+        c1[w1] += c
+    v = len(vocab)
+
+    def score(text):
+        ts = text.split(" ")
+        nls = [-math.log((c12.get((a, b), 0) + _LM_K)
+                         / (c1.get(a, 0) + _LM_K * v))
+               for a, b in zip(ts, ts[1:])]
+        return len(nls), round(sum(nls) / len(nls), 4)
+
+    got = {r["doc_id"]: (r["n_bigrams"], r["avg_neg_logp"])
+           for r in quality_lm_perplexity(spark, SF).collect()}
+    assert len(got) == len(docs)
+    for doc_id, _, _, text in docs[:40]:
+        n, s = score(text)
+        assert got[doc_id][0] == n
+        assert got[doc_id][1] == pytest.approx(s, abs=2e-4), doc_id
+
+
+def test_boilerplate_lines_matches_replay(spark, docs):
+    from crawspark.operators.lmquality import (
+        _BOILER_MIN_DOCS,
+        _LINE_W,
+        boilerplate_corpus_lines,
+    )
+
+    per_doc: dict[int, list[str]] = {}
+    line_docs: dict[str, set] = {}
+    for doc_id, _, _, text in docs:
+        ts = text.split(" ")
+        lines = [" ".join(ts[j * _LINE_W:(j + 1) * _LINE_W])
+                 for j in range(len(ts) // _LINE_W)]
+        per_doc[doc_id] = lines
+        for ln in lines:
+            line_docs.setdefault(ln, set()).add(doc_id)
+    boiler = {ln for ln, ds in line_docs.items()
+              if len(ds) >= _BOILER_MIN_DOCS}
+
+    got = {r["doc_id"]: r for r in
+           boilerplate_corpus_lines(spark, SF).collect()}
+    assert len(got) == len(per_doc)
+    n_flagged = 0
+    for doc_id, lines in per_doc.items():
+        nb = sum(1 for ln in lines if ln in boiler)
+        assert got[doc_id]["n_lines"] == len(lines)
+        assert got[doc_id]["n_boiler_lines"] == nb, doc_id
+        n_flagged += nb > 0
+    # the frequency gate must be non-degenerate at this SF
+    assert 0 < n_flagged < len(per_doc)
+
+
+def test_dsir_weights_match_formula(spark, docs):
+    from crawspark.operators.lmquality import (
+        _DSIR_B,
+        _TARGET_SRC,
+        dsir_importance_weights,
+    )
+
+    def bucket(tok: str) -> int:
+        return int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % _DSIR_B
+
+    raw: Counter = Counter()
+    tgt: Counter = Counter()
+    for _, _, source, text in docs:
+        for t in text.split(" "):
+            b = bucket(t)
+            raw[b] += 1
+            if source == _TARGET_SRC:
+                tgt[b] += 1
+    n_raw, n_tgt = sum(raw.values()), sum(tgt.values())
+    logw = {b: math.log((tgt.get(b, 0) + 1.0) / (n_tgt + _DSIR_B))
+            - math.log((c + 1.0) / (n_raw + _DSIR_B))
+            for b, c in raw.items()}
+
+    got = {r["doc_id"]: r for r in
+           dsir_importance_weights(spark, SF).collect()}
+    for doc_id, _, source, text in docs[:40]:
+        toks = text.split(" ")
+        expect = round(sum(logw[bucket(t)] for t in toks), 4)
+        assert got[doc_id]["n_tokens"] == len(toks)
+        assert got[doc_id]["log_weight"] == pytest.approx(
+            expect, abs=2e-3), doc_id
+    # target-slice docs must importance-weigh above the corpus median
+    # PER TOKEN (the summed weight is length-dominated — longer docs
+    # are always more negative, so normalize before comparing domains)
+    per_tok = {d: r["log_weight"] / r["n_tokens"] for d, r in got.items()}
+    weights = sorted(per_tok.values())
+    median = weights[len(weights) // 2]
+    tgt_ws = [per_tok[d] for d, _, s, _ in docs if s == _TARGET_SRC]
+    assert sum(w > median for w in tgt_ws) > len(tgt_ws) / 2
+
+
+def test_packing_is_contiguous_and_complete(spark, docs):
+    from crawspark.operators.lmquality import (
+        _CTX,
+        _PACK_SHARDS,
+        pack_training_sequences,
+    )
+
+    rows = pack_training_sequences(spark, SF).collect()
+    assert len(rows) == len(docs)
+    streams: dict[tuple, list] = {}
+    for r in rows:
+        assert r["shard"] == r["doc_id"] % _PACK_SHARDS
+        streams.setdefault((r["lang"], r["shard"]), []).append(r)
+    for key, rs in streams.items():
+        rs.sort(key=lambda r: r["doc_id"])
+        cum = 0
+        for r in rs:
+            # spans derive from the running concatenation offset
+            assert r["start_seq"] == cum // _CTX, key
+            cum += r["n_tokens"]
+            assert r["end_seq"] == (cum - 1) // _CTX
+            assert r["n_seqs"] == r["end_seq"] - r["start_seq"] + 1
+            # n contiguous tokens touch at most ceil(n/CTX) + 1 windows
+            # (the +1 is the straddle when the doc starts mid-window)
+            assert 1 <= r["n_seqs"] <= (r["n_tokens"] + _CTX - 1) // _CTX + 1
+    # some docs must straddle a context boundary at this SF
+    assert any(r["n_seqs"] > 1 for r in rows)

@@ -263,3 +263,30 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark, tmp_path):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_lmquality_plans_broadcast_models_and_shard_windows(spark):
+    # The lmquality quartet's 100 TB contracts, pinned as plan
+    # properties: every model-table join is a broadcast (the corpus
+    # side never sort-merge-shuffles against the model), and sequence
+    # packing windows on (lang, shard) — never a global window, which
+    # would serialize the corpus through one partition.
+    from crawspark.operators.lmquality import (
+        boilerplate_corpus_lines,
+        dsir_importance_weights,
+        pack_training_sequences,
+        quality_lm_perplexity,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    for fn in (quality_lm_perplexity, boilerplate_corpus_lines,
+               dsir_importance_weights):
+        plan = executed_plan(fn(spark, sf))
+        assert "SortMergeJoin" not in plan, fn.__name__
+        assert "BroadcastHashJoin" in plan or \
+            "BroadcastNestedLoopJoin" in plan, fn.__name__
+
+    plan = executed_plan(pack_training_sequences(spark, sf))
+    assert "windowspecdefinition(lang" in plan, plan
+    # exactly one exchange: the (lang, shard) hash for the window
+    assert plan.count("Exchange") == 1, plan
