@@ -281,3 +281,152 @@ def pack_training_sequences(spark, sf_dir):
                     (F.floor((F.col("cum") - 1) / _CTX)
                      - F.floor((F.col("cum") - F.col("n_tokens")) / _CTX)
                      + 1).cast("int").alias("n_seqs")))
+
+
+# --------------------------------------------------------------------------
+# BPE vocabulary induction (Sennrich et al. 2016) — tokenizer training as
+# a corpus job: iteratively merge the most frequent adjacent symbol pair.
+# --------------------------------------------------------------------------
+
+# 8 steps reaches the first merge-of-merge (a pair whose member is
+# itself a merged symbol) at every test SF — the recursion that makes
+# BPE BPE; fewer steps train only char-pair bigrams
+_BPE_STEPS = 8
+
+# Canonical symbolization: every symbol wrapped as ' sym ' and
+# concatenated, so adjacency is a DOUBLE space. This makes merge
+# application a plain string replace of ' w1  w2 ' -> ' w1w2 ' — and
+# because each symbol keeps its own delimiters, consecutive merges
+# ("a a a a" -> "aa aa") work under left-to-right non-overlapping
+# replace semantics, which both Spark and DuckDB share and which is
+# exactly BPE's greedy scan. A singly-delimited form would share the
+# middle space between matches and silently skip every second merge.
+
+
+def _bpe_train(spark, sf_dir):
+    """Run the merge loop; returns (final words DF, merge rows).
+
+    100 TB shape: ONE corpus-wide shuffle builds the (word, count)
+    table; every iteration after that touches only the distinct-word
+    table (vocabulary-sized — millions of rows against a 10^12-token
+    corpus), the classic BPE trick. The argmax pair is a 1-row
+    driver collect per step (bounded, like the k-means codebook
+    training); the chosen pair is folded back as a literal so the
+    plan stays static per iteration, with a localCheckpoint cutting
+    the growing replace-chain lineage.
+    """
+    docs = read_testdata(spark, sf_dir, "documents")
+    words = (docs.select(F.explode(F.split("text", " ")).alias("word"))
+             .groupBy("word").agg(F.count("*").alias("cnt"))
+             .withColumn("syms", F.expr(
+                 "concat_ws('', transform(split(word, ''),"
+                 " c -> concat(' ', c, ' ')))"))
+             .localCheckpoint(eager=True))
+    merges = []
+    for step in range(1, _BPE_STEPS + 1):
+        pairs = (words
+                 .select(F.split(F.trim("syms"), "  ").alias("s"), "cnt")
+                 .filter(F.size("s") >= 2)
+                 .select(F.explode(F.expr(
+                     "transform(sequence(1, size(s) - 1),"
+                     " i -> struct(s[i-1] AS w1, s[i] AS w2))"))
+                     .alias("p"), "cnt")
+                 .groupBy("p.w1", "p.w2").agg(F.sum("cnt").alias("c")))
+        best = pairs.orderBy(F.desc("c"), "w1", "w2").limit(1).collect()[0]
+        merges.append((step, best["w1"], best["w2"],
+                       best["w1"] + best["w2"], int(best["c"])))
+        words = (words.withColumn("syms", F.replace(
+            "syms",
+            F.lit(f" {best['w1']}  {best['w2']} "),
+            F.lit(f" {best['w1']}{best['w2']} ")))
+            .localCheckpoint(eager=True))
+    return words, merges
+
+
+def _bpe_oracle_cte(doc_table: str, steps: int) -> str:
+    """The unrolled-CTE chain w0..w{steps} / m0..m{steps-1} — the same
+    formula-as-SQL technique as the PageRank oracle: every iteration's
+    argmax and replace is replayed exactly, no Python in the check."""
+    sql = f"""
+    WITH words AS (
+      SELECT t AS word, count(*) AS cnt
+      FROM (SELECT unnest(string_split(text, ' ')) AS t FROM {doc_table})
+      GROUP BY t
+    ), w0 AS (
+      SELECT word, cnt,
+             array_to_string(list_transform(
+               generate_series(1, length(word)),
+               i -> ' ' || substr(word, i, 1) || ' '), '') AS syms
+      FROM words
+    )"""
+    for k in range(steps):
+        sql += f""", p{k} AS (
+      SELECT s[i] AS w1, s[i+1] AS w2, sum(cnt) AS c
+      FROM (SELECT s, cnt, unnest(generate_series(1, len(s) - 1)) AS i
+            FROM (SELECT string_split(trim(syms), '  ') AS s, cnt
+                  FROM w{k}))
+      GROUP BY w1, w2
+    ), m{k} AS (
+      SELECT w1, w2, c FROM p{k} ORDER BY c DESC, w1, w2 LIMIT 1
+    ), w{k + 1} AS (
+      SELECT word, cnt,
+             replace(syms, ' ' || m.w1 || '  ' || m.w2 || ' ',
+                     ' ' || m.w1 || m.w2 || ' ') AS syms
+      FROM w{k}, m{k} m
+    )"""
+    return sql
+
+
+@register("bpe_train_merges", sql=_bpe_oracle_cte("documents", _BPE_STEPS)
+          + "\nSELECT * FROM ("
+          + " UNION ALL ".join(
+              f"SELECT {k + 1} AS step, w1, w2, w1 || w2 AS merged, "
+              f"CAST(c AS BIGINT) AS pair_count FROM m{k}"
+              for k in range(_BPE_STEPS)) + ")")
+def bpe_train_merges(spark, sf_dir):
+    # The trained merge table — ties broken (count DESC, w1, w2) so the
+    # sequence is deterministic on both engines.
+    _, merges = _bpe_train(spark, sf_dir)
+    return spark.createDataFrame(
+        merges, "step int, w1 string, w2 string, merged string, "
+                "pair_count bigint")
+
+
+@register("bpe_segment_stats", sql=_bpe_oracle_cte("documents", _BPE_STEPS)
+          + f"""
+    , final AS (
+      SELECT word, len(string_split(trim(syms), '  ')) AS n_syms
+      FROM w{_BPE_STEPS}
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(length(t.word)) AS BIGINT) AS n_chars,
+           CAST(sum(f.n_syms) AS BIGINT) AS n_bpe_tokens,
+           CAST(round(sum(length(t.word))
+                      / CAST(sum(f.n_syms) AS DOUBLE), 4) AS DOUBLE)
+             AS chars_per_token
+    FROM (SELECT lang, unnest(string_split(text, ' ')) AS word
+          FROM documents) t
+    JOIN final f USING (word)
+    GROUP BY lang
+""")
+def bpe_segment_stats(spark, sf_dir):
+    # The ENCODE path: apply the trained merges back to the corpus and
+    # report per-language compression (chars per BPE token) — the
+    # number a tokenizer-training job is actually run for. The trained
+    # word->segmentation model is vocabulary-sized, so the corpus-side
+    # application is a broadcast join on word.
+    words, _ = _bpe_train(spark, sf_dir)
+    final = words.select(
+        "word", F.size(F.split(F.trim("syms"), "  ")).alias("n_syms"))
+    docs = read_testdata(spark, sf_dir, "documents")
+    corpus = docs.select(
+        "lang", F.explode(F.split("text", " ")).alias("word"))
+    return (corpus.join(F.broadcast(final), "word")
+            .groupBy("lang")
+            .agg(F.count("*").alias("n_words"),
+                 F.sum(F.length("word")).alias("n_chars"),
+                 F.sum("n_syms").alias("n_bpe_tokens"),
+                 F.round(F.sum(F.length("word"))
+                         / F.sum("n_syms").cast("double"), 4)
+                 .alias("chars_per_token")))

@@ -170,3 +170,74 @@ def test_packing_is_contiguous_and_complete(spark, docs):
             assert 1 <= r["n_seqs"] <= (r["n_tokens"] + _CTX - 1) // _CTX + 1
     # some docs must straddle a context boundary at this SF
     assert any(r["n_seqs"] > 1 for r in rows)
+
+
+def _bpe_reference(word_counts, steps):
+    # Sennrich et al. (2016) algorithm 1, greedy left-to-right merge
+    from collections import Counter
+
+    syms = {w: list(w) for w in word_counts}
+    merges = []
+    for step in range(1, steps + 1):
+        pc: Counter = Counter()
+        for w, c in word_counts.items():
+            s = syms[w]
+            for a, b in zip(s, s[1:]):
+                pc[(a, b)] += c
+        (a, b), c = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((step, a, b, a + b, c))
+        for w, s in syms.items():
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            syms[w] = out
+    return merges, syms
+
+
+def test_bpe_merges_match_reference(spark, docs):
+    from collections import Counter
+
+    from crawspark.operators.lmquality import _BPE_STEPS, bpe_train_merges
+
+    wc: Counter = Counter()
+    for _, _, _, text in docs:
+        wc.update(text.split(" "))
+    expect, _ = _bpe_reference(wc, _BPE_STEPS)
+    got = [(r["step"], r["w1"], r["w2"], r["merged"], r["pair_count"])
+           for r in bpe_train_merges(spark, SF)
+           .orderBy("step").collect()]
+    assert got == expect
+    # the trained table must exercise merge-of-merge (a step whose w1
+    # or w2 is itself a multi-char merged symbol) or the chain is
+    # degenerate
+    assert any(len(w1) > 1 or len(w2) > 1 for _, w1, w2, _, _ in got)
+
+
+def test_bpe_wrapped_replace_handles_consecutive_merges():
+    # The delimiter hand vector behind the syms encoding: each symbol
+    # wrapped as ' s ' so replacing ' a  a ' -> ' aa ' merges BOTH
+    # pairs of "a a a a" (a singly-delimited form shares the middle
+    # space and merges only the first — the classic BPE-via-replace
+    # bug). Greedy left-to-right on "a a a" merges once.
+    wrap = lambda s: "".join(f" {c} " for c in s)  # noqa: E731
+    four = wrap("aaaa").replace(" a  a ", " aa ")
+    assert four == " aa  aa "
+    three = wrap("aaa").replace(" a  a ", " aa ")
+    assert three == " aa  a "
+
+
+def test_bpe_segment_stats_compress(spark, docs):
+    from crawspark.operators.lmquality import bpe_segment_stats
+
+    rows = bpe_segment_stats(spark, SF).collect()
+    langs = {r["lang"] for r in rows}
+    assert langs == {d[1] for d in docs}
+    for r in rows:
+        # merges only ever shrink the symbol count, never below 1/word
+        assert r["n_words"] <= r["n_bpe_tokens"] <= r["n_chars"]
+        assert r["chars_per_token"] > 1.0  # six merges must compress
