@@ -382,3 +382,102 @@ def heavy_hitters_users(spark, sf_dir):
     # exact pass (still correct, but the multi-summary union is the point)
     keyed = keyed.repartition(spark.sparkContext.defaultParallelism)
     return heavy_hitters(keyed, "hot_key", 20)
+
+
+# ---------------------------------------------------------------------------
+# HITS hubs & authorities (Kleinberg 1999) over the same crawl graph as
+# pagerank_hosts — the complementary centrality pair: a good HUB links
+# to many good authorities (frontier seed lists), a good AUTHORITY is
+# linked from many good hubs (fetch-priority signal). Same iterative
+# DataFrame loop + unrolled-CTE oracle technique as PageRank, with L1
+# normalization (sums, no sqrt) so the replay is plain arithmetic.
+# ---------------------------------------------------------------------------
+
+HITS_ITERS = 4
+
+
+def _hits_oracle_sql(sf_dir: str) -> str:
+    from crawspark.operators.extraction_queries import extract_oracle_path
+
+    pq = f"read_parquet('{extract_oracle_path(sf_dir)}')"
+    base = f"""
+    WITH raw_links AS (
+      SELECT e.doc_id,
+             lower(regexp_extract(unnest(e.outlinks), '{_PR_HOST_RE}', 1))
+               AS host
+      FROM {pq} e
+    ), edges AS MATERIALIZED (
+      SELECT DISTINCT d.source AS src, l.host AS dst
+      FROM raw_links l JOIN documents d ON d.doc_id = CAST(l.doc_id AS BIGINT)
+      WHERE l.host <> ''
+    ), nodes AS MATERIALIZED (
+      SELECT src AS node FROM edges UNION SELECT dst FROM edges
+    ), nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+    h0 AS MATERIALIZED (SELECT node, 1.0 / (SELECT n FROM nn) AS h FROM nodes)"""
+    steps = []
+    for k in range(HITS_ITERS):
+        steps.append(f"""
+    araw{k} AS MATERIALIZED (
+      SELECT e.dst AS node, sum(h.h) AS v
+      FROM edges e JOIN h{k} h ON h.node = e.src GROUP BY e.dst),
+    a{k + 1} AS MATERIALIZED (
+      SELECT n.node, coalesce(r.v, 0) / (SELECT sum(v) FROM araw{k}) AS a
+      FROM nodes n LEFT JOIN araw{k} r ON r.node = n.node),
+    hraw{k} AS MATERIALIZED (
+      SELECT e.src AS node, sum(a.a) AS v
+      FROM edges e JOIN a{k + 1} a ON a.node = e.dst GROUP BY e.src),
+    h{k + 1} AS MATERIALIZED (
+      SELECT n.node, coalesce(r.v, 0) / (SELECT sum(v) FROM hraw{k}) AS h
+      FROM nodes n LEFT JOIN hraw{k} r ON r.node = n.node)""")
+    return (base + "," + ",".join(steps)
+            + f"""
+    SELECT a.node, a.a AS authority, h.h AS hub
+    FROM a{HITS_ITERS} a JOIN h{HITS_ITERS} h USING (node)""")
+
+
+@register("hits_hosts", sql=_hits_oracle_sql)
+def hits_hosts(spark, sf_dir):
+    # Same edge materialization as pagerank_hosts; each iteration is
+    # two sparse matvecs (edges ⋈ scores, grouped by the opposite
+    # endpoint) with the L1 normalizer riding along as a 1-row
+    # broadcast — no per-iteration driver action, lineage cut per step.
+    from crawspark.operators.extraction_queries import _extracted
+
+    ext = _extracted(spark, sf_dir)
+    links = (ext.select("doc_id", F.explode("outlinks").alias("link"))
+             .select("doc_id",
+                     F.lower(F.regexp_extract("link", _PR_HOST_RE, 1))
+                     .alias("host"))
+             .filter(F.col("host") != ""))
+    docs = (read_testdata(spark, sf_dir, "documents")
+            .select(F.col("doc_id").cast("string").alias("doc_id"), "source"))
+    edges = (links.join(docs, "doc_id")
+             .select(F.col("source").alias("src"), F.col("host").alias("dst"))
+             .distinct()
+             .localCheckpoint(eager=True))
+    nodes = (edges.select(F.col("src").alias("node"))
+             .union(edges.select(F.col("dst").alias("node")))
+             .distinct().localCheckpoint(eager=True))
+    n = nodes.count()
+    hubs = nodes.withColumn("h", F.lit(1.0 / n))
+    auths = None
+    for _ in range(HITS_ITERS):
+        araw = (edges.join(hubs, edges["src"] == hubs["node"])
+                .groupBy("dst").agg(F.sum("h").alias("v")))
+        asum = araw.agg(F.sum("v").alias("s"))
+        auths = (nodes.join(araw, nodes["node"] == araw["dst"], "left")
+                 .crossJoin(F.broadcast(asum))
+                 .select("node", (F.coalesce("v", F.lit(0.0)) / F.col("s"))
+                         .alias("a"))
+                 .localCheckpoint(eager=True))
+        hraw = (edges.join(auths, edges["dst"] == auths["node"])
+                .groupBy("src").agg(F.sum("a").alias("v")))
+        hsum = hraw.agg(F.sum("v").alias("s"))
+        hubs = (nodes.join(hraw, nodes["node"] == hraw["src"], "left")
+                .crossJoin(F.broadcast(hsum))
+                .select("node", (F.coalesce("v", F.lit(0.0)) / F.col("s"))
+                        .alias("h"))
+                .localCheckpoint(eager=True))
+    return (auths.join(hubs, "node")
+            .select("node", F.col("a").alias("authority"),
+                    F.col("h").alias("hub")))

@@ -50,7 +50,9 @@ _CTX = 256
 _PACK_SHARDS = 16
 
 
-@register("quality_lm_perplexity", sql=f"""
+# The bigram-LM scoring query as SQL — shared by quality_lm_perplexity
+# and the CCNet bucketing query below (one definition, no drift).
+_LM_PPL_SQL = f"""
     WITH toks AS (
       SELECT doc_id, lang, source, string_split(text, ' ') AS ts
       FROM documents
@@ -80,7 +82,10 @@ _PACK_SHARDS = 16
     SELECT doc_id, lang, CAST(count(*) AS INT) AS n_bigrams,
            CAST(round(avg(nl), 4) AS DOUBLE) AS avg_neg_logp
     FROM scored GROUP BY doc_id, lang
-""")
+"""
+
+
+@register("quality_lm_perplexity", sql=_LM_PPL_SQL)
 def quality_lm_perplexity(spark, sf_dir):
     # CCNet quality gate: P(w2|w1) = (c12 + k) / (c1 + k·V) trained on
     # the trusted slice; every doc scored by mean −ln P over its
@@ -430,3 +435,43 @@ def bpe_segment_stats(spark, sf_dir):
                  F.round(F.sum(F.length("word"))
                          / F.sum("n_syms").cast("double"), 4)
                  .alias("chars_per_token")))
+
+
+@register("ccnet_ppl_buckets", sql=f"""
+    SELECT lang, bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(round(avg(avg_neg_logp), 4) AS DOUBLE) AS mean_nl,
+           CAST(min(avg_neg_logp) AS DOUBLE) AS min_nl,
+           CAST(max(avg_neg_logp) AS DOUBLE) AS max_nl
+    FROM (
+      SELECT lang, avg_neg_logp,
+             CASE ntile(3) OVER (PARTITION BY lang
+                                 ORDER BY avg_neg_logp, doc_id)
+                  WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                  ELSE 'tail' END AS bucket
+      FROM ({_LM_PPL_SQL})
+    )
+    GROUP BY lang, bucket
+""")
+def ccnet_ppl_buckets(spark, sf_dir):
+    # CCNet's head/middle/tail split: per language, rank documents by
+    # LM score and cut into terciles — 'head' is the most in-domain
+    # third that downstream training actually keeps. ntile over
+    # (rounded score, doc_id) is exactly deterministic on both engines,
+    # unlike an interpolated percentile cutoff whose float boundary can
+    # flip membership. Scale note: the per-language global sort is
+    # inherent to the definition (CCNet sorts each language shard); at
+    # 10^12 docs the production variant computes approximate cutoffs
+    # (approx_percentile) and broadcast-joins them — the tercile
+    # SEMANTICS here are the contract, the window is the small-SF path.
+    ppl = quality_lm_perplexity(spark, sf_dir)
+    w = Window.partitionBy("lang").orderBy("avg_neg_logp", "doc_id")
+    bucket = (F.when(F.ntile(3).over(w) == 1, "head")
+              .when(F.ntile(3).over(w) == 2, "middle")
+              .otherwise("tail"))
+    return (ppl.withColumn("bucket", bucket)
+            .groupBy("lang", "bucket")
+            .agg(F.count("*").alias("n_docs"),
+                 F.round(F.avg("avg_neg_logp"), 4).alias("mean_nl"),
+                 F.min("avg_neg_logp").alias("min_nl"),
+                 F.max("avg_neg_logp").alias("max_nl")))

@@ -128,3 +128,22 @@ def test_heavy_hitters_superset_survives_thin_spread(spark):
     df = noise.unionByName(hot).repartition(16)  # hot rows scatter evenly
     got = heavy_hitters(df, "k", 12).collect()
     assert [(r["k"], r["freq"]) for r in got] == [(42, 10_000)]
+
+
+def test_hits_scores_are_l1_normalized(spark):
+    # Kleinberg's invariants after the final iteration: authority mass
+    # and hub mass each sum to 1 (L1), authorities live only on link
+    # TARGETS and hubs only on link SOURCES.
+    import pytest
+
+    from crawspark.operators.analytics import hits_hosts
+
+    rows = hits_hosts(spark, "/root/testdata/sf0.001").collect()
+    asum = sum(r["authority"] for r in rows)
+    hsum = sum(r["hub"] for r in rows)
+    assert asum == pytest.approx(1.0, abs=1e-9)
+    assert hsum == pytest.approx(1.0, abs=1e-9)
+    assert any(r["authority"] > 0 and r["hub"] == 0 for r in rows) or \
+        any(r["hub"] > 0 and r["authority"] == 0 for r in rows)
+    # scores differentiate (not a uniform fixed point)
+    assert len({round(r["authority"], 9) for r in rows}) > 3

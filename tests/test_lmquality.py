@@ -241,3 +241,23 @@ def test_bpe_segment_stats_compress(spark, docs):
         # merges only ever shrink the symbol count, never below 1/word
         assert r["n_words"] <= r["n_bpe_tokens"] <= r["n_chars"]
         assert r["chars_per_token"] > 1.0  # six merges must compress
+
+
+def test_ccnet_buckets_are_balanced_terciles(spark, docs):
+    from crawspark.operators.lmquality import ccnet_ppl_buckets
+
+    rows = ccnet_ppl_buckets(spark, SF).collect()
+    per_lang: dict[str, dict[str, object]] = {}
+    for r in rows:
+        per_lang.setdefault(r["lang"], {})[r["bucket"]] = r
+    n_docs_by_lang = Counter(d[1] for d in docs)
+    for lang, buckets in per_lang.items():
+        assert set(buckets) == {"head", "middle", "tail"}
+        # ntile balance: bucket sizes differ by at most 1 and sum to
+        # the language's doc count
+        sizes = [buckets[b]["n_docs"] for b in ("head", "middle", "tail")]
+        assert sum(sizes) == n_docs_by_lang[lang]
+        assert max(sizes) - min(sizes) <= 1
+        # head is the LOW-perplexity (in-domain) end, tail the high end
+        assert buckets["head"]["max_nl"] <= buckets["middle"]["min_nl"]
+        assert buckets["middle"]["max_nl"] <= buckets["tail"]["min_nl"]
