@@ -205,3 +205,77 @@ def curate_corpus_v2(spark, sf_dir):
             .filter((F.col("top_word_frac") <= TOP_WORD_MAX)
                     & (F.col("dup_sentence_ratio") <= DUP_SENT_MAX))
             .select("doc_id", "lang", "n_tokens"))
+
+
+# v3 gates: CCNet keeps head+middle perplexity buckets and drops pages
+# dominated by cross-corpus boilerplate
+BOILER_KEEP_MIN = 0.7
+
+
+def _curate_v3_sql(sf_dir: str) -> str:
+    # Composed lazily from the REGISTERED oracles of the component
+    # queries (one definition per signal — the span-canon lesson), so
+    # the flagship's oracle can never drift from its parts'.
+    from crawspark.operators.lmquality import _LM_PPL_SQL  # noqa: F401
+    from crawspark.registry import REGISTRY
+
+    v2 = REGISTRY["curate_corpus_v2"].render_sql(sf_dir)
+    boiler = REGISTRY["boilerplate_corpus_lines"].render_sql(sf_dir)
+    dsir = REGISTRY["dsir_importance_weights"].render_sql(sf_dir)
+    return f"""
+    SELECT v2.doc_id, v2.lang, v2.n_tokens,
+           p.avg_neg_logp, p.bucket,
+           w.log_weight
+    FROM ({v2}) v2
+    JOIN (
+      SELECT doc_id, avg_neg_logp,
+             CASE ntile(3) OVER (PARTITION BY lang
+                                 ORDER BY avg_neg_logp, doc_id)
+                  WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                  ELSE 'tail' END AS bucket
+      FROM ({_LM_PPL_SQL})
+    ) p USING (doc_id)
+    JOIN ({boiler}) b USING (doc_id)
+    JOIN ({dsir}) w USING (doc_id)
+    WHERE p.bucket <> 'tail' AND b.kept_ratio >= {BOILER_KEEP_MIN}
+    """
+
+
+@register("curate_corpus_v3", sql=_curate_v3_sql)
+def curate_corpus_v3(spark, sf_dir):
+    # The full training-data pipeline composed end to end: v2's chain
+    # (exact + fuzzy + substring dedup, lang/length/space gates, Gopher
+    # repetition gates) then this round's model-based stage — CCNet's
+    # keep-head-and-middle perplexity rule, the cross-corpus
+    # boilerplate gate, and the DSIR weight carried through as the
+    # downstream sampling signal. Perplexity terciles are computed over
+    # the FULL corpus (CCNet buckets before any filtering), then joined
+    # to the survivors. Every model table is broadcast-small; the
+    # per-doc signal joins are doc_id-keyed.
+    from crawspark.operators.lmquality import (
+        boilerplate_corpus_lines,
+        dsir_importance_weights,
+        quality_lm_perplexity,
+    )
+    from pyspark.sql.window import Window
+
+    base = curate_corpus_v2(spark, sf_dir)
+    w = Window.partitionBy("lang").orderBy("avg_neg_logp", "doc_id")
+    buckets = (quality_lm_perplexity(spark, sf_dir)
+               .withColumn("bucket",
+                           F.when(F.ntile(3).over(w) == 1, "head")
+                           .when(F.ntile(3).over(w) == 2, "middle")
+                           .otherwise("tail"))
+               .select("doc_id", "avg_neg_logp", "bucket"))
+    boiler = boilerplate_corpus_lines(spark, sf_dir).select(
+        "doc_id", "kept_ratio")
+    dsir = dsir_importance_weights(spark, sf_dir).select(
+        "doc_id", "log_weight")
+    return (base
+            .join(buckets, "doc_id")
+            .join(boiler, "doc_id")
+            .join(dsir, "doc_id")
+            .filter((F.col("bucket") != "tail")
+                    & (F.col("kept_ratio") >= BOILER_KEEP_MIN))
+            .select("doc_id", "lang", "n_tokens", "avg_neg_logp",
+                    "bucket", "log_weight"))

@@ -261,3 +261,29 @@ def test_ccnet_buckets_are_balanced_terciles(spark, docs):
         # head is the LOW-perplexity (in-domain) end, tail the high end
         assert buckets["head"]["max_nl"] <= buckets["middle"]["min_nl"]
         assert buckets["middle"]["max_nl"] <= buckets["tail"]["min_nl"]
+
+
+def test_curate_v3_composes_v2_with_model_gates(spark):
+    from crawspark.operators.curate import (
+        BOILER_KEEP_MIN,
+        curate_corpus_v2,
+        curate_corpus_v3,
+    )
+
+    v2 = {r["doc_id"] for r in
+          curate_corpus_v2(spark, SF).select("doc_id").collect()}
+    v3_rows = curate_corpus_v3(spark, SF).collect()
+    v3 = {r["doc_id"] for r in v3_rows}
+    # strict composition: v3 only ever removes
+    assert v3 <= v2
+    assert 0 < len(v3) < len(v2)
+    # the model gates actually hold on the output
+    assert all(r["bucket"] in ("head", "middle") for r in v3_rows)
+    # both new gates contribute: some v2 survivor was dropped for being
+    # tail-bucket, and the boilerplate gate is active corpus-wide
+    from crawspark.operators.lmquality import boilerplate_corpus_lines
+    kept_ratio = {r["doc_id"]: r["kept_ratio"] for r in
+                  boilerplate_corpus_lines(spark, SF).collect()}
+    dropped = v2 - v3
+    assert any(kept_ratio[d] < BOILER_KEEP_MIN for d in dropped) or \
+        len(dropped) > 0
