@@ -85,6 +85,12 @@ def main() -> None:
         "embedding_cosine_pairs": "embeddings",
         "ann_cosine_topk": "embeddings",
         "ann_search_ivf": "embeddings",
+        # r5 model-based corpus-filtering additions (new keys — prior
+        # keys stay untouched for round-over-round comparability)
+        "quality_lm_perplexity": "documents",
+        "dsir_importance_weights": "documents",
+        "bpe_train_merges": "documents",
+        "curate_corpus_v3": "documents",
     }
     NAMES = tuple(DRIVING)
     table_rows = {t: read_testdata(spark, SF_DIR, t).count()
