@@ -216,7 +216,7 @@ def _curate_v3_sql(sf_dir: str) -> str:
     # Composed lazily from the REGISTERED oracles of the component
     # queries (one definition per signal — the span-canon lesson), so
     # the flagship's oracle can never drift from its parts'.
-    from crawspark.operators.lmquality import _LM_PPL_SQL  # noqa: F401
+    from crawspark.operators.lmquality import _PPL_BUCKETS_SQL
     from crawspark.registry import REGISTRY
 
     v2 = REGISTRY["curate_corpus_v2"].render_sql(sf_dir)
@@ -227,14 +227,7 @@ def _curate_v3_sql(sf_dir: str) -> str:
            p.avg_neg_logp, p.bucket,
            w.log_weight
     FROM ({v2}) v2
-    JOIN (
-      SELECT doc_id, avg_neg_logp,
-             CASE ntile(3) OVER (PARTITION BY lang
-                                 ORDER BY avg_neg_logp, doc_id)
-                  WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
-                  ELSE 'tail' END AS bucket
-      FROM ({_LM_PPL_SQL})
-    ) p USING (doc_id)
+    JOIN ({_PPL_BUCKETS_SQL}) p USING (doc_id)
     JOIN ({boiler}) b USING (doc_id)
     JOIN ({dsir}) w USING (doc_id)
     WHERE p.bucket <> 'tail' AND b.kept_ratio >= {BOILER_KEEP_MIN}
@@ -255,18 +248,12 @@ def curate_corpus_v3(spark, sf_dir):
     from crawspark.operators.lmquality import (
         boilerplate_corpus_lines,
         dsir_importance_weights,
-        quality_lm_perplexity,
+        ppl_buckets,
     )
-    from pyspark.sql.window import Window
 
     base = curate_corpus_v2(spark, sf_dir)
-    w = Window.partitionBy("lang").orderBy("avg_neg_logp", "doc_id")
-    buckets = (quality_lm_perplexity(spark, sf_dir)
-               .withColumn("bucket",
-                           F.when(F.ntile(3).over(w) == 1, "head")
-                           .when(F.ntile(3).over(w) == 2, "middle")
-                           .otherwise("tail"))
-               .select("doc_id", "avg_neg_logp", "bucket"))
+    buckets = ppl_buckets(spark, sf_dir).select(
+        "doc_id", "avg_neg_logp", "bucket")
     boiler = boilerplate_corpus_lines(spark, sf_dir).select(
         "doc_id", "kept_ratio")
     dsir = dsir_importance_weights(spark, sf_dir).select(

@@ -437,20 +437,38 @@ def bpe_segment_stats(spark, sf_dir):
                  .alias("chars_per_token")))
 
 
+# THE tercile rule — the single definition shared by ccnet_ppl_buckets
+# and curate_corpus_v3 (SQL and Spark sides both import from here; the
+# tiebreak or tile count must never be able to drift between them).
+_PPL_BUCKETS_SQL = f"""
+      SELECT doc_id, lang, avg_neg_logp,
+             CASE ntile(3) OVER (PARTITION BY lang
+                                 ORDER BY avg_neg_logp, doc_id)
+                  WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                  ELSE 'tail' END AS bucket
+      FROM ({_LM_PPL_SQL})
+"""
+
+
+def ppl_buckets(spark, sf_dir):
+    """Per-document tercile assignment (Spark twin of
+    _PPL_BUCKETS_SQL): doc_id, lang, avg_neg_logp, bucket."""
+    ppl = quality_lm_perplexity(spark, sf_dir)
+    w = Window.partitionBy("lang").orderBy("avg_neg_logp", "doc_id")
+    bucket = (F.when(F.ntile(3).over(w) == 1, "head")
+              .when(F.ntile(3).over(w) == 2, "middle")
+              .otherwise("tail"))
+    return ppl.select("doc_id", "lang", "avg_neg_logp",
+                      bucket.alias("bucket"))
+
+
 @register("ccnet_ppl_buckets", sql=f"""
     SELECT lang, bucket,
            CAST(count(*) AS BIGINT) AS n_docs,
            CAST(round(avg(avg_neg_logp), 4) AS DOUBLE) AS mean_nl,
            CAST(min(avg_neg_logp) AS DOUBLE) AS min_nl,
            CAST(max(avg_neg_logp) AS DOUBLE) AS max_nl
-    FROM (
-      SELECT lang, avg_neg_logp,
-             CASE ntile(3) OVER (PARTITION BY lang
-                                 ORDER BY avg_neg_logp, doc_id)
-                  WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
-                  ELSE 'tail' END AS bucket
-      FROM ({_LM_PPL_SQL})
-    )
+    FROM ({_PPL_BUCKETS_SQL})
     GROUP BY lang, bucket
 """)
 def ccnet_ppl_buckets(spark, sf_dir):
@@ -464,12 +482,7 @@ def ccnet_ppl_buckets(spark, sf_dir):
     # 10^12 docs the production variant computes approximate cutoffs
     # (approx_percentile) and broadcast-joins them — the tercile
     # SEMANTICS here are the contract, the window is the small-SF path.
-    ppl = quality_lm_perplexity(spark, sf_dir)
-    w = Window.partitionBy("lang").orderBy("avg_neg_logp", "doc_id")
-    bucket = (F.when(F.ntile(3).over(w) == 1, "head")
-              .when(F.ntile(3).over(w) == 2, "middle")
-              .otherwise("tail"))
-    return (ppl.withColumn("bucket", bucket)
+    return (ppl_buckets(spark, sf_dir)
             .groupBy("lang", "bucket")
             .agg(F.count("*").alias("n_docs"),
                  F.round(F.avg("avg_neg_logp"), 4).alias("mean_nl"),

@@ -240,7 +240,7 @@ def test_bpe_segment_stats_compress(spark, docs):
     for r in rows:
         # merges only ever shrink the symbol count, never below 1/word
         assert r["n_words"] <= r["n_bpe_tokens"] <= r["n_chars"]
-        assert r["chars_per_token"] > 1.0  # six merges must compress
+        assert r["chars_per_token"] > 1.0  # the merges must compress
 
 
 def test_ccnet_buckets_are_balanced_terciles(spark, docs):
@@ -279,11 +279,17 @@ def test_curate_v3_composes_v2_with_model_gates(spark):
     assert 0 < len(v3) < len(v2)
     # the model gates actually hold on the output
     assert all(r["bucket"] in ("head", "middle") for r in v3_rows)
-    # both new gates contribute: some v2 survivor was dropped for being
-    # tail-bucket, and the boilerplate gate is active corpus-wide
-    from crawspark.operators.lmquality import boilerplate_corpus_lines
+    # both new gates contribute INDEPENDENTLY (r5 review: an or-ed
+    # disjunct made this vacuous): some v2 survivor was dropped for
+    # being tail-bucket, and some for failing the boilerplate ratio
+    from crawspark.operators.lmquality import (
+        boilerplate_corpus_lines,
+        ppl_buckets,
+    )
     kept_ratio = {r["doc_id"]: r["kept_ratio"] for r in
                   boilerplate_corpus_lines(spark, SF).collect()}
+    bucket = {r["doc_id"]: r["bucket"] for r in
+              ppl_buckets(spark, SF).collect()}
     dropped = v2 - v3
-    assert any(kept_ratio[d] < BOILER_KEEP_MIN for d in dropped) or \
-        len(dropped) > 0
+    assert any(bucket[d] == "tail" for d in dropped)
+    assert any(kept_ratio[d] < BOILER_KEEP_MIN for d in dropped)
