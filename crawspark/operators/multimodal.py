@@ -1248,3 +1248,69 @@ def multimodal_tiff_fax_stats(spark, sf_dir):
     return docs.mapInPandas(
         synth_decode, "doc_id long, width int, height int, "
                       "mean_gray double, p12 int")
+
+
+@register("pdf_encrypted_text", sql="""
+    -- closed form of make_plain_pdf + encrypt_pdf: the Spark side must
+    -- DECRYPT (standard security handler, empty user password) to
+    -- recover exactly these page strings — any key-derivation or RC4
+    -- slip flips every md5
+    WITH p AS (
+      SELECT doc_id, 1 + doc_id % 3 AS n_pages FROM documents
+      WHERE doc_id % 11 = 4
+    ), pg AS (
+      SELECT doc_id, n_pages, unnest(generate_series(0, n_pages - 1)) AS pp
+      FROM p
+    ), pagetext AS (
+      SELECT doc_id, n_pages, pp,
+             array_to_string(list_transform(
+               generate_series(0, 1 + (doc_id + pp) % 3),
+               j -> 'doc ' || doc_id || ' page ' || pp || ' line ' || j),
+               chr(10)) AS t
+      FROM pg
+    )
+    SELECT doc_id, CAST(max(n_pages) AS INT) AS n_pages,
+           md5(string_agg(t, chr(30) ORDER BY pp)) AS text_md5,
+           CAST(sum(length(t)) AS BIGINT) AS total_chars
+    FROM pagetext GROUP BY doc_id
+""")
+def pdf_encrypted_text(spark, sf_dir):
+    # Encrypted-PDF text extraction (r5): per doc the worker builds a
+    # deterministic text PDF, enciphers it with the PDF standard
+    # security handler (empty user password — the ubiquitous crawl
+    # case; rev 2/40-bit and rev 3/128-bit alternating, varying /ID so
+    # file keys differ per doc), then extracts text THROUGH the
+    # decryption path and hashes the recovered pages against the
+    # closed-form plaintext the oracle recomputes.
+    def synth_decrypt(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+        import struct as _struct
+
+        from crawspark.oracle.pdfcrypt import encrypt_pdf, make_plain_pdf
+        from crawspark.oracle.pdfparse import extract_pdf_text
+        for pdf in batches:
+            out = {"doc_id": [], "n_pages": [], "text_md5": [],
+                   "total_chars": []}
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                pages = [[f"doc {d} page {p} line {j}"
+                          for j in range(2 + (d + p) % 3)]
+                         for p in range(1 + d % 3)]
+                raw = make_plain_pdf(pages, flate=d % 2 == 0)
+                enc = encrypt_pdf(raw, rev=2 if d % 3 == 0 else 3,
+                                  doc_id=_struct.pack("<Q", d) * 2)
+                got = extract_pdf_text(enc.decode("latin-1"))
+                joined = "\x1e".join(got)
+                out["doc_id"].append(d)
+                out["n_pages"].append(len(got))
+                out["text_md5"].append(
+                    hashlib.md5(joined.encode()).hexdigest())
+                out["total_chars"].append(
+                    sum(len(t) for t in got))
+            yield pd.DataFrame(out)
+
+    docs = (read_testdata(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") % 11 == 4).select("doc_id"))
+    return docs.mapInPandas(
+        synth_decrypt, "doc_id long, n_pages int, text_md5 string, "
+                       "total_chars long")

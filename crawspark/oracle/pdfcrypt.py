@@ -1,0 +1,355 @@
+"""PDF standard security handler (PDF 32000-1 §7.6.3) — RC4 variants.
+
+Encrypted-with-empty-user-password PDFs are everywhere in a real crawl
+(the "you can read it but not edit it" mode): the document is openable
+by anyone, but every string and stream is RC4-enciphered with a key
+derived from the /Encrypt dictionary, so a text extractor that ignores
+/Encrypt sees ciphertext mush. This module implements, from the spec
+and from scratch:
+
+- RC4 (the bare stream cipher; keystream pinned against the public
+  RFC 6229 test vectors in tests/test_pdfcrypt.py),
+- Algorithm 2 (file encryption key from the padded user password,
+  /O, /P and /ID, with the 50-fold MD5 strengthening of revision 3),
+- Algorithm 3 (/O entry), Algorithms 4/5 (/U entry, rev 2 and 3),
+- Algorithm 1 (per-object key: MD5(key + objnum[3 LE] + gennum[2 LE])),
+- ``encrypt_pdf``: transform a plaintext synthetic PDF into its
+  encrypted twin (streams + literal strings enciphered, /Encrypt and
+  /ID appended to the trailer),
+- ``decrypt_objects``: the parser-side hook — given the scanned object
+  map and trailer, derive the key and decipher every stream/string in
+  place (used by pdfparse.extract_pdf_text).
+
+Scope: /Filter /Standard, /V 1 (40-bit) and /V 2 (128-bit), /R 2 and
+3 — the RC4 family. /V 4/5 (AESV2/V3) need a block cipher the
+environment doesn't ship and are honestly rejected (extractor returns
+[] rather than mush).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+import struct
+
+# §7.6.3.3: the 32-byte padding string (values from the spec, Table 21
+# context) appended/truncating passwords to exactly 32 bytes.
+PAD = bytes([
+    0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41,
+    0x64, 0x00, 0x4E, 0x56, 0xFF, 0xFA, 0x01, 0x08,
+    0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+    0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A,
+])
+
+
+def rc4(key: bytes, data: bytes) -> bytes:
+    """Plain RC4: KSA + PRGA. Symmetric (encrypt == decrypt)."""
+    s = list(range(256))
+    j = 0
+    for i in range(256):
+        j = (j + s[i] + key[i % len(key)]) % 256
+        s[i], s[j] = s[j], s[i]
+    out = bytearray(len(data))
+    i = j = 0
+    for n, byte in enumerate(data):
+        i = (i + 1) % 256
+        j = (j + s[i]) % 256
+        s[i], s[j] = s[j], s[i]
+        out[n] = byte ^ s[(s[i] + s[j]) % 256]
+    return bytes(out)
+
+
+def _pad_pw(pw: bytes) -> bytes:
+    return (pw + PAD)[:32]
+
+
+def compute_o(owner_pw: bytes, user_pw: bytes, rev: int,
+              key_len: int) -> bytes:
+    """Algorithm 3: the /O entry (owner password validation bytes)."""
+    h = hashlib.md5(_pad_pw(owner_pw or user_pw)).digest()
+    if rev >= 3:
+        for _ in range(50):
+            h = hashlib.md5(h).digest()
+    key = h[:key_len]
+    o = rc4(key, _pad_pw(user_pw))
+    if rev >= 3:
+        # 19 further RC4 passes with the key XORed by the round number
+        for i in range(1, 20):
+            o = rc4(bytes(b ^ i for b in key), o)
+    return o
+
+
+def compute_key(user_pw: bytes, o_entry: bytes, p: int, id0: bytes,
+                rev: int, key_len: int) -> bytes:
+    """Algorithm 2: the file encryption key."""
+    m = hashlib.md5()
+    m.update(_pad_pw(user_pw))
+    m.update(o_entry)
+    m.update(struct.pack("<i", p))  # /P as SIGNED 32-bit little-endian
+    m.update(id0)
+    h = m.digest()
+    if rev >= 3:
+        for _ in range(50):
+            h = hashlib.md5(h[:key_len]).digest()
+    return h[:key_len]
+
+
+def compute_u(key: bytes, id0: bytes, rev: int) -> bytes:
+    """Algorithm 4 (rev 2) / Algorithm 5 (rev 3): the /U entry."""
+    if rev == 2:
+        return rc4(key, PAD)
+    h = hashlib.md5(PAD + id0).digest()
+    u = rc4(key, h)
+    for i in range(1, 20):
+        u = rc4(bytes(b ^ i for b in key), u)
+    return u + b"\x00" * 16  # 16 bytes of arbitrary padding
+
+
+def object_key(file_key: bytes, num: int, gen: int) -> bytes:
+    """Algorithm 1: per-object RC4 key."""
+    ext = struct.pack("<I", num)[:3] + struct.pack("<H", gen)
+    h = hashlib.md5(file_key + ext).digest()
+    return h[:min(len(file_key) + 5, 16)]
+
+
+# ---------------------------------------------------------------------------
+# generator side — encrypt a plaintext synthetic PDF
+# ---------------------------------------------------------------------------
+
+_RE_TRAILER = re.compile(rb"trailer\s*<<")
+
+
+def _encrypt_strings(body: bytes, key: bytes) -> bytes:
+    """Encipher literal strings in a dictionary region (not used inside
+    stream payloads — those are enciphered whole)."""
+    out = bytearray()
+    i = 0
+    while i < len(body):
+        c = body[i]
+        if c == 0x28:  # '(' — scan the literal respecting escapes/nesting
+            depth, j = 1, i + 1
+            while j < len(body) and depth:
+                if body[j] == 0x5C:
+                    j += 2
+                    continue
+                if body[j] == 0x28:
+                    depth += 1
+                elif body[j] == 0x29:
+                    depth -= 1
+                j += 1
+            plain = body[i + 1:j - 1]
+            # unescape → encrypt → re-escape binary-safe
+            plain = (plain.replace(b"\\\\", b"\x00\x01")
+                     .replace(b"\\(", b"(").replace(b"\\)", b")")
+                     .replace(b"\x00\x01", b"\\"))
+            enc = rc4(key, plain)
+            esc = (enc.replace(b"\\", b"\\\\")
+                   .replace(b"(", b"\\(").replace(b")", b"\\)")
+                   .replace(b"\r", b"\\r"))
+            out += b"(" + esc + b")"
+            i = j
+        else:
+            out.append(c)
+            i += 1
+    return bytes(out)
+
+
+def _recipher_body(body: bytes, okey: bytes) -> bytes:
+    """RC4 an object body under its per-object key: the stream payload
+    (framed exactly as pdfparse._stream_bytes frames it — /Length
+    first, textual endstream fallback; RC4 preserves /Length) plus the
+    dictionary's literal strings. Symmetric, so the generator and the
+    parser share this one function."""
+    from crawspark.oracle.pdfparse import _RE_STREAM_KW, _stream_bytes
+
+    km = _RE_STREAM_KW.search(body)
+    if km is None:
+        return _encrypt_strings(body, okey)
+    payload = _stream_bytes(body)
+    if payload is None:
+        return body
+    return (_encrypt_strings(body[:km.start()], okey) + b"stream\n"
+            + rc4(okey, payload) + b"\nendstream\n")
+
+
+def encrypt_pdf(data: bytes, *, rev: int = 3, key_len: int = 16,
+                owner_pw: bytes = b"owner", p: int = -44,
+                doc_id: bytes = b"\xde\xad\xbe\xef" * 4) -> bytes:
+    """Encrypted twin of a plaintext PDF: every object's stream payload
+    and dictionary literal strings are RC4-enciphered under the
+    per-object key; /Encrypt + /ID are appended to the trailer. The
+    user password is EMPTY (the ubiquitous crawl case). rev=2 implies
+    the 40-bit /V 1 handler; rev=3 the 128-bit /V 2 one."""
+    if rev == 2:
+        key_len = 5
+    o = compute_o(owner_pw, b"", rev, key_len)
+    key = compute_key(b"", o, p, doc_id, rev, key_len)
+    u = compute_u(key, doc_id, rev)
+
+    # walk objects with the /Length-aware scan (raw flate payloads can
+    # legitimately contain "N G obj"/"endobj" byte sequences — the same
+    # trap pdfparse._scan_objects closes)
+    from crawspark.oracle.pdfparse import _RE_OBJ_HDR, _object_body_at
+
+    out = bytearray()
+    pos = 0
+    max_num = 0
+    while True:
+        m = _RE_OBJ_HDR.search(data, pos)
+        if m is None:
+            break
+        num, gen = int(m.group(1)), int(m.group(2))
+        max_num = max(max_num, num)
+        body = _object_body_at(data, m.end())
+        okey = object_key(key, num, gen)
+        out += data[pos:m.end()] + _recipher_body(body, okey)
+        pos = m.end() + len(body)
+        if data[pos:pos + 6] == b"endobj":
+            out += b"endobj"
+            pos += 6
+    out += data[pos:]
+
+    enc_num = max_num + 1
+    v = 1 if rev == 2 else 2
+    enc_obj = (
+        f"{enc_num} 0 obj\n<< /Filter /Standard /V {v} /R {rev} "
+        f"/Length {key_len * 8} /P {p} /O <{o.hex()}> /U <{u.hex()}> "
+        ">>\nendobj\n").encode("latin-1")
+    idhex = doc_id.hex().encode("ascii")
+    enc_trailer = (b" /Encrypt %d 0 R /ID [<%s> <%s>] "
+                   % (enc_num, idhex, idhex))
+    tm = _RE_TRAILER.search(out)
+    if tm:
+        out[tm.end():tm.end()] = enc_trailer
+        out[tm.start():tm.start()] = enc_obj
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# parser side — decrypt the scanned object map in place
+# ---------------------------------------------------------------------------
+
+_RE_ENC_REF = re.compile(rb"/Encrypt\s+(\d+)\s+(\d+)\s+R")
+_RE_ID = re.compile(rb"/ID\s*\[\s*<([0-9A-Fa-f]+)>")
+_RE_NUMFIELD = re.compile(rb"/%b\s+(-?\d+)")
+_RE_HEXFIELD = re.compile(rb"/%b\s*<([0-9A-Fa-f]+)>")
+
+
+def _field_int(body: bytes, name: bytes, default: int) -> int:
+    m = re.search(rb"/" + name + rb"\s+(-?\d+)", body)
+    return int(m.group(1)) if m else default
+
+
+def _field_hex(body: bytes, name: bytes) -> bytes | None:
+    m = re.search(rb"/" + name + rb"\s*<([0-9A-Fa-f]+)>", body)
+    if m:
+        return bytes.fromhex(m.group(1).decode("ascii"))
+    m = re.search(rb"/" + name + rb"\s*\(", body)
+    if m:  # literal-string form of /O//U
+        i = m.end()
+        depth, j = 1, i
+        out = bytearray()
+        while j < len(body) and depth:
+            c = body[j]
+            if c == 0x5C and j + 1 < len(body):
+                nxt = body[j + 1]
+                out.append({0x6E: 10, 0x72: 13, 0x74: 9}.get(nxt, nxt))
+                j += 2
+                continue
+            if c == 0x28:
+                depth += 1
+            elif c == 0x29:
+                depth -= 1
+                if not depth:
+                    break
+            out.append(c)
+            j += 1
+        return bytes(out)
+    return None
+
+
+def file_key_from_encrypt(data: bytes, objs: dict[int, bytes]):
+    """(file_key, enc_obj_num) when the trailer names a SUPPORTED
+    /Standard RC4 /Encrypt dictionary and the empty user password
+    opens it (checked against /U); None otherwise."""
+    em = _RE_ENC_REF.search(data)
+    if not em:
+        return None
+    enc_num = int(em.group(1))
+    body = objs.get(enc_num)
+    if body is None or b"/Standard" not in body:
+        return None
+    v = _field_int(body, b"V", 0)
+    rev = _field_int(body, b"R", 0)
+    if v not in (1, 2) or rev not in (2, 3):
+        return None  # AES (V>=4) or unknown: reject, never emit mush
+    bits = _field_int(body, b"Length", 40)
+    key_len = 5 if v == 1 else max(5, min(16, bits // 8))
+    p = _field_int(body, b"P", -1)
+    o = _field_hex(body, b"O")
+    u = _field_hex(body, b"U")
+    im = _RE_ID.search(data)
+    id0 = bytes.fromhex(im.group(1).decode("ascii")) if im else b""
+    if o is None or u is None:
+        return None
+    key = compute_key(b"", o, p, id0, rev, key_len)
+    expect_u = compute_u(key, id0, rev)
+    got, want = (u[:16], expect_u[:16]) if rev >= 3 else (u, expect_u)
+    if got != want:
+        return None  # a real (non-empty) user password — cannot open
+    return key, enc_num
+
+
+def decrypt_objects(data: bytes, objs: dict[int, bytes]) -> bool:
+    """If the document is encrypted with a supported handler, decipher
+    every object's stream payload and dictionary strings in place
+    (gen 0 — the scan keys objects by number alone). XRef streams are
+    never encrypted (§7.5.8.2) and the /Encrypt dict itself is skipped.
+    Returns True when decryption ran."""
+    got = file_key_from_encrypt(data, objs)
+    if got is None:
+        return False
+    key, enc_num = got
+    for num, body in list(objs.items()):
+        if num == enc_num or (b"/Type" in body and b"/XRef" in body):
+            continue
+        objs[num] = _recipher_body(body, object_key(key, num, 0))
+    return True
+
+
+def make_plain_pdf(pages: list[list[str]], flate: bool = False) -> bytes:
+    """Deterministic plaintext text PDF (corpus.make_pdf's object
+    layout without the rng): one content stream per page, one Tj line
+    per entry — extract_pdf_text returns exactly
+    ["\\n".join(lines) for lines in pages]. The closed-form twin the
+    encrypted-PDF oracle recomputes in SQL."""
+    import zlib
+
+    objs: list[bytes] = []
+    page_ids = [3 + 2 * p for p in range(len(pages))]
+    kids = " ".join(f"{pid} 0 R" for pid in page_ids)
+    objs.append(b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+    objs.append(
+        f"2 0 obj\n<< /Type /Pages /Kids [{kids}] /Count {len(pages)} >>"
+        "\nendobj\n".encode("latin-1"))
+    for lines, pid in zip(pages, page_ids):
+        cid = pid + 1
+        ops = ["BT /F1 12 Tf 72 720 Td"]
+        for j, line in enumerate(lines):
+            esc = (line.replace("\\", r"\\").replace("(", r"\(")
+                   .replace(")", r"\)"))
+            ops.append(f"({esc}) Tj" if j == 0 else f"0 -14 TD ({esc}) Tj")
+        ops.append("ET")
+        stream = " ".join(ops).encode("latin-1")
+        filt = b""
+        if flate:
+            stream = zlib.compress(stream)
+            filt = b"/Filter /FlateDecode "
+        objs.append(
+            f"{pid} 0 obj\n<< /Type /Page /Parent 2 0 R /Contents {cid} 0 R "
+            ">>\nendobj\n".encode("latin-1"))
+        objs.append(
+            b"%d 0 obj\n<< %s/Length %d >>\nstream\n" % (cid, filt, len(stream))
+            + stream + b"\nendstream\nendobj\n")
+    return (b"%PDF-1.4\n" + b"".join(objs)
+            + b"trailer\n<< /Root 1 0 R >>\n%%EOF\n")

@@ -909,6 +909,11 @@ def extract_pdf_text(payload: str) -> list[str]:
         return []
     objs = _scan_objects(data)
     _overlay_xref(data, objs)  # xref-stream chain overrides last-wins scan
+    # encrypted documents (standard security handler, empty user
+    # password): decipher streams/strings in place BEFORE ObjStm
+    # inflation — compressed object streams are themselves encrypted
+    from crawspark.oracle.pdfcrypt import decrypt_objects
+    decrypt_objects(data, objs)
     _inflate_object_streams(objs)
 
     # Page order: follow /Kids arrays when present, else /Type /Page objects
@@ -1086,6 +1091,8 @@ def extract_pdf_images(payload: str) -> list[dict]:
         return []
     objs = _scan_objects(data)
     _overlay_xref(data, objs)
+    from crawspark.oracle.pdfcrypt import decrypt_objects
+    decrypt_objects(data, objs)
     _inflate_object_streams(objs)
     out: list[dict] = []
     for num in sorted(objs):
