@@ -1314,3 +1314,55 @@ def pdf_encrypted_text(spark, sf_dir):
     return docs.mapInPandas(
         synth_decrypt, "doc_id long, n_pages int, text_md5 string, "
                        "total_chars long")
+
+
+@register("docx_extract_text", sql="""
+    -- closed form of oracle/officedoc.make_docx: paragraph p of doc d
+    -- concatenates runs 0..(d+p)%3, separated by a tab (when the
+    -- 3-run case hits r=1) or a space
+    WITH p AS (
+      SELECT doc_id, unnest(generate_series(0, 1 + doc_id % 4)) AS pp
+      FROM documents WHERE doc_id % 13 = 6
+    ), paras AS (
+      SELECT doc_id, pp,
+             array_to_string(list_transform(
+               generate_series(0, (doc_id + pp) % 3),
+               r -> CASE WHEN r = 0 THEN ''
+                         WHEN (doc_id + pp) % 3 = 2 AND r = 1 THEN chr(9)
+                         ELSE ' ' END
+                    || 'doc ' || doc_id || ' para ' || pp
+                    || ' run ' || r), '') AS t
+      FROM p
+    )
+    SELECT doc_id, CAST(count(*) AS INT) AS n_paras,
+           md5(string_agg(t, chr(30) ORDER BY pp)) AS text_md5,
+           CAST(sum(length(t)) AS BIGINT) AS total_chars
+    FROM paras GROUP BY doc_id
+""")
+def docx_extract_text(spark, sf_dir):
+    # OOXML route (r5): the worker builds a deterministic .docx ZIP
+    # container per doc, extracts WordprocessingML paragraphs (runs,
+    # preserved-space separators, w:tab) through the real zip+XML walk,
+    # and hashes the recovered text against the closed-form oracle.
+    def synth_extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        from crawspark.oracle.officedoc import extract_docx_text, make_docx
+        for pdf in batches:
+            out = {"doc_id": [], "n_paras": [], "text_md5": [],
+                   "total_chars": []}
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                paras = extract_docx_text(make_docx(d))
+                out["doc_id"].append(d)
+                out["n_paras"].append(len(paras))
+                out["text_md5"].append(hashlib.md5(
+                    "\x1e".join(paras).encode()).hexdigest())
+                out["total_chars"].append(sum(len(t) for t in paras))
+            yield pd.DataFrame(out)
+
+    docs = (read_testdata(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") % 13 == 6).select("doc_id"))
+    return docs.mapInPandas(
+        synth_extract, "doc_id long, n_paras int, text_md5 string, "
+                       "total_chars long")

@@ -919,3 +919,59 @@ def sitemap_frontier_seed(spark, sf_dir):
     return docs.mapInPandas(
         synth_parse, "doc_id long, idx int, kind string, loc string, "
                      "lastmod string, priority double")
+
+
+@register("feed_frontier_seed", sql="""
+    -- closed form of oracle/feeds.make_feed: Atom for even ids, RSS
+    -- for odd; RFC-1123 pubDate vs ISO updated. The doc filter % 7
+    -- mixes parities so BOTH dialects are exercised (the sitemap
+    -- ns-toggle lesson).
+    WITH p AS (SELECT doc_id FROM documents WHERE doc_id % 7 = 1),
+    e AS (
+      SELECT doc_id, unnest(generate_series(0, 1 + doc_id % 4)) AS j
+      FROM p
+    )
+    SELECT doc_id, CAST(j AS INT) AS idx,
+           CASE WHEN doc_id % 2 = 0 THEN 'atom' ELSE 'rss' END AS fmt,
+           'post ' || doc_id || '-' || j AS title,
+           'https://f' || (doc_id % 23) || '.example.com/post/'
+             || doc_id || '/' || j AS link,
+           CASE WHEN doc_id % 2 = 0
+                THEN strftime(TIMESTAMP '2025-02-01 12:00:00'
+                              + INTERVAL ((doc_id + j) % 300) DAY,
+                              '%Y-%m-%dT%H:%M:%SZ')
+                ELSE strftime(TIMESTAMP '2025-02-01 12:00:00'
+                              + INTERVAL ((doc_id + j) % 300) DAY,
+                              '%a, %d %b %Y %H:%M:%S +0000') END
+             AS published
+    FROM e
+""")
+def feed_frontier_seed(spark, sf_dir):
+    """RSS/Atom frontier seeding — the polling companion to
+    `sitemap_frontier_seed`: per host, parse the feed (RSS items or
+    Atom entries, with rel="self" decoy links the Atom walk must skip)
+    and emit one frontier row per entry, every field driver-hashed
+    against the closed-form oracle. Arrow-batched per document."""
+    import pandas as pd
+
+    def synth_parse(batches):
+        from crawspark.oracle.feeds import make_feed, parse_feed
+        for pdf in batches:
+            out = {"doc_id": [], "idx": [], "fmt": [], "title": [],
+                   "link": [], "published": []}
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                for j, rec in enumerate(parse_feed(make_feed(d))):
+                    out["doc_id"].append(d)
+                    out["idx"].append(j)
+                    out["fmt"].append(rec["fmt"])
+                    out["title"].append(rec["title"])
+                    out["link"].append(rec["link"])
+                    out["published"].append(rec["published"])
+            yield pd.DataFrame(out)
+
+    docs = (read_testdata(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") % 7 == 1).select("doc_id"))
+    return docs.mapInPandas(
+        synth_parse, "doc_id long, idx int, fmt string, title string, "
+                     "link string, published string")

@@ -361,3 +361,66 @@ def test_sitemap_namespace_toggle_alternates_under_even_ids():
         bare = xml.replace(
             ' xmlns="http://www.sitemaps.org/schemas/sitemap/0.9"', "")
         assert parse_sitemap(xml) == parse_sitemap(bare)
+
+
+def test_docx_extraction_walk():
+    from crawspark.oracle.officedoc import (
+        docx_paragraph_expected,
+        extract_docx_text,
+        make_docx,
+    )
+
+    # hand-authored WordprocessingML (not our builder): runs
+    # concatenate with NO implicit whitespace, w:tab -> \t, w:br -> \n,
+    # table cells are ordinary paragraphs in document order
+    import io
+    import zipfile
+
+    w = "http://schemas.openxmlformats.org/wordprocessingml/2006/main"
+    doc = (f'<w:document xmlns:w="{w}"><w:body>'
+           "<w:p><w:r><w:t>Hello</w:t></w:r><w:r><w:t>World</w:t></w:r>"
+           "</w:p>"
+           "<w:p><w:r><w:t>a</w:t><w:tab/><w:t>b</w:t><w:br/>"
+           "<w:t>c</w:t></w:r></w:p>"
+           "<w:tbl><w:tr><w:tc><w:p><w:r><w:t>cell</w:t></w:r></w:p>"
+           "</w:tc></w:tr></w:tbl>"
+           "</w:body></w:document>")
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("word/document.xml", doc)
+    assert extract_docx_text(buf.getvalue()) == [
+        "HelloWorld", "a\tb\nc", "cell"]
+    # builder round-trips its closed form at mixed parities
+    for d in (0, 1, 6, 19, 45):
+        assert extract_docx_text(make_docx(d)) == docx_paragraph_expected(d)
+    assert extract_docx_text(b"not a zip") == []
+
+
+def test_feed_parse_both_dialects():
+    from crawspark.oracle.feeds import make_feed, parse_feed
+
+    # hand-authored RSS 2.0
+    rss = ("<rss version=\"2.0\"><channel><title>t</title>"
+           "<item><title> A </title><link>https://a/1</link>"
+           "<pubDate>Sat, 01 Feb 2025 12:00:00 +0000</pubDate></item>"
+           "<item><title>B</title><link>https://a/2</link></item>"
+           "</channel></rss>")
+    got = parse_feed(rss)
+    assert [r["link"] for r in got] == ["https://a/1", "https://a/2"]
+    assert got[0]["title"] == "A" and got[1]["published"] == ""
+    # hand-authored Atom with a rel=self decoy BEFORE the alternate
+    atom = ('<feed xmlns="http://www.w3.org/2005/Atom">'
+            "<entry><title>X</title>"
+            '<link rel="self" href="https://a/feed.xml"/>'
+            '<link rel="alternate" href="https://a/post/9"/>'
+            "<updated>2025-02-01T12:00:00Z</updated></entry></feed>")
+    got = parse_feed(atom)
+    assert got == [{"fmt": "atom", "title": "X",
+                    "link": "https://a/post/9",
+                    "published": "2025-02-01T12:00:00Z"}]
+    # malformed XML and non-feed roots
+    assert parse_feed("<rss><item") == []
+    assert parse_feed("<html><body/></html>") == []
+    # the synthetic grid really exercises both dialects
+    fmts = {parse_feed(make_feed(d))[0]["fmt"] for d in range(1, 60, 7)}
+    assert fmts == {"rss", "atom"}
