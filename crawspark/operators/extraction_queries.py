@@ -391,3 +391,52 @@ def extract_top_image(spark, sf_dir):
         F.coalesce(F.try_element_at(imgs, F.lit(1))["media_ref"], F.lit(""))
         .alias("top_image"),
         F.size(imgs).cast("int").alias("n_images"))
+
+
+@register("jsonld_extract_meta", sql="""
+    -- closed form of oracle/jsonld.make_jsonld_page: one Article per
+    -- page; headline shape cycles by d % 3 (the %3==1 branch embeds
+    -- the <\\/script> JSON escape the real tokenizer must survive)
+    SELECT doc_id,
+           CASE doc_id % 3
+                WHEN 0 THEN 'headline ' || doc_id
+                WHEN 1 THEN 'breaking ' || doc_id || ' </script> trap'
+                ELSE 'post ' || doc_id END AS headline,
+           '2025-03-' || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0')
+             AS date_published,
+           'author ' || (doc_id % 17) AS author_name,
+           CAST(120 + doc_id % 400 AS INT) AS word_count
+    FROM documents WHERE doc_id % 10 = 3
+""")
+def jsonld_extract_meta(spark, sf_dir):
+    # schema.org JSON-LD extraction (r5): per doc the worker builds an
+    # article page whose structured-data shapes cycle (@graph wrapper,
+    # escaped </script> inside a JSON string, top-level array, author
+    # as string/object/list, decoy javascript block) and walks it with
+    # the REAL DOM tokenizer — every recovered field driver-hashed.
+    import pandas as pd
+
+    def synth_extract(batches):
+        from crawspark.oracle.jsonld import (
+            extract_jsonld_articles,
+            make_jsonld_page,
+        )
+        for pdf in batches:
+            out = {"doc_id": [], "headline": [], "date_published": [],
+                   "author_name": [], "word_count": []}
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                for rec in extract_jsonld_articles(make_jsonld_page(d)):
+                    out["doc_id"].append(d)
+                    out["headline"].append(rec["headline"])
+                    out["date_published"].append(rec["date_published"])
+                    out["author_name"].append(rec["author_name"])
+                    out["word_count"].append(rec["word_count"])
+            yield pd.DataFrame(out)
+
+    docs = (read_testdata(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") % 10 == 3).select("doc_id"))
+    return docs.mapInPandas(
+        synth_extract, "doc_id long, headline string, "
+                       "date_published string, author_name string, "
+                       "word_count int")

@@ -424,3 +424,33 @@ def test_feed_parse_both_dialects():
     # the synthetic grid really exercises both dialects
     fmts = {parse_feed(make_feed(d))[0]["fmt"] for d in range(1, 60, 7)}
     assert fmts == {"rss", "atom"}
+
+
+def test_jsonld_extraction_shapes():
+    from crawspark.oracle.jsonld import (
+        extract_jsonld_articles,
+        jsonld_expected,
+        make_jsonld_page,
+    )
+
+    # hand-authored page (not our builder): the JSON string carries the
+    # <\/script> escape — a regex scanner splitting on the literal
+    # close tag truncates the JSON mid-string; the CDATA tokenizer
+    # must not
+    page = ('<html><head><script type="application/ld+json">'
+            '{"@type": "Article", "headline": "x <\\/script> y",'
+            ' "datePublished": "2025-01-02", "author": "A"}'
+            "</script></head><body/></html>")
+    got = extract_jsonld_articles(page)
+    assert got == [{"headline": "x </script> y",
+                    "date_published": "2025-01-02",
+                    "author_name": "A", "word_count": -1}]
+    # malformed JSON block is skipped, non-ld scripts ignored
+    bad = ('<html><script type="application/ld+json">{oops</script>'
+           '<script>var x = {"@type": "Article"};</script></html>')
+    assert extract_jsonld_articles(bad) == []
+    # @graph decoys, author-object, author-list, top-level array —
+    # every builder shape matches its closed form
+    for d in (0, 1, 2, 3, 13, 23, 33):
+        assert extract_jsonld_articles(make_jsonld_page(d)) == \
+            jsonld_expected(d)
