@@ -421,3 +421,123 @@ def quality_c4_gates(spark, sf_dir):
                     keep.cast("int").alias("keep"),
                     F.length(F.concat_ws(" ", F.col("kept"))).cast("int")
                     .alias("kept_chars")))
+
+
+# Gopher quality gates (Rae et al. 2021, A1.1) over synthesized page
+# structure: lines of 8 words; line j of doc d gets a bullet prefix
+# when (d+j)%6==4, a trailing ellipsis when (d+j)%5==3, and two '#'
+# symbol tokens when (d+j)%11==7 — so each rule visibly fires on part
+# of the corpus. The decorated word list is the page text re-split.
+_GOPHER_LINES_EXPR = """
+    transform(sequence(0, greatest(int(ceil(size(w) / 8.0)), 1) - 1), j ->
+      concat(CASE WHEN (doc_id + j) % 6 = 4 THEN '- ' ELSE '' END,
+             array_join(slice(w, j * 8 + 1, 8), ' '),
+             CASE WHEN (doc_id + j) % 5 = 3 THEN '...' ELSE '' END,
+             CASE WHEN (doc_id + j) % 11 = 7 THEN ' # #' ELSE '' END))
+"""
+
+# the synthetic vocab carries only 'the' and 'a' from the real
+# stopword inventory — the >=2-distinct gate therefore requires BOTH,
+# which splits the corpus ~63/37 instead of dropping everything (the
+# r5 degeneracy check caught the original all-absent list)
+_GOPHER_STOPS = "('the','a','of','and','to','that')"
+
+
+@register("quality_gopher_gates", sql=f"""
+    WITH base AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), pages AS (
+      SELECT doc_id, w,
+        [ CASE WHEN (doc_id + j) % 6 = 4 THEN '- ' ELSE '' END
+          || array_to_string(w[j * 8 + 1 : j * 8 + 8], ' ')
+          || CASE WHEN (doc_id + j) % 5 = 3 THEN '...' ELSE '' END
+          || CASE WHEN (doc_id + j) % 11 = 7 THEN ' # #' ELSE '' END
+          FOR j IN range(0, greatest(CAST(ceil(len(w) / 8.0) AS INT), 1)) ]
+          AS lines
+      FROM base
+    ), sig AS (
+      SELECT doc_id, lines,
+        string_split(array_to_string(lines, ' '), ' ') AS dw,
+        len(list_filter(w, x -> x IN {_GOPHER_STOPS})) > 0 AS _unused,
+        list_transform(w, x -> length(x)) AS wl,
+        len(list_distinct(list_filter(w, x -> x IN {_GOPHER_STOPS})))
+          AS n_stop
+      FROM pages
+    )
+    SELECT doc_id,
+      CAST(len(dw) AS INT) AS n_words,
+      CAST(round(list_sum(wl) / CAST(len(wl) AS DOUBLE), 4) AS DOUBLE)
+        AS mean_word_len,
+      CAST(round((len(list_filter(dw, x -> x = '#'))
+                  + len(list_filter(lines, l -> l LIKE '%...')))
+                 / CAST(len(dw) AS DOUBLE), 4) AS DOUBLE) AS symbol_ratio,
+      CAST(round(len(list_filter(lines, l -> l LIKE '- %'))
+                 / CAST(len(lines) AS DOUBLE), 4) AS DOUBLE)
+        AS bullet_line_frac,
+      CAST(round(len(list_filter(lines, l -> l LIKE '%...'))
+                 / CAST(len(lines) AS DOUBLE), 4) AS DOUBLE)
+        AS ellipsis_line_frac,
+      CAST(round(len(list_filter(dw, x -> regexp_matches(x, '[a-z]')))
+                 / CAST(len(dw) AS DOUBLE), 4) AS DOUBLE)
+        AS alpha_word_frac,
+      CAST(n_stop AS INT) AS n_stop_distinct,
+      CAST(CASE WHEN len(dw) BETWEEN 50 AND 100000
+                 AND list_sum(wl) / CAST(len(wl) AS DOUBLE)
+                     BETWEEN 3 AND 10
+                 AND (len(list_filter(dw, x -> x = '#'))
+                      + len(list_filter(lines, l -> l LIKE '%...')))
+                     / CAST(len(dw) AS DOUBLE) < 0.1
+                 AND len(list_filter(lines, l -> l LIKE '- %'))
+                     / CAST(len(lines) AS DOUBLE) <= 0.9
+                 AND len(list_filter(lines, l -> l LIKE '%...'))
+                     / CAST(len(lines) AS DOUBLE) <= 0.3
+                 AND len(list_filter(dw, x -> regexp_matches(x, '[a-z]')))
+                     / CAST(len(dw) AS DOUBLE) >= 0.8
+                 AND n_stop >= 2
+            THEN 1 ELSE 0 END AS INT) AS keep
+    FROM sig
+""")
+def quality_gopher_gates(spark, sf_dir):
+    # The full Gopher rule set, paper thresholds: 50-100k words, mean
+    # word length 3-10, symbol-to-word < 0.1, <=90% bullet lines,
+    # <=30% ellipsis lines, >=80% alphabetic words, >=2 distinct
+    # required stopwords. All higher-order-function projections — zero
+    # shuffle, pure per-doc map like quality_c4_gates.
+    docs = read_testdata(spark, sf_dir, "documents")
+    stops = "array('the','a','of','and','to','that')"
+    d = (docs
+         .select("doc_id", F.split("text", " ").alias("w"))
+         .withColumn("lines", F.expr(_GOPHER_LINES_EXPR))
+         .withColumn("dw", F.split(F.concat_ws(" ", F.col("lines")), " "))
+         .withColumn("n_stop", F.expr(
+             f"size(array_distinct(filter(w, x -> array_contains({stops}, x))))"))
+         .withColumn("mwl", F.expr(
+             "aggregate(w, 0L, (a, x) -> a + length(x)) / cast(size(w) as double)"))
+         .withColumn("n_hash", F.expr("size(filter(dw, x -> x = '#'))"))
+         .withColumn("n_ell", F.expr(
+             "size(filter(lines, l -> l LIKE '%...'))"))
+         .withColumn("n_bullet", F.expr(
+             "size(filter(lines, l -> l LIKE '- %'))"))
+         .withColumn("n_alpha", F.expr(
+             "size(filter(dw, x -> x rlike '[a-z]'))")))
+    nw = F.size("dw").cast("double")
+    nl = F.size("lines").cast("double")
+    sym = (F.col("n_hash") + F.col("n_ell")) / nw
+    bullet = F.col("n_bullet") / nl
+    ell = F.col("n_ell") / nl
+    alpha = F.col("n_alpha") / nw
+    keep = (F.when(
+        F.size("dw").between(50, 100000)
+        & F.col("mwl").between(3, 10) & (sym < 0.1)
+        & (bullet <= 0.9) & (ell <= 0.3) & (alpha >= 0.8)
+        & (F.col("n_stop") >= 2), 1).otherwise(0))
+    return d.select(
+        "doc_id",
+        F.size("dw").cast("int").alias("n_words"),
+        F.round("mwl", 4).alias("mean_word_len"),
+        F.round(sym, 4).alias("symbol_ratio"),
+        F.round(bullet, 4).alias("bullet_line_frac"),
+        F.round(ell, 4).alias("ellipsis_line_frac"),
+        F.round(alpha, 4).alias("alpha_word_frac"),
+        F.col("n_stop").cast("int").alias("n_stop_distinct"),
+        keep.cast("int").alias("keep"))

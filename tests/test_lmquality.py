@@ -293,3 +293,24 @@ def test_curate_v3_composes_v2_with_model_gates(spark):
     dropped = v2 - v3
     assert any(bucket[d] == "tail" for d in dropped)
     assert any(kept_ratio[d] < BOILER_KEEP_MIN for d in dropped)
+
+
+def test_gopher_gates_each_rule_fires(spark):
+    # every Gopher rule must discriminate on the synthetic corpus (the
+    # r5 degeneracy check: the original stop list dropped ALL docs)
+    from crawspark.operators.textops import quality_gopher_gates
+
+    rows = quality_gopher_gates(spark, SF).collect()
+    keeps = {r["keep"] for r in rows}
+    assert keeps == {0, 1}
+    assert any(r["n_words"] < 50 for r in rows)
+    assert any(r["symbol_ratio"] >= 0.1 for r in rows)
+    assert any(r["ellipsis_line_frac"] > 0.3 for r in rows)
+    assert any(r["n_stop_distinct"] < 2 for r in rows)
+    assert any(r["n_stop_distinct"] >= 2 for r in rows)
+    # invariants of the synthesis itself
+    for r in rows:
+        assert 0 <= r["bullet_line_frac"] <= 1
+        assert r["mean_word_len"] > 0
+        if r["keep"]:
+            assert r["n_words"] >= 50 and r["symbol_ratio"] < 0.1
