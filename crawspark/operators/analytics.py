@@ -487,3 +487,75 @@ def hits_hosts(spark, sf_dir):
     return (auths.join(hubs, "node")
             .select("node", F.col("a").alias("authority"),
                     F.col("h").alias("hub")))
+
+
+def _host_graph_stats_sql(sf_dir: str) -> str:
+    from crawspark.operators.extraction_queries import extract_oracle_path
+
+    pq = f"read_parquet('{extract_oracle_path(sf_dir)}')"
+    return f"""
+    WITH raw_links AS (
+      SELECT e.doc_id,
+             lower(regexp_extract(unnest(e.outlinks), '{_PR_HOST_RE}', 1))
+               AS host
+      FROM {pq} e
+    ), edges AS (
+      SELECT DISTINCT d.source AS src, l.host AS dst
+      FROM raw_links l JOIN documents d ON d.doc_id = CAST(l.doc_id AS BIGINT)
+      WHERE l.host <> ''
+    ), nodes AS (
+      SELECT src AS node FROM edges UNION SELECT dst FROM edges
+    ), outd AS (SELECT src AS node, count(*) AS c FROM edges GROUP BY src),
+    ind AS (SELECT dst AS node, count(*) AS c FROM edges GROUP BY dst),
+    recip AS (
+      SELECT e.src AS node, count(*) AS c
+      FROM edges e JOIN edges r ON r.src = e.dst AND r.dst = e.src
+      GROUP BY e.src
+    )
+    SELECT n.node,
+           CAST(coalesce(ind.c, 0) AS BIGINT) AS in_deg,
+           CAST(coalesce(outd.c, 0) AS BIGINT) AS out_deg,
+           CAST(coalesce(recip.c, 0) AS BIGINT) AS n_reciprocal
+    FROM nodes n
+    LEFT JOIN ind ON ind.node = n.node
+    LEFT JOIN outd ON outd.node = n.node
+    LEFT JOIN recip ON recip.node = n.node
+    """
+
+
+@register("host_graph_stats", sql=_host_graph_stats_sql)
+def host_graph_stats(spark, sf_dir):
+    # Crawl-graph health metrics over the pagerank/HITS edge set:
+    # per-host in/out degree and reciprocal-edge count (mutual links —
+    # the spam-farm signal). One self-join on the deduped edge table;
+    # at web scale edges shuffle on (src) / (dst) host keys only.
+    from crawspark.operators.extraction_queries import _extracted
+
+    ext = _extracted(spark, sf_dir)
+    links = (ext.select("doc_id", F.explode("outlinks").alias("link"))
+             .select("doc_id",
+                     F.lower(F.regexp_extract("link", _PR_HOST_RE, 1))
+                     .alias("host"))
+             .filter(F.col("host") != ""))
+    docs = (read_testdata(spark, sf_dir, "documents")
+            .select(F.col("doc_id").cast("string").alias("doc_id"), "source"))
+    edges = (links.join(docs, "doc_id")
+             .select(F.col("source").alias("src"), F.col("host").alias("dst"))
+             .distinct()
+             .localCheckpoint(eager=True))
+    nodes = (edges.select(F.col("src").alias("node"))
+             .union(edges.select(F.col("dst").alias("node"))).distinct())
+    outd = edges.groupBy("src").agg(F.count("*").alias("out_deg"))
+    ind = edges.groupBy("dst").agg(F.count("*").alias("in_deg"))
+    rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    recip = (edges.join(rev, ["src", "dst"])
+             .groupBy("src").agg(F.count("*").alias("n_reciprocal")))
+    return (nodes
+            .join(ind, nodes.node == ind.dst, "left").drop("dst")
+            .join(outd, nodes.node == outd.src, "left").drop("src")
+            .join(recip, nodes.node == recip.src, "left").drop("src")
+            .select("node",
+                    F.coalesce("in_deg", F.lit(0)).alias("in_deg"),
+                    F.coalesce("out_deg", F.lit(0)).alias("out_deg"),
+                    F.coalesce("n_reciprocal", F.lit(0))
+                    .alias("n_reciprocal")))
