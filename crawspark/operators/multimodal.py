@@ -1366,3 +1366,64 @@ def docx_extract_text(spark, sf_dir):
     return docs.mapInPandas(
         synth_extract, "doc_id long, n_paras int, text_md5 string, "
                        "total_chars long")
+
+
+@register("multimodal_exif_meta", sql="""
+    -- closed form of oracle/exif.build_exif_tiff as spliced by the
+    -- query: orientation cycles 1-8 (5-8 swap effective dims), byte
+    -- order alternates II/MM by parity
+    SELECT doc_id,
+           CAST(1 + doc_id % 8 AS INT) AS orientation,
+           'cam' || (doc_id % 7) AS make,
+           '2025:04:' || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0')
+             || ' 10:' || lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0')
+             || ':00' AS taken_at,
+           CAST(CASE WHEN 1 + doc_id % 8 >= 5
+                THEN 200 + doc_id % 50 ELSE 100 + doc_id % 40 END
+                AS INT) AS eff_width,
+           CAST(CASE WHEN 1 + doc_id % 8 >= 5
+                THEN 100 + doc_id % 40 ELSE 200 + doc_id % 50 END
+                AS INT) AS eff_height
+    FROM documents WHERE doc_id % 12 = 7
+""")
+def multimodal_exif_meta(spark, sf_dir):
+    # EXIF metadata (r5): per doc the worker splices a deterministic
+    # APP1 Exif segment (both byte orders, ASCII values at TIFF-origin
+    # offsets, Exif sub-IFD pointer) into a REAL baseline JPEG, parses
+    # it back through the marker walk + IFD reader, and reports the
+    # auto-rotation-EFFECTIVE dimensions (orientation 5-8 transposes
+    # pixel_x/pixel_y) — the gate a media pipeline filters on before
+    # any pixel work.
+    def synth_exif(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from crawspark.oracle.exif import make_exif_jpeg, parse_exif
+        from crawspark.oracle.jpegcodec import make_jpeg_pixels
+        for pdf in batches:
+            out = {"doc_id": [], "orientation": [], "make": [],
+                   "taken_at": [], "eff_width": [], "eff_height": []}
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                jpg = make_exif_jpeg(
+                    make_jpeg_pixels(16, 8),
+                    orientation=1 + d % 8,
+                    make=f"cam{d % 7}",
+                    datetime_s=(f"2025:04:{1 + d % 28:02d}"
+                                f" 10:{d % 60:02d}:00"),
+                    pixel_x=100 + d % 40, pixel_y=200 + d % 50,
+                    big_endian=d % 2 == 0)
+                m = parse_exif(jpg)
+                swap = m["orientation"] >= 5
+                out["doc_id"].append(d)
+                out["orientation"].append(m["orientation"])
+                out["make"].append(m["make"])
+                out["taken_at"].append(m["datetime"])
+                out["eff_width"].append(
+                    m["pixel_y"] if swap else m["pixel_x"])
+                out["eff_height"].append(
+                    m["pixel_x"] if swap else m["pixel_y"])
+            yield pd.DataFrame(out)
+
+    docs = (read_testdata(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") % 12 == 7).select("doc_id"))
+    return docs.mapInPandas(
+        synth_exif, "doc_id long, orientation int, make string, "
+                    "taken_at string, eff_width int, eff_height int")

@@ -577,3 +577,53 @@ def test_tiff_query_compression_grid_not_collapsed():
     ids = [d for d in range(1, 200) if d % 9 == 1]
     assert {d % 3 for d in ids} == {1}          # the trap
     assert {(d // 9) % 3 for d in ids} == {0, 1, 2}  # the fix
+
+
+def test_exif_parse_hand_vector_and_builder():
+    # hand-packed MM (big-endian) EXIF TIFF: one IFD0 with Orientation
+    # SHORT=6 and an Exif sub-IFD pointer at a hand-computed offset
+    # holding PixelXDimension LONG=640 — bytes written from the TIFF
+    # 6.0 / CP-3451 layout, not from our builder.
+    import struct as _struct
+
+    from crawspark.oracle.exif import (
+        build_exif_tiff,
+        make_exif_jpeg,
+        parse_exif,
+    )
+    from crawspark.oracle.jpegcodec import decode_jpeg_pixels, make_jpeg_pixels
+
+    ifd0 = (b"\x00\x02"                      # 2 entries
+            b"\x01\x12\x00\x03\x00\x00\x00\x01\x00\x06\x00\x00"  # 274=6
+            b"\x87\x69\x00\x04\x00\x00\x00\x01\x00\x00\x00\x26"  # 34665->0x26
+            b"\x00\x00\x00\x00")
+    sub = (b"\x00\x01"
+           b"\xa0\x02\x00\x04\x00\x00\x00\x01\x00\x00\x02\x80"    # 40962=640
+           b"\x00\x00\x00\x00")
+    tiff = b"MM\x00\x2a\x00\x00\x00\x08" + ifd0 + sub
+    seg = b"Exif\x00\x00" + tiff
+    jpeg = (b"\xff\xd8" + b"\xff\xe1" + _struct.pack(">H", len(seg) + 2)
+            + seg + b"\xff\xd9")
+    got = parse_exif(jpeg)
+    assert got["orientation"] == 6 and got["pixel_x"] == 640
+    assert got["make"] == "" and got["pixel_y"] is None
+
+    # builder round-trip both byte orders; ASCII at TIFF-origin offsets
+    for be in (False, True):
+        t = build_exif_tiff(orientation=5, make="maker x",
+                            datetime_s="2025:04:01 10:00:00",
+                            pixel_x=11, pixel_y=22, big_endian=be)
+        full = make_exif_jpeg(make_jpeg_pixels(16, 8),
+                              orientation=5, make="maker x",
+                              datetime_s="2025:04:01 10:00:00",
+                              pixel_x=11, pixel_y=22, big_endian=be)
+        m = parse_exif(full)
+        assert m == {"orientation": 5, "make": "maker x",
+                     "datetime": "2025:04:01 10:00:00",
+                     "pixel_x": 11, "pixel_y": 22}
+        assert t[:2] == (b"MM" if be else b"II")
+        # splicing must not break the image itself
+        assert decode_jpeg_pixels(full) is not None
+    # exif-less and garbage
+    assert parse_exif(make_jpeg_pixels(8, 8)) is None
+    assert parse_exif(b"\xff\xd8\xff\xd9") is None
