@@ -163,23 +163,56 @@ PR_DAMPING = 0.85
 _PR_HOST_RE = "^[a-z][a-z0-9+.-]*://([^/?#]+)"
 
 
-def _pagerank_oracle_sql(sf_dir: str) -> str:
+
+def _host_edges_cte(sf_dir: str) -> str:
+    """The raw_links/edges/nodes CTE prefix shared by every host-graph
+    oracle (pagerank/HITS/degree stats) — ONE definition, so a host
+    canonicalization tweak cannot silently diverge the three (r5
+    review: this block existed in three verbatim copies)."""
     from crawspark.operators.extraction_queries import extract_oracle_path
 
     pq = f"read_parquet('{extract_oracle_path(sf_dir)}')"
-    base = f"""
+    return f"""
     WITH raw_links AS (
       SELECT e.doc_id,
              lower(regexp_extract(unnest(e.outlinks), '{_PR_HOST_RE}', 1))
                AS host
       FROM {pq} e
-    ), edges AS (
+    ), edges AS MATERIALIZED (
       SELECT DISTINCT d.source AS src, l.host AS dst
       FROM raw_links l JOIN documents d ON d.doc_id = CAST(l.doc_id AS BIGINT)
       WHERE l.host <> ''
-    ), nodes AS (
+    ), nodes AS MATERIALIZED (
       SELECT src AS node FROM edges UNION SELECT dst FROM edges
-    ), nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+    )"""
+
+
+def _host_edges(spark, sf_dir):
+    """(edges, nodes) host-graph DataFrames — the Spark twin of
+    _host_edges_cte; both localCheckpointed for iterative reuse."""
+    from crawspark.operators.extraction_queries import _extracted
+
+    ext = _extracted(spark, sf_dir)
+    links = (ext.select("doc_id", F.explode("outlinks").alias("link"))
+             .select("doc_id",
+                     F.lower(F.regexp_extract("link", _PR_HOST_RE, 1))
+                     .alias("host"))
+             .filter(F.col("host") != ""))
+    docs = (read_testdata(spark, sf_dir, "documents")
+            .select(F.col("doc_id").cast("string").alias("doc_id"), "source"))
+    edges = (links.join(docs, "doc_id")
+             .select(F.col("source").alias("src"), F.col("host").alias("dst"))
+             .distinct()
+             .localCheckpoint(eager=True))
+    nodes = (edges.select(F.col("src").alias("node"))
+             .union(edges.select(F.col("dst").alias("node")))
+             .distinct().localCheckpoint(eager=True))
+    return edges, nodes
+
+
+def _pagerank_oracle_sql(sf_dir: str) -> str:
+    base = _host_edges_cte(sf_dir) + """,
+    nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
     outdeg AS (SELECT src, CAST(count(*) AS DOUBLE) AS d
                FROM edges GROUP BY src),
     pr0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes)"""
@@ -212,23 +245,7 @@ def _pagerank_oracle_sql(sf_dir: str) -> str:
 
 @register("pagerank_hosts", sql=_pagerank_oracle_sql)
 def pagerank_hosts(spark, sf_dir):
-    from crawspark.operators.extraction_queries import _extracted
-
-    ext = _extracted(spark, sf_dir)
-    links = (ext.select("doc_id", F.explode("outlinks").alias("link"))
-             .select("doc_id",
-                     F.lower(F.regexp_extract("link", _PR_HOST_RE, 1))
-                     .alias("host"))
-             .filter(F.col("host") != ""))
-    docs = (read_testdata(spark, sf_dir, "documents")
-            .select(F.col("doc_id").cast("string").alias("doc_id"), "source"))
-    edges = (links.join(docs, "doc_id")
-             .select(F.col("source").alias("src"), F.col("host").alias("dst"))
-             .distinct()
-             .localCheckpoint(eager=True))  # reused every iteration
-    nodes = (edges.select(F.col("src").alias("node"))
-             .union(edges.select(F.col("dst").alias("node")))
-             .distinct().localCheckpoint(eager=True))
+    edges, nodes = _host_edges(spark, sf_dir)  # reused every iteration
     n = nodes.count()
     outdeg = edges.groupBy("src").agg(F.count("*").cast("double").alias("d"))
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
@@ -397,23 +414,10 @@ HITS_ITERS = 4
 
 
 def _hits_oracle_sql(sf_dir: str) -> str:
-    from crawspark.operators.extraction_queries import extract_oracle_path
-
-    pq = f"read_parquet('{extract_oracle_path(sf_dir)}')"
-    base = f"""
-    WITH raw_links AS (
-      SELECT e.doc_id,
-             lower(regexp_extract(unnest(e.outlinks), '{_PR_HOST_RE}', 1))
-               AS host
-      FROM {pq} e
-    ), edges AS MATERIALIZED (
-      SELECT DISTINCT d.source AS src, l.host AS dst
-      FROM raw_links l JOIN documents d ON d.doc_id = CAST(l.doc_id AS BIGINT)
-      WHERE l.host <> ''
-    ), nodes AS MATERIALIZED (
-      SELECT src AS node FROM edges UNION SELECT dst FROM edges
-    ), nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
-    h0 AS MATERIALIZED (SELECT node, 1.0 / (SELECT n FROM nn) AS h FROM nodes)"""
+    base = _host_edges_cte(sf_dir) + """,
+    nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+    h0 AS MATERIALIZED (SELECT node, 1.0 / (SELECT n FROM nn) AS h
+                        FROM nodes)"""
     steps = []
     for k in range(HITS_ITERS):
         steps.append(f"""
@@ -441,23 +445,7 @@ def hits_hosts(spark, sf_dir):
     # two sparse matvecs (edges ⋈ scores, grouped by the opposite
     # endpoint) with the L1 normalizer riding along as a 1-row
     # broadcast — no per-iteration driver action, lineage cut per step.
-    from crawspark.operators.extraction_queries import _extracted
-
-    ext = _extracted(spark, sf_dir)
-    links = (ext.select("doc_id", F.explode("outlinks").alias("link"))
-             .select("doc_id",
-                     F.lower(F.regexp_extract("link", _PR_HOST_RE, 1))
-                     .alias("host"))
-             .filter(F.col("host") != ""))
-    docs = (read_testdata(spark, sf_dir, "documents")
-            .select(F.col("doc_id").cast("string").alias("doc_id"), "source"))
-    edges = (links.join(docs, "doc_id")
-             .select(F.col("source").alias("src"), F.col("host").alias("dst"))
-             .distinct()
-             .localCheckpoint(eager=True))
-    nodes = (edges.select(F.col("src").alias("node"))
-             .union(edges.select(F.col("dst").alias("node")))
-             .distinct().localCheckpoint(eager=True))
+    edges, nodes = _host_edges(spark, sf_dir)
     n = nodes.count()
     hubs = nodes.withColumn("h", F.lit(1.0 / n))
     auths = None
@@ -490,22 +478,8 @@ def hits_hosts(spark, sf_dir):
 
 
 def _host_graph_stats_sql(sf_dir: str) -> str:
-    from crawspark.operators.extraction_queries import extract_oracle_path
-
-    pq = f"read_parquet('{extract_oracle_path(sf_dir)}')"
-    return f"""
-    WITH raw_links AS (
-      SELECT e.doc_id,
-             lower(regexp_extract(unnest(e.outlinks), '{_PR_HOST_RE}', 1))
-               AS host
-      FROM {pq} e
-    ), edges AS (
-      SELECT DISTINCT d.source AS src, l.host AS dst
-      FROM raw_links l JOIN documents d ON d.doc_id = CAST(l.doc_id AS BIGINT)
-      WHERE l.host <> ''
-    ), nodes AS (
-      SELECT src AS node FROM edges UNION SELECT dst FROM edges
-    ), outd AS (SELECT src AS node, count(*) AS c FROM edges GROUP BY src),
+    return _host_edges_cte(sf_dir) + """,
+    outd AS (SELECT src AS node, count(*) AS c FROM edges GROUP BY src),
     ind AS (SELECT dst AS node, count(*) AS c FROM edges GROUP BY dst),
     recip AS (
       SELECT e.src AS node, count(*) AS c
@@ -529,22 +503,7 @@ def host_graph_stats(spark, sf_dir):
     # per-host in/out degree and reciprocal-edge count (mutual links —
     # the spam-farm signal). One self-join on the deduped edge table;
     # at web scale edges shuffle on (src) / (dst) host keys only.
-    from crawspark.operators.extraction_queries import _extracted
-
-    ext = _extracted(spark, sf_dir)
-    links = (ext.select("doc_id", F.explode("outlinks").alias("link"))
-             .select("doc_id",
-                     F.lower(F.regexp_extract("link", _PR_HOST_RE, 1))
-                     .alias("host"))
-             .filter(F.col("host") != ""))
-    docs = (read_testdata(spark, sf_dir, "documents")
-            .select(F.col("doc_id").cast("string").alias("doc_id"), "source"))
-    edges = (links.join(docs, "doc_id")
-             .select(F.col("source").alias("src"), F.col("host").alias("dst"))
-             .distinct()
-             .localCheckpoint(eager=True))
-    nodes = (edges.select(F.col("src").alias("node"))
-             .union(edges.select(F.col("dst").alias("node"))).distinct())
+    edges, nodes = _host_edges(spark, sf_dir)
     outd = edges.groupBy("src").agg(F.count("*").alias("out_deg"))
     ind = edges.groupBy("dst").agg(F.count("*").alias("in_deg"))
     rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))

@@ -439,8 +439,13 @@ _GOPHER_LINES_EXPR = """
 # the synthetic vocab carries only 'the' and 'a' from the real
 # stopword inventory — the >=2-distinct gate therefore requires BOTH,
 # which splits the corpus ~63/37 instead of dropping everything (the
-# r5 degeneracy check caught the original all-absent list)
-_GOPHER_STOPS = "('the','a','of','and','to','that')"
+# r5 degeneracy check caught the original all-absent list). ONE tuple
+# drives both engine literals (r5 review: two hand-kept formats are
+# the same drift class the degeneracy bug came from).
+_GOPHER_STOP_WORDS = ("the", "a", "of", "and", "to", "that")
+_GOPHER_STOPS = "(" + ",".join(f"'{w}'" for w in _GOPHER_STOP_WORDS) + ")"
+_GOPHER_STOPS_SPARK = ("array(" + ",".join(
+    f"'{w}'" for w in _GOPHER_STOP_WORDS) + ")")
 
 
 @register("quality_gopher_gates", sql=f"""
@@ -458,7 +463,6 @@ _GOPHER_STOPS = "('the','a','of','and','to','that')"
     ), sig AS (
       SELECT doc_id, lines,
         string_split(array_to_string(lines, ' '), ' ') AS dw,
-        len(list_filter(w, x -> x IN {_GOPHER_STOPS})) > 0 AS _unused,
         list_transform(w, x -> length(x)) AS wl,
         len(list_distinct(list_filter(w, x -> x IN {_GOPHER_STOPS})))
           AS n_stop
@@ -504,7 +508,7 @@ def quality_gopher_gates(spark, sf_dir):
     # required stopwords. All higher-order-function projections — zero
     # shuffle, pure per-doc map like quality_c4_gates.
     docs = read_testdata(spark, sf_dir, "documents")
-    stops = "array('the','a','of','and','to','that')"
+    stops = _GOPHER_STOPS_SPARK
     d = (docs
          .select("doc_id", F.split("text", " ").alias("w"))
          .withColumn("lines", F.expr(_GOPHER_LINES_EXPR))

@@ -37,12 +37,18 @@ def parse_feed(xml_text: str) -> list[dict]:
         ns = f"{{{_ATOM}}}" if tag.startswith("{") else ""
         for entry in root.iter(f"{ns}entry"):
             href = ""
+            # prefer rel="alternate"; fall back only to CONTENT rels —
+            # a feed whose entry carries only rel="self"/"enclosure"
+            # must yield an empty link, not enqueue the feed itself
+            # (r5 review finding)
             for ln in entry.findall(f"{ns}link"):
                 rel = ln.get("rel", "alternate")
-                if rel == "alternate" or not href:
-                    href = ln.get("href", "")
                 if rel == "alternate":
+                    href = ln.get("href", "")
                     break
+                if not href and rel not in ("self", "enclosure", "hub",
+                                            "replies", "edit"):
+                    href = ln.get("href", "")
             out.append({
                 "fmt": "atom",
                 "title": (entry.findtext(f"{ns}title") or "").strip(),

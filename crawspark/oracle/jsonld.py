@@ -57,8 +57,12 @@ def extract_jsonld_articles(html: str) -> list[dict]:
     for script in root.find_all("script"):
         if script.attr("type").strip().lower() != "application/ld+json":
             continue
+        # RAW child text, not Node.text(): text() whitespace-normalizes,
+        # which rewrites JSON string values containing runs of spaces or
+        # tabs before json.loads ever sees them (r5 review finding)
+        raw = "".join(c for c in script.children if isinstance(c, str))
         try:
-            doc = json.loads(script.text())
+            doc = json.loads(raw)
         except (ValueError, TypeError):
             continue
         for node in _nodes(doc):

@@ -119,6 +119,50 @@ def object_key(file_key: bytes, num: int, gen: int) -> bytes:
 _RE_TRAILER = re.compile(rb"trailer\s*<<")
 
 
+
+# PDF 32000-1 §7.3.4.2 literal-string escapes. The two halves MUST be
+# exact inverses (r5 review: the escape side wrote CR as '\\r' but the
+# unescape side did not reverse it, shifting the RC4 keystream and
+# garbling the string tail whenever ciphertext contained 0x0D); this
+# mirrors pdfparse._unescape_b exactly so every reader agrees.
+_ESC_MAP = {b"n": b"\n", b"r": b"\r", b"t": b"\t",
+            b"b": b"\x08", b"f": b"\x0c",
+            b"(": b"(", b")": b")", b"\\": b"\\"}
+
+
+def _unescape_literal(raw: bytes) -> bytes:
+    out = bytearray()
+    i = 0
+    while i < len(raw):
+        c = raw[i:i + 1]
+        if c == b"\\" and i + 1 < len(raw):
+            nxt = raw[i + 1:i + 2]
+            if nxt in _ESC_MAP:
+                out += _ESC_MAP[nxt]
+                i += 2
+                continue
+            if nxt.isdigit():  # octal, up to 3 digits
+                j = i + 1
+                while j < len(raw) and j < i + 4 and raw[j:j + 1].isdigit():
+                    j += 1
+                out.append(int(raw[i + 1:j], 8) & 0xFF)
+                i = j
+                continue
+            i += 1
+            continue
+        out += c
+        i += 1
+    return bytes(out)
+
+
+def _escape_literal(data: bytes) -> bytes:
+    # backslash first, then delimiters, then the EOL bytes a reader
+    # would normalize (§7.3.4.2: raw CR/CRLF in a literal reads as LF)
+    return (data.replace(b"\\", b"\\\\")
+            .replace(b"(", b"\\(").replace(b")", b"\\)")
+            .replace(b"\r", b"\\r").replace(b"\n", b"\\n"))
+
+
 def _encrypt_strings(body: bytes, key: bytes) -> bytes:
     """Encipher literal strings in a dictionary region (not used inside
     stream payloads — those are enciphered whole)."""
@@ -137,16 +181,9 @@ def _encrypt_strings(body: bytes, key: bytes) -> bytes:
                 elif body[j] == 0x29:
                     depth -= 1
                 j += 1
-            plain = body[i + 1:j - 1]
-            # unescape → encrypt → re-escape binary-safe
-            plain = (plain.replace(b"\\\\", b"\x00\x01")
-                     .replace(b"\\(", b"(").replace(b"\\)", b")")
-                     .replace(b"\x00\x01", b"\\"))
+            plain = _unescape_literal(body[i + 1:j - 1])
             enc = rc4(key, plain)
-            esc = (enc.replace(b"\\", b"\\\\")
-                   .replace(b"(", b"\\(").replace(b")", b"\\)")
-                   .replace(b"\r", b"\\r"))
-            out += b"(" + esc + b")"
+            out += b"(" + _escape_literal(enc) + b")"
             i = j
         else:
             out.append(c)
@@ -219,9 +256,14 @@ def encrypt_pdf(data: bytes, *, rev: int = 3, key_len: int = 16,
     enc_trailer = (b" /Encrypt %d 0 R /ID [<%s> <%s>] "
                    % (enc_num, idhex, idhex))
     tm = _RE_TRAILER.search(out)
-    if tm:
-        out[tm.end():tm.end()] = enc_trailer
-        out[tm.start():tm.start()] = enc_obj
+    if tm is None:
+        # no textual trailer (xref-stream layout): without the /Encrypt
+        # insert point the output would be undetectable ciphertext —
+        # refuse rather than emit mush (r5 review finding)
+        raise ValueError("encrypt_pdf requires a textual trailer "
+                         "dictionary to carry /Encrypt")
+    out[tm.end():tm.end()] = enc_trailer
+    out[tm.start():tm.start()] = enc_obj
     return bytes(out)
 
 
@@ -231,8 +273,6 @@ def encrypt_pdf(data: bytes, *, rev: int = 3, key_len: int = 16,
 
 _RE_ENC_REF = re.compile(rb"/Encrypt\s+(\d+)\s+(\d+)\s+R")
 _RE_ID = re.compile(rb"/ID\s*\[\s*<([0-9A-Fa-f]+)>")
-_RE_NUMFIELD = re.compile(rb"/%b\s+(-?\d+)")
-_RE_HEXFIELD = re.compile(rb"/%b\s*<([0-9A-Fa-f]+)>")
 
 
 def _field_int(body: bytes, name: bytes, default: int) -> int:

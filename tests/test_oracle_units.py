@@ -454,3 +454,32 @@ def test_jsonld_extraction_shapes():
     for d in (0, 1, 2, 3, 13, 23, 33):
         assert extract_jsonld_articles(make_jsonld_page(d)) == \
             jsonld_expected(d)
+
+
+def test_jsonld_preserves_whitespace_runs():
+    # r5 review: Node.text() whitespace-normalizes, rewriting JSON
+    # string values — extraction must read the script's RAW text
+    from crawspark.oracle.jsonld import extract_jsonld_articles
+
+    page = ('<html><script type="application/ld+json">'
+            '{"@type": "Article", "headline": "A  B\\tC",'
+            ' "datePublished": "2025-01-01", "author": "x y"}'
+            "</script></html>")
+    got = extract_jsonld_articles(page)
+    assert got[0]["headline"] == "A  B\tC"
+
+
+def test_feed_self_only_entry_has_empty_link():
+    # r5 review: an Atom entry carrying only non-content rels must not
+    # enqueue the feed itself as the entry link
+    from crawspark.oracle.feeds import parse_feed
+
+    atom = ('<feed xmlns="http://www.w3.org/2005/Atom"><entry>'
+            '<title>X</title><link rel="self" href="https://a/feed.xml"/>'
+            '<link rel="enclosure" href="https://a/audio.mp3"/>'
+            "<updated>u</updated></entry></feed>")
+    assert parse_feed(atom)[0]["link"] == ""
+    # a rel-less link is an alternate per the Atom default
+    bare = atom.replace(' rel="self"', "").replace(
+        '<link rel="enclosure" href="https://a/audio.mp3"/>', "")
+    assert parse_feed(bare)[0]["link"] == "https://a/feed.xml"

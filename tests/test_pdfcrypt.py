@@ -108,3 +108,42 @@ def test_unopenable_and_unsupported_reject_not_mush():
     assert decrypt_objects(data, objs) is True
     objs2 = _scan_objects(raw)
     assert decrypt_objects(raw, objs2) is False
+
+
+def test_string_escape_symmetry_under_cr_ciphertext():
+    # r5 review: the escape side wrote CR as '\r' but the unescape side
+    # did not reverse it — keystream alignment shifted and the string
+    # tail garbled whenever RC4 ciphertext contained 0x0D. Round-trip
+    # dict strings under many object keys so CR/LF escapes are
+    # genuinely exercised.
+    from crawspark.oracle.pdfcrypt import (
+        _encrypt_strings,
+        _unescape_literal,
+        object_key,
+    )
+
+    hits = 0
+    for seed in range(60):
+        key = object_key(bytes(range(16)), seed, 0)
+        body = b"<< /Title (The quick brown fox jumps over 0123456789) >>"
+        enc = _encrypt_strings(body, key)
+        hits += b"\\r" in enc or b"\\n" in enc
+        assert _encrypt_strings(enc, key) == body, seed
+    assert hits > 5  # the escape path really ran
+    # escaped control/octal sequences in the PLAIN input survive as
+    # raw bytes (canonical re-escape may differ in form, not value)
+    key = object_key(bytes(range(16)), 3, 0)
+    body = b"(a\\r b\\n c\\t d\\101 e\\\\ f\\( g)"
+    twice = _encrypt_strings(_encrypt_strings(body, key), key)
+    assert _unescape_literal(twice[1:-1]) == _unescape_literal(body[1:-1])
+
+
+def test_encrypt_pdf_refuses_trailerless_input():
+    import pytest
+
+    from crawspark.oracle.pdfcrypt import encrypt_pdf, make_plain_pdf
+
+    raw = make_plain_pdf([["x"]])
+    no_trailer = raw[:raw.index(b"trailer")]
+    with pytest.raises(ValueError):
+        encrypt_pdf(no_trailer, rev=3)
