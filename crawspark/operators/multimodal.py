@@ -1316,6 +1316,76 @@ def pdf_encrypted_text(spark, sf_dir):
                        "total_chars long")
 
 
+@register("pdf_encrypted_aes_text", sql="""
+    -- closed form of make_plain_pdf + encrypt_pdf(rev 4/6): the Spark
+    -- side must run the AESV2 (AES-128-CBC, sAlT key extension) or
+    -- AES-256 (/V 5 /R 6: hardened hash, /UE unwrap, /Perms check)
+    -- decryption path to recover exactly these page strings — a
+    -- key-schedule, CBC-chain, padding or R6-hash slip flips every md5
+    WITH p AS (
+      SELECT doc_id, 1 + doc_id % 3 AS n_pages FROM documents
+      WHERE doc_id % 11 = 7
+    ), pg AS (
+      SELECT doc_id, n_pages, unnest(generate_series(0, n_pages - 1)) AS pp
+      FROM p
+    ), pagetext AS (
+      SELECT doc_id, n_pages, pp,
+             array_to_string(list_transform(
+               generate_series(0, 1 + (doc_id + pp) % 3),
+               j -> 'doc ' || doc_id || ' page ' || pp || ' line ' || j),
+               chr(10)) AS t
+      FROM pg
+    )
+    SELECT doc_id, CAST(max(n_pages) AS INT) AS n_pages,
+           CASE WHEN doc_id % 2 = 0 THEN 'aesv2' ELSE 'aes256' END AS cipher,
+           md5(string_agg(t, chr(30) ORDER BY pp)) AS text_md5,
+           CAST(sum(length(t)) AS BIGINT) AS total_chars
+    FROM pagetext GROUP BY doc_id
+""")
+def pdf_encrypted_aes_text(spark, sf_dir):
+    # AES-encrypted-PDF text extraction (r5): same shape as
+    # pdf_encrypted_text but through the AES handlers — rev 4 /AESV2
+    # for even docs, rev 6 AES-256 for odd ones. All R6 docs in a batch
+    # share one r6_seed salt family so the hardened-hash cost is paid
+    # once per executor, not per document (the file key itself still
+    # varies per doc via /ID → sha256, so object payloads differ).
+    def synth_decrypt(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+        import struct as _struct
+
+        from crawspark.oracle.pdfcrypt import encrypt_pdf, make_plain_pdf
+        from crawspark.oracle.pdfparse import extract_pdf_text
+        for pdf in batches:
+            out = {"doc_id": [], "n_pages": [], "cipher": [],
+                   "text_md5": [], "total_chars": []}
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                pages = [[f"doc {d} page {p} line {j}"
+                          for j in range(2 + (d + p) % 3)]
+                         for p in range(1 + d % 3)]
+                raw = make_plain_pdf(pages, flate=d % 2 == 0)
+                rev = 4 if d % 2 == 0 else 6
+                enc = encrypt_pdf(raw, rev=rev,
+                                  doc_id=_struct.pack("<Q", d) * 2,
+                                  r6_seed=b"r5-corpus-salts")
+                got = extract_pdf_text(enc.decode("latin-1"))
+                joined = "\x1e".join(got)
+                out["doc_id"].append(d)
+                out["n_pages"].append(len(got))
+                out["cipher"].append("aesv2" if rev == 4 else "aes256")
+                out["text_md5"].append(
+                    hashlib.md5(joined.encode()).hexdigest())
+                out["total_chars"].append(
+                    sum(len(t) for t in got))
+            yield pd.DataFrame(out)
+
+    docs = (read_testdata(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") % 11 == 7).select("doc_id"))
+    return docs.mapInPandas(
+        synth_decrypt, "doc_id long, n_pages int, cipher string, "
+                       "text_md5 string, total_chars long")
+
+
 @register("docx_extract_text", sql="""
     -- closed form of oracle/officedoc.make_docx: paragraph p of doc d
     -- concatenates runs 0..(d+p)%3, separated by a tab (when the
