@@ -740,3 +740,124 @@ def ann_search_lsh(spark, sf_dir, query_ids: list[int], k: int = 5,
                     F.col("n.vec_id").alias("neighbor_id"), sim.alias("sim"))
             .withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k))
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup (r5): semantic near-duplicate pruning, cluster-scoped. The
+# k-means codebook (the SAME _centroids training the IVF index uses)
+# partitions the corpus into cells; pairwise cosine is computed ONLY
+# within a cell, so the quadratic blow-up is bounded by cluster
+# occupancy (balanced by training — tests/test_recall.py pins the
+# spread) instead of corpus size. Per the SemDeDup keep policy, when
+# two vectors in a cell exceed the similarity threshold the one with
+# LOWER cosine-to-centroid survives (edge points carry more signal
+# than cluster-core repeats; Abbas et al. 2023, arXiv:2303.09540 —
+# public paper, method reimplemented from its description).
+#
+# 100 TB shape: ONE shuffle, keyed on cell; each task materializes only
+# its cell's gram matrix (numpy, C-side). At real scale cells come from
+# a larger codebook so occupancy stays ~constant as the corpus grows —
+# the shuffle key count scales with data, the per-task cost does not.
+# ---------------------------------------------------------------------------
+
+SEMDEDUP_TAU = 0.4  # same edge threshold as dedup_embedding_resolve
+
+
+@register("dedup_semantic_semdedup", sql=f"""
+    WITH {{KMEANS}},
+    cent AS (SELECT cid, cvec FROM cent{KMEANS_ITERS}),
+    assign AS (
+      SELECT vec_id, cell, csim FROM (
+        SELECT e.vec_id, c.cid AS cell,
+               round(list_cosine_similarity(e.embedding::DOUBLE[], c.cvec),
+                     6) AS csim,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 round(list_cosine_similarity(e.embedding::DOUBLE[], c.cvec),
+                       6) DESC, c.cid) AS rn
+        FROM embeddings e CROSS JOIN cent c
+      ) WHERE rn = 1
+    ), pairs AS (
+      SELECT a.vec_id AS v, b.vec_id AS u, b.csim AS u_csim,
+             round(list_cosine_similarity(ea.embedding::DOUBLE[],
+                                          eb.embedding::DOUBLE[]), 6) AS sim
+      FROM assign a JOIN assign b
+        ON a.cell = b.cell AND a.vec_id <> b.vec_id
+      JOIN embeddings ea ON ea.vec_id = a.vec_id
+      JOIN embeddings eb ON eb.vec_id = b.vec_id
+    ), mo AS (
+      SELECT v AS vec_id, max(sim) AS max_other FROM pairs GROUP BY v
+    )
+    SELECT a.vec_id, a.cell,
+           CAST(a.csim AS DOUBLE) AS centroid_sim,
+           CAST(coalesce(m.max_other, -2.0) AS DOUBLE) AS max_other_sim,
+           NOT EXISTS (
+             SELECT 1 FROM pairs p
+             WHERE p.v = a.vec_id AND p.sim >= {SEMDEDUP_TAU}
+               AND (p.u_csim < a.csim
+                    OR (p.u_csim = a.csim AND p.u < a.vec_id))
+           ) AS kept
+    FROM assign a LEFT JOIN mo m USING (vec_id)
+""".replace("{KMEANS}", _kmeans_ctes()))
+def dedup_semantic_semdedup(spark, sf_dir):
+    # Oracle-checked INCLUDING the training: DuckDB replays the full
+    # k-means (same _kmeans_ctes as ann_search_ivf), the cell
+    # assignment, every within-cell pair cosine, and the keep rule —
+    # each vector's (cell, centroid_sim, max_other_sim, kept) is
+    # value-hashed by the driver. Round-6 everywhere makes the >= TAU
+    # compare and the (csim, vec_id) keeper ordering engine-exact.
+    import numpy as np
+    import pandas as pd
+
+    C = _centroids(spark, sf_dir)
+    bc = spark.sparkContext.broadcast(C)
+
+    def assign(batches):
+        M = bc.value
+        Mn = np.linalg.norm(M, axis=1)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.array(list(pdf["embedding"]), dtype=np.float64)
+            vn = np.linalg.norm(v, axis=1)
+            sims = np.round((v @ M.T) / np.outer(vn, Mn), 6)
+            cells = np.argmax(sims, axis=1)
+            yield pd.DataFrame({
+                "vec_id": pdf["vec_id"],
+                "cell": cells.astype("int32"),
+                "csim": sims[np.arange(len(cells)), cells],
+                "embedding": pdf["embedding"],
+            })
+
+    def semdedup_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        n = len(pdf)
+        ids = pdf["vec_id"].to_numpy()
+        csim = pdf["csim"].to_numpy()
+        if n == 1:
+            return pd.DataFrame({
+                "vec_id": ids, "cell": pdf["cell"],
+                "centroid_sim": csim,
+                "max_other_sim": np.full(1, -2.0), "kept": [True]})
+        V = np.array(list(pdf["embedding"]), dtype=np.float64)
+        vn = np.linalg.norm(V, axis=1)
+        S = np.round((V @ V.T) / np.outer(vn, vn), 6)
+        np.fill_diagonal(S, -np.inf)
+        max_other = S.max(axis=1)
+        # keeper ordering: (csim ASC, vec_id ASC) — lower centroid-sim
+        # wins, so rank_less[v, u] == u outranks v
+        rank_less = (csim[None, :] < csim[:, None]) | (
+            (csim[None, :] == csim[:, None]) & (ids[None, :] < ids[:, None]))
+        dropped = ((S >= SEMDEDUP_TAU) & rank_less).any(axis=1)
+        return pd.DataFrame({
+            "vec_id": ids, "cell": pdf["cell"],
+            "centroid_sim": csim, "max_other_sim": max_other,
+            "kept": ~dropped})
+
+    emb = read_testdata(spark, sf_dir, "embeddings")
+    n_parts = max(spark.sparkContext.defaultParallelism, 8)
+    assigned = (emb.select("vec_id", "embedding").repartition(n_parts)
+                .mapInPandas(assign, "vec_id long, cell int, csim double, "
+                                     "embedding array<float>"))
+    return assigned.groupBy("cell").applyInPandas(
+        semdedup_cell, "vec_id long, cell int, centroid_sim double, "
+                       "max_other_sim double, kept boolean")
