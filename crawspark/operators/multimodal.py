@@ -1438,6 +1438,221 @@ def docx_extract_text(spark, sf_dir):
                        "total_chars long")
 
 
+@register("xlsx_extract_rows", sql="""
+    -- closed form of oracle/officedoc.make_xlsx: sheet s row r of doc d
+    -- is sharedstring[(d+s+r) % (3 + d%3)] TAB inline TAB numeric
+    WITH s AS (
+      SELECT doc_id, unnest(generate_series(0, doc_id % 2)) AS ss
+      FROM documents WHERE doc_id % 13 = 9
+    ), r AS (
+      SELECT doc_id, ss,
+             unnest(generate_series(0, 1 + (doc_id + ss) % 3)) AS rr
+      FROM s
+    ), rows_ AS (
+      SELECT doc_id, ss, rr,
+             'doc ' || doc_id || ' shared '
+               || ((doc_id + ss + rr) % (3 + doc_id % 3))
+             || chr(9) || 'inline ' || doc_id || ' ' || ss || ' ' || rr
+             || chr(9) || (doc_id * 100 + ss * 10 + rr) AS t
+      FROM r
+    )
+    SELECT doc_id, CAST(count(*) AS INT) AS n_rows,
+           CAST(count(DISTINCT ss) AS INT) AS n_sheets,
+           md5(string_agg(t, chr(30) ORDER BY ss, rr)) AS text_md5,
+           CAST(sum(length(t)) AS BIGINT) AS total_chars
+    FROM rows_ GROUP BY doc_id
+""")
+def xlsx_extract_rows(spark, sf_dir):
+    # SpreadsheetML route (r5): the worker builds a deterministic .xlsx
+    # per doc and recovers its rows through the real three-layer walk —
+    # workbook sheet order, rels r:id→part resolution (rels listed
+    # reversed), sharedStrings indirection, and the column-ref sort
+    # (odd rows ship cells in reverse XML order) — then hashes the
+    # recovered text against the closed-form oracle.
+    def synth_extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        from crawspark.oracle.officedoc import extract_xlsx_rows, make_xlsx
+        for pdf in batches:
+            out = {"doc_id": [], "n_rows": [], "n_sheets": [],
+                   "text_md5": [], "total_chars": []}
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                rows = extract_xlsx_rows(make_xlsx(d))
+                out["doc_id"].append(d)
+                out["n_rows"].append(len(rows))
+                out["n_sheets"].append(1 + d % 2)
+                out["text_md5"].append(hashlib.md5(
+                    "\x1e".join(rows).encode()).hexdigest())
+                out["total_chars"].append(sum(len(t) for t in rows))
+            yield pd.DataFrame(out)
+
+    docs = (read_testdata(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") % 13 == 9).select("doc_id"))
+    return docs.mapInPandas(
+        synth_extract, "doc_id long, n_rows int, n_sheets int, "
+                       "text_md5 string, total_chars long")
+
+
+@register("pptx_extract_text", sql="""
+    -- closed form of oracle/officedoc.make_pptx: slide s para p of doc
+    -- d is 'doc d slide s para p' plus ' x((d+s+p)%5)' when d+s+p odd
+    WITH s AS (
+      SELECT doc_id, unnest(generate_series(0, doc_id % 3)) AS ss
+      FROM documents WHERE doc_id % 13 = 10
+    ), p AS (
+      SELECT doc_id, ss,
+             unnest(generate_series(0, (doc_id + ss) % 3)) AS pp
+      FROM s
+    ), paras AS (
+      SELECT doc_id, ss, pp,
+             'doc ' || doc_id || ' slide ' || ss || ' para ' || pp
+             || CASE WHEN (doc_id + ss + pp) % 2 = 1
+                     THEN ' x' || ((doc_id + ss + pp) % 5) ELSE '' END AS t
+      FROM p
+    )
+    SELECT doc_id, CAST(count(*) AS INT) AS n_paras,
+           CAST(count(DISTINCT ss) AS INT) AS n_slides,
+           md5(string_agg(t, chr(30) ORDER BY ss, pp)) AS text_md5,
+           CAST(sum(length(t)) AS BIGINT) AS total_chars
+    FROM paras GROUP BY doc_id
+""")
+def pptx_extract_text(spark, sf_dir):
+    # PresentationML route (r5): deterministic .pptx per doc; the real
+    # walk resolves sldIdLst order through reversed rels, concatenates
+    # a:t runs per a:p paragraph, and hashes the recovered deck text.
+    def synth_extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        from crawspark.oracle.officedoc import extract_pptx_text, make_pptx
+        for pdf in batches:
+            out = {"doc_id": [], "n_paras": [], "n_slides": [],
+                   "text_md5": [], "total_chars": []}
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                paras = extract_pptx_text(make_pptx(d))
+                out["doc_id"].append(d)
+                out["n_paras"].append(len(paras))
+                out["n_slides"].append(1 + d % 3)
+                out["text_md5"].append(hashlib.md5(
+                    "\x1e".join(paras).encode()).hexdigest())
+                out["total_chars"].append(sum(len(t) for t in paras))
+            yield pd.DataFrame(out)
+
+    docs = (read_testdata(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") % 13 == 10).select("doc_id"))
+    return docs.mapInPandas(
+        synth_extract, "doc_id long, n_paras int, n_slides int, "
+                       "text_md5 string, total_chars long")
+
+
+@register("rtf_extract_text", sql="""
+    -- closed form of oracle/rtf.make_rtf: para p of doc d is
+    -- [T:\\t]doc<nbsp> d para p tail[ caf\\xe9][ alpha]
+    WITH p AS (
+      SELECT doc_id, unnest(generate_series(0, 1 + doc_id % 3)) AS pp
+      FROM documents WHERE doc_id % 13 = 11
+    ), paras AS (
+      SELECT doc_id, pp,
+             CASE WHEN pp = 0 THEN 'T:' || chr(9) ELSE '' END
+             || 'doc' || chr(160) || ' ' || doc_id || ' para ' || pp
+             || ' tail'
+             || CASE WHEN (doc_id + pp) % 2 = 1
+                     THEN ' caf' || chr(233) ELSE '' END
+             || CASE WHEN (doc_id + pp) % 3 = 2
+                     THEN ' ' || chr(945) ELSE '' END AS t
+      FROM p
+    )
+    SELECT doc_id, CAST(count(*) AS INT) AS n_paras,
+           md5(string_agg(t, chr(30) ORDER BY pp)) AS text_md5,
+           CAST(sum(length(t)) AS BIGINT) AS total_chars
+    FROM paras GROUP BY doc_id
+""")
+def rtf_extract_text(spark, sf_dir):
+    # RTF route (r5): deterministic legacy rich-text per doc; the real
+    # parser walks brace groups, skips fonttbl/starred destinations,
+    # decodes \\'xx cp1252 bytes and \\uN unicode with \\uc fallback
+    # swallowing, and hashes the recovered paragraphs. total_chars is
+    # CODEPOINTS (DuckDB length() ≡ Python len on UTF-8 text).
+    def synth_extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        from crawspark.oracle.rtf import extract_rtf_text, make_rtf
+        for pdf in batches:
+            out = {"doc_id": [], "n_paras": [], "text_md5": [],
+                   "total_chars": []}
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                paras = extract_rtf_text(make_rtf(d))
+                out["doc_id"].append(d)
+                out["n_paras"].append(len(paras))
+                out["text_md5"].append(hashlib.md5(
+                    "\x1e".join(paras).encode()).hexdigest())
+                out["total_chars"].append(sum(len(t) for t in paras))
+            yield pd.DataFrame(out)
+
+    docs = (read_testdata(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") % 13 == 11).select("doc_id"))
+    return docs.mapInPandas(
+        synth_extract, "doc_id long, n_paras int, text_md5 string, "
+                       "total_chars long")
+
+
+@register("doc_legacy_extract_text", sql="""
+    -- closed form of oracle/cfbdoc.make_legacy_doc: para p of doc d is
+    -- 'doc d legacy para p'[ caf\\xe9]; the last para appends ' tau(d%7)'
+    WITH p AS (
+      SELECT doc_id, doc_id % 3 + 1 AS last_p,
+             unnest(generate_series(0, 1 + doc_id % 3)) AS pp
+      FROM documents WHERE doc_id % 13 = 12
+    ), paras AS (
+      SELECT doc_id, pp,
+             'doc ' || doc_id || ' legacy para ' || pp
+             || CASE WHEN (doc_id + pp) % 2 = 1
+                     THEN ' caf' || chr(233) ELSE '' END
+             || CASE WHEN pp = last_p
+                     THEN ' ' || chr(964) || (doc_id % 7) ELSE '' END AS t
+      FROM p
+    )
+    SELECT doc_id, CAST(count(*) AS INT) AS n_paras,
+           md5(string_agg(t, chr(30) ORDER BY pp)) AS text_md5,
+           CAST(sum(length(t)) AS BIGINT) AS total_chars
+    FROM paras GROUP BY doc_id
+""")
+def doc_legacy_extract_text(spark, sf_dir):
+    # MS-CFB + MS-DOC route (r5): deterministic OLE2 compound file per
+    # doc; the real walk reads the FAT, directory, miniFAT (table
+    # stream) and regular chains (WordDocument), selects 0Table/1Table
+    # from the FIB flag, and reassembles text from a piece table whose
+    # stream layout is REVERSED vs cp order, mixing a cp1252 piece with
+    # a UTF-16 piece. Recovered paragraphs are hashed per doc.
+    def synth_extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        from crawspark.oracle.cfbdoc import (
+            extract_doc_text,
+            make_legacy_doc,
+        )
+        for pdf in batches:
+            out = {"doc_id": [], "n_paras": [], "text_md5": [],
+                   "total_chars": []}
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                paras = extract_doc_text(make_legacy_doc(d))
+                out["doc_id"].append(d)
+                out["n_paras"].append(len(paras))
+                out["text_md5"].append(hashlib.md5(
+                    "\x1e".join(paras).encode()).hexdigest())
+                out["total_chars"].append(sum(len(t) for t in paras))
+            yield pd.DataFrame(out)
+
+    docs = (read_testdata(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") % 13 == 12).select("doc_id"))
+    return docs.mapInPandas(
+        synth_extract, "doc_id long, n_paras int, text_md5 string, "
+                       "total_chars long")
+
+
 @register("multimodal_exif_meta", sql="""
     -- closed form of oracle/exif.build_exif_tiff as spliced by the
     -- query: orientation cycles 1-8 (5-8 swap effective dims), byte

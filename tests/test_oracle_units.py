@@ -396,6 +396,185 @@ def test_docx_extraction_walk():
     assert extract_docx_text(b"not a zip") == []
 
 
+def test_xlsx_extraction_walk():
+    from crawspark.oracle.officedoc import (
+        extract_xlsx_rows,
+        make_xlsx,
+        xlsx_rows_expected,
+    )
+
+    # hand-authored SpreadsheetML (not our builder): shared-string
+    # indirection, inline strings, raw numeric <v>, out-of-order cell
+    # refs sorted by column, sheets resolved via rels in workbook order
+    import io
+    import zipfile
+
+    m = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+    r = ("http://schemas.openxmlformats.org/officeDocument/2006/"
+         "relationships")
+    pk = "http://schemas.openxmlformats.org/package/2006/relationships"
+    wb = (f'<workbook xmlns="{m}" xmlns:r="{r}"><sheets>'
+          '<sheet name="front" sheetId="1" r:id="rA"/>'
+          '<sheet name="back" sheetId="2" r:id="rB"/>'
+          "</sheets></workbook>")
+    rels = (f'<Relationships xmlns="{pk}">'
+            '<Relationship Id="rB" Type="t" Target="worksheets/z.xml"/>'
+            '<Relationship Id="rA" Type="t" Target="worksheets/a.xml"/>'
+            "</Relationships>")
+    sst = (f'<sst xmlns="{m}"><si><t>alpha</t></si>'
+           "<si><t>beta</t><t> gamma</t></si></sst>")
+    # cells deliberately emitted C1, A1, B1 — output must be A,B,C
+    sheet_a = (f'<worksheet xmlns="{m}"><sheetData><row r="1">'
+               '<c r="C1"><v>42</v></c>'
+               '<c r="A1" t="s"><v>1</v></c>'
+               '<c r="B1" t="inlineStr"><is><t>mid</t></is></c>'
+               "</row></sheetData></worksheet>")
+    sheet_z = (f'<worksheet xmlns="{m}"><sheetData><row r="1">'
+               '<c r="A1" t="s"><v>0</v></c></row>'
+               '<row r="2"><c r="AA2"><v>7.5</v></c></row>'
+               "</sheetData></worksheet>")
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("xl/workbook.xml", wb)
+        zf.writestr("xl/_rels/workbook.xml.rels", rels)
+        zf.writestr("xl/sharedStrings.xml", sst)
+        zf.writestr("xl/worksheets/a.xml", sheet_a)
+        zf.writestr("xl/worksheets/z.xml", sheet_z)
+    # multi-<t> shared string concatenates; sheet order follows the
+    # workbook (front=a before back=z) not the rels listing
+    assert extract_xlsx_rows(buf.getvalue()) == [
+        "beta gamma\tmid\t42", "alpha", "7.5"]
+    # builder round-trips its closed form at mixed parities
+    for d in (0, 1, 9, 22, 35):
+        assert extract_xlsx_rows(make_xlsx(d)) == xlsx_rows_expected(d)
+    assert extract_xlsx_rows(b"not a zip") == []
+    # a workbook whose rels lack the sheet target yields no rows for it
+    buf2 = io.BytesIO()
+    with zipfile.ZipFile(buf2, "w") as zf:
+        zf.writestr("xl/workbook.xml", wb)
+        zf.writestr("xl/_rels/workbook.xml.rels",
+                    f'<Relationships xmlns="{pk}"/>')
+    assert extract_xlsx_rows(buf2.getvalue()) == []
+
+
+def test_pptx_extraction_walk():
+    from crawspark.oracle.officedoc import (
+        extract_pptx_text,
+        make_pptx,
+        pptx_paragraphs_expected,
+    )
+
+    # hand-authored PresentationML: slide order follows sldIdLst (not
+    # rels listing, not filename), a:br -> newline, runs concatenate
+    import io
+    import zipfile
+
+    a = "http://schemas.openxmlformats.org/drawingml/2006/main"
+    p = "http://schemas.openxmlformats.org/presentationml/2006/main"
+    r = ("http://schemas.openxmlformats.org/officeDocument/2006/"
+         "relationships")
+    pk = "http://schemas.openxmlformats.org/package/2006/relationships"
+    pres = (f'<p:presentation xmlns:p="{p}" xmlns:r="{r}"><p:sldIdLst>'
+            '<p:sldId id="9" r:id="rTwo"/><p:sldId id="8" r:id="rOne"/>'
+            "</p:sldIdLst></p:presentation>")
+    rels = (f'<Relationships xmlns="{pk}">'
+            '<Relationship Id="rOne" Type="t" Target="slides/x.xml"/>'
+            '<Relationship Id="rTwo" Type="t" Target="slides/y.xml"/>'
+            "</Relationships>")
+    sld = (f'<p:sld xmlns:p="{p}" xmlns:a="{a}">'
+           "<a:p><a:r><a:t>%s</a:t></a:r>"
+           "<a:r><a:t>-tail</a:t></a:r></a:p>"
+           "<a:p><a:r><a:t>line1</a:t><a:br/><a:t>line2</a:t></a:r>"
+           "</a:p></p:sld>")
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("ppt/presentation.xml", pres)
+        zf.writestr("ppt/_rels/presentation.xml.rels", rels)
+        zf.writestr("ppt/slides/x.xml", sld % "first-in-rels")
+        zf.writestr("ppt/slides/y.xml", sld % "first-in-list")
+    # y (rTwo) leads because sldIdLst says so
+    assert extract_pptx_text(buf.getvalue()) == [
+        "first-in-list-tail", "line1\nline2",
+        "first-in-rels-tail", "line1\nline2"]
+    for d in (0, 1, 10, 23, 36):
+        assert extract_pptx_text(make_pptx(d)) == \
+            pptx_paragraphs_expected(d)
+    assert extract_pptx_text(b"not a zip") == []
+
+
+def test_rtf_extraction_mechanics():
+    from crawspark.oracle.rtf import (
+        extract_rtf_text,
+        make_rtf,
+        rtf_paragraphs_expected,
+    )
+
+    # \uN fallback swallowing: \uc2 means TWO fallback chars skipped,
+    # and the count is GROUP-SCOPED (restored to 1 after the group)
+    doc = rb"{\rtf1\ansi\uc1 A{\uc2 \u945bb}B\u8364e C\par}"
+    assert extract_rtf_text(doc) == [
+        "A" + chr(945) + "B" + chr(8364) + " C"]
+    # skippable destinations: fonttbl/pict/starred groups contribute
+    # nothing, even when they contain \par or text
+    doc = (rb"{\rtf1{\fonttbl{\f0 Arial;}}{\*\gen x\par y}"
+           rb"{\pict 0011}hello \'e9\{x\}\par world\par}")
+    assert extract_rtf_text(doc) == ["hello " + chr(233) + "{x}", "world"]
+    # \line is an in-paragraph break; trailing text without \par still
+    # yields a final paragraph
+    assert extract_rtf_text(rb"{\rtf1 a\line b\par tail}") == \
+        ["a\nb", "tail"]
+    # negative \uN wraps mod 65536 (RTF stores signed 16-bit)
+    assert extract_rtf_text(rb"{\rtf1\uc0 \u-3512 }") == [chr(62024)]
+    for d in (0, 1, 11, 24, 37):
+        assert extract_rtf_text(make_rtf(d)) == rtf_paragraphs_expected(d)
+    assert extract_rtf_text(b"plain text, not rtf") == []
+
+
+def test_cfb_doc_extraction():
+    import struct
+
+    from crawspark.oracle.cfbdoc import (
+        _Cfb,
+        doc_paragraphs_expected,
+        extract_doc_text,
+        make_legacy_doc,
+    )
+
+    # container layers: the table stream is <4096 (miniFAT path), the
+    # WordDocument stream >4096 (regular FAT path) — assert both
+    # layers really engage, then the piece-table walk round-trips
+    for d in (0, 1, 12, 25, 38):
+        payload = make_legacy_doc(d)
+        cfb = _Cfb(payload)
+        names = {n: (t, sz) for n, t, _, sz in
+                 [(e[0], e[1], e[2], e[3]) for e in cfb.entries]}
+        assert names["WordDocument"][1] >= 4096
+        tbl = "1Table" if d % 2 else "0Table"
+        assert names[tbl][1] < 4096
+        assert extract_doc_text(payload) == doc_paragraphs_expected(d)
+
+    # lcbClx == 0 → Word-6 style raw fcMin..fcMax cp1252 fallback
+    payload = bytearray(make_legacy_doc(2))
+    cfb = _Cfb(bytes(payload))
+    word = cfb.stream("WordDocument")
+    fib = bytearray(word)
+    struct.pack_into("<I", fib, 0x1A6, 0)           # lcbClx = 0
+    struct.pack_into("<II", fib, 0x18, 0x1000, 0x1000 + 9)  # fcMin/fcMax
+    fib[0x1000:0x1009] = b"old\rstyle"
+    # splice the modified WordDocument back over its sectors
+    start = next(e[2] for e in cfb.entries if e[0] == "WordDocument")
+    off = 512 + start * 512
+    payload[off:off + len(fib)] = fib
+    assert extract_doc_text(bytes(payload)) == ["old", "style"]
+
+    # garbage and truncation never raise
+    assert extract_doc_text(b"not ole2") == []
+    assert extract_doc_text(make_legacy_doc(3)[:700]) == []
+    bad = bytearray(make_legacy_doc(4))
+    struct.pack_into("<H", bad, 512 + 512 * 4, 0x1111)  # clobber wIdent?
+    extract_doc_text(bytes(bad))  # any result, but no exception
+
+
 def test_feed_parse_both_dialects():
     from crawspark.oracle.feeds import make_feed, parse_feed
 
