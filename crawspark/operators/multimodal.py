@@ -1653,6 +1653,118 @@ def doc_legacy_extract_text(spark, sf_dir):
                        "total_chars long")
 
 
+@register("eml_extract_text", sql="""
+    -- closed form of oracle/mailmsg.make_eml: subject is two joined
+    -- encoded-words; body is the qp alternative's lines + the note
+    WITH l AS (
+      SELECT doc_id, unnest(generate_series(0, 2 + doc_id % 3)) AS i
+      FROM documents WHERE doc_id % 13 = 7
+    ), lines_ AS (
+      SELECT doc_id, i,
+             CASE WHEN i = 2 + doc_id % 3
+                  THEN 'note ' || (doc_id % 5) || ' attached'
+                  ELSE 'doc ' || doc_id || ' mail line ' || i
+                       || CASE WHEN (doc_id + i) % 2 = 1
+                               THEN ' caf' || chr(233) ELSE '' END
+             END AS t
+      FROM l
+    )
+    SELECT doc_id,
+           'doc ' || doc_id || ': r' || chr(233) || 'sum' || chr(233)
+             || ' ' || chr(8470) || (doc_id % 9) AS subject,
+           CAST(count(*) AS INT) AS n_lines,
+           md5(string_agg(t, chr(30) ORDER BY i)) AS body_md5,
+           CAST(sum(length(t)) AS BIGINT) AS total_chars
+    FROM lines_ GROUP BY doc_id
+""")
+def eml_extract_text(spark, sf_dir):
+    # RFC 5322/MIME route (r5): deterministic nested multipart message
+    # per doc; the real walk unfolds headers, joins RFC 2047
+    # encoded-words (B+Q, separator whitespace dropped), recurses
+    # mixed→alternative boundaries (last text/plain wins, html and the
+    # base64 decoy ignored), and decodes quoted-printable + base64
+    # bodies. Subject + body lines hashed per doc.
+    def synth_extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        from crawspark.oracle.mailmsg import extract_eml, make_eml
+        for pdf in batches:
+            out = {"doc_id": [], "subject": [], "n_lines": [],
+                   "body_md5": [], "total_chars": []}
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                subject, lines = extract_eml(make_eml(d))
+                out["doc_id"].append(d)
+                out["subject"].append(subject)
+                out["n_lines"].append(len(lines))
+                out["body_md5"].append(hashlib.md5(
+                    "\x1e".join(lines).encode()).hexdigest())
+                out["total_chars"].append(sum(len(t) for t in lines))
+            yield pd.DataFrame(out)
+
+    docs = (read_testdata(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") % 13 == 7).select("doc_id"))
+    return docs.mapInPandas(
+        synth_extract, "doc_id long, subject string, n_lines int, "
+                       "body_md5 string, total_chars long")
+
+
+@register("epub_extract_text", sql="""
+    -- closed form of oracle/epub.make_epub: reading-order chapter c of
+    -- doc d has paras 'doc d chap c para p'[ caf\\xe9], joined by \\n
+    WITH c AS (
+      SELECT doc_id, unnest(generate_series(0, doc_id % 3)) AS cc
+      FROM documents WHERE doc_id % 17 = 4
+    ), p AS (
+      SELECT doc_id, cc,
+             unnest(generate_series(0, (doc_id + cc) % 3)) AS pp
+      FROM c
+    ), paras AS (
+      SELECT doc_id, cc, pp,
+             'doc ' || doc_id || ' chap ' || cc || ' para ' || pp
+             || CASE WHEN (doc_id + cc + pp) % 2 = 1
+                     THEN ' caf' || chr(233) ELSE '' END AS t
+      FROM p
+    ), chapters AS (
+      SELECT doc_id, cc,
+             string_agg(t, chr(10) ORDER BY pp) AS chap
+      FROM paras GROUP BY doc_id, cc
+    )
+    SELECT doc_id, CAST(count(*) AS INT) AS n_chapters,
+           md5(string_agg(chap, chr(30) ORDER BY cc)) AS text_md5,
+           CAST(sum(length(chap)) AS BIGINT) AS total_chars
+    FROM chapters GROUP BY doc_id
+""")
+def epub_extract_text(spark, sf_dir):
+    # EPUB route (r5): deterministic ebook per doc; the real walk
+    # resolves container.xml → OPF (in a subdirectory, relative hrefs)
+    # → spine reading order (REVERSED vs manifest and file naming), and
+    # parses each XHTML chapter through the extraction core's own DOM
+    # tokenizer, taking <p> text and ignoring nav junk.
+    def synth_extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        from crawspark.oracle.epub import extract_epub_text, make_epub
+        for pdf in batches:
+            out = {"doc_id": [], "n_chapters": [], "text_md5": [],
+                   "total_chars": []}
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                chaps = extract_epub_text(make_epub(d))
+                out["doc_id"].append(d)
+                out["n_chapters"].append(len(chaps))
+                out["text_md5"].append(hashlib.md5(
+                    "\x1e".join(chaps).encode()).hexdigest())
+                out["total_chars"].append(sum(len(t) for t in chaps))
+            yield pd.DataFrame(out)
+
+    docs = (read_testdata(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") % 17 == 4).select("doc_id"))
+    return docs.mapInPandas(
+        synth_extract, "doc_id long, n_chapters int, text_md5 string, "
+                       "total_chars long")
+
+
 @register("multimodal_exif_meta", sql="""
     -- closed form of oracle/exif.build_exif_tiff as spliced by the
     -- query: orientation cycles 1-8 (5-8 swap effective dims), byte

@@ -575,6 +575,89 @@ def test_cfb_doc_extraction():
     extract_doc_text(bytes(bad))  # any result, but no exception
 
 
+def test_eml_extraction_mechanics():
+    from crawspark.oracle.mailmsg import (
+        decode_header_value,
+        eml_expected,
+        extract_eml,
+        make_eml,
+    )
+
+    # RFC 2047: whitespace between two encoded-words drops; text
+    # around them is kept; Q-encoding maps _ to space and =XX to bytes
+    assert decode_header_value(
+        "=?utf-8?B?YQ==?=   =?utf-8?B?Yg==?=") == "ab"
+    assert decode_header_value(
+        "x =?utf-8?Q?caf=C3=A9_y?= z") == "x café y z"
+    # malformed encoded-word survives verbatim
+    assert decode_header_value("=?bogus-cs?X?zz?=") == "=?bogus-cs?X?zz?="
+
+    # simple singlepart message: unfolded headers, bare-LF tolerated
+    msg = (b"Subject: plain\n"
+           b"From: a@b\n"
+           b"Content-Type: text/plain\n"
+           b"\n"
+           b"one\ntwo\n")
+    assert extract_eml(msg) == ("plain", ["one", "two"])
+
+    # multipart/alternative: the LAST text/plain wins; html ignored;
+    # headers case-insensitive; quoted boundary with specials
+    msg = (b"SUBJECT: alt\n"
+           b'CONTENT-TYPE: multipart/alternative; Boundary="b=_1"\n'
+           b"\n--b=_1\n"
+           b"Content-Type: text/plain\n\nfirst\n"
+           b"--b=_1\n"
+           b"Content-Type: text/plain\n\nsecond\n"
+           b"--b=_1\n"
+           b"Content-Type: text/html\n\n<p>no</p>\n"
+           b"--b=_1--\n")
+    assert extract_eml(msg) == ("alt", ["second"])
+
+    for d in (0, 1, 7, 20, 33):
+        assert extract_eml(make_eml(d)) == eml_expected(d)
+    assert extract_eml(b"random bytes, not mail") == ("", [])
+
+
+def test_epub_extraction_walk():
+    import io
+    import zipfile
+
+    from crawspark.oracle.epub import (
+        epub_chapters_expected,
+        extract_epub_text,
+        make_epub,
+    )
+
+    # hand-authored book: container points at a NESTED opf dir, spine
+    # order differs from manifest order, missing idref skipped
+    cnt = ('<container xmlns="urn:oasis:names:tc:opendocument:xmlns:'
+           'container"><rootfiles><rootfile full-path="deep/dir/pkg.opf"'
+           ' media-type="application/oebps-package+xml"/></rootfiles>'
+           "</container>")
+    opf = ('<package xmlns="http://www.idpf.org/2007/opf"><manifest>'
+           '<item id="a" href="one.xhtml" media-type="application/'
+           'xhtml+xml"/>'
+           '<item id="b" href="sub/two.xhtml" media-type="application/'
+           'xhtml+xml"/>'
+           "</manifest><spine>"
+           '<itemref idref="b"/><itemref idref="missing"/>'
+           '<itemref idref="a"/>'
+           "</spine></package>")
+    one = "<html><body><p>alpha</p><div><p>beta</p></div></body></html>"
+    two = "<html><body><h1>skip</h1><p>gamma</p></body></html>"
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("META-INF/container.xml", cnt)
+        zf.writestr("deep/dir/pkg.opf", opf)
+        zf.writestr("deep/dir/one.xhtml", one)
+        zf.writestr("deep/dir/sub/two.xhtml", two)
+    assert extract_epub_text(buf.getvalue()) == ["gamma", "alpha\nbeta"]
+    for d in (0, 1, 4, 21, 38):
+        assert extract_epub_text(make_epub(d)) == \
+            epub_chapters_expected(d)
+    assert extract_epub_text(b"not epub") == []
+
+
 def test_feed_parse_both_dialects():
     from crawspark.oracle.feeds import make_feed, parse_feed
 
