@@ -44,7 +44,16 @@ _DSIR_B = 1024
 # single-line word soup; 3-word windows repeat often enough across the
 # corpus to make the frequency gate non-degenerate at every SF)
 _LINE_W = 3
+# Boilerplate = a line "surprisingly frequent" for THIS corpus: present
+# in >= max(floor, ceil(mult * mean-lines-per-distinct-line)) distinct
+# docs. r4 used a fixed >=3 docs, which inverts at scale — at 10x the
+# corpus (and at 100 TB) nearly every line crosses an absolute count
+# and the downstream keep-gate drops everything (observed: sf0.01 kept
+# 128 survivors, sf0.1 kept 0). A mean-relative threshold is
+# scale-invariant: uniform text stays below mult x mean at any corpus
+# size while Zipf-head boilerplate exceeds it at any size.
 _BOILER_MIN_DOCS = 3
+_BOILER_FREQ_MULT = 3.0
 # training context window (tokens) and shard fan-out for packing
 _CTX = 256
 _PACK_SHARDS = 16
@@ -137,12 +146,17 @@ def quality_lm_perplexity(spark, sf_dir):
     ), freq AS (
       SELECT line, count(DISTINCT doc_id) AS ndocs
       FROM lines GROUP BY line
+    ), thr AS (
+      SELECT greatest({_BOILER_MIN_DOCS},
+                      CAST(ceil({_BOILER_FREQ_MULT} * avg(ndocs))
+                           AS BIGINT)) AS t
+      FROM freq
     )
     SELECT l.doc_id,
            CAST(count(*) AS INT) AS n_lines,
-           CAST(sum(CASE WHEN f.ndocs >= {_BOILER_MIN_DOCS}
+           CAST(sum(CASE WHEN f.ndocs >= (SELECT t FROM thr)
                          THEN 1 ELSE 0 END) AS INT) AS n_boiler_lines,
-           CAST(round(1.0 - sum(CASE WHEN f.ndocs >= {_BOILER_MIN_DOCS}
+           CAST(round(1.0 - sum(CASE WHEN f.ndocs >= (SELECT t FROM thr)
                                      THEN 1 ELSE 0 END)
                             / CAST(count(*) AS DOUBLE), 4) AS DOUBLE)
              AS kept_ratio
@@ -151,12 +165,16 @@ def quality_lm_perplexity(spark, sf_dir):
 """)
 def boilerplate_corpus_lines(spark, sf_dir):
     # CCNet corpus-level dedup: a line (3-word pseudo-line here — the
-    # synthetic docs are single-line soup) occurring in ≥3 distinct
-    # documents is boilerplate. 100 TB shape: the frequency pass
-    # shuffles (line_hash) with two-phase distinct-count; the hot
-    # BOILERPLATE SET (freq ≥ threshold) is tiny by Zipf — broadcast
-    # it back over the lines instead of re-shuffling the corpus, which
-    # is exactly CCNet's frequent-paragraph hash set.
+    # synthetic docs are single-line soup) occurring in >= the
+    # corpus-relative threshold (mult x mean docs-per-distinct-line,
+    # floored at _BOILER_MIN_DOCS — see the constant's comment for why
+    # an absolute count inverts at scale) is boilerplate. 100 TB
+    # shape: the frequency pass shuffles (line_hash) with two-phase
+    # distinct-count; the threshold is ONE scalar (broadcast cross
+    # join, no driver action); the hot BOILERPLATE SET (freq ≥
+    # threshold) is tiny by Zipf — broadcast it back over the lines
+    # instead of re-shuffling the corpus, which is exactly CCNet's
+    # frequent-paragraph hash set.
     docs = read_testdata(spark, sf_dir, "documents")
     lines = (docs
              .select("doc_id", F.split("text", " ").alias("ts"))
@@ -165,9 +183,14 @@ def boilerplate_corpus_lines(spark, sf_dir):
                  f"transform(sequence(0, (size(ts) div {_LINE_W}) - 1),"
                  f" j -> array_join(slice(ts, j * {_LINE_W} + 1,"
                  f" {_LINE_W}), ' '))")).alias("line")))
-    boiler = (lines.groupBy("line")
-              .agg(F.countDistinct("doc_id").alias("ndocs"))
-              .filter(F.col("ndocs") >= _BOILER_MIN_DOCS))
+    freq = (lines.groupBy("line")
+            .agg(F.countDistinct("doc_id").alias("ndocs")))
+    thr = freq.agg(F.greatest(
+        F.lit(_BOILER_MIN_DOCS).cast("long"),
+        F.ceil(_BOILER_FREQ_MULT * F.avg("ndocs"))).alias("thr"))
+    boiler = (freq.crossJoin(F.broadcast(thr))
+              .filter(F.col("ndocs") >= F.col("thr"))
+              .select("line", "ndocs"))
     flagged = lines.join(F.broadcast(boiler), "line", "left")
     is_boiler = F.when(F.col("ndocs").isNotNull(), 1).otherwise(0)
     return (flagged.groupBy("doc_id")

@@ -71,7 +71,10 @@ def test_lm_perplexity_matches_formula(spark, docs):
 
 
 def test_boilerplate_lines_matches_replay(spark, docs):
+    import math
+
     from crawspark.operators.lmquality import (
+        _BOILER_FREQ_MULT,
         _BOILER_MIN_DOCS,
         _LINE_W,
         boilerplate_corpus_lines,
@@ -86,8 +89,12 @@ def test_boilerplate_lines_matches_replay(spark, docs):
         per_doc[doc_id] = lines
         for ln in lines:
             line_docs.setdefault(ln, set()).add(doc_id)
+    mean_ndocs = (sum(len(ds) for ds in line_docs.values())
+                  / len(line_docs))
+    threshold = max(_BOILER_MIN_DOCS,
+                    math.ceil(_BOILER_FREQ_MULT * mean_ndocs))
     boiler = {ln for ln, ds in line_docs.items()
-              if len(ds) >= _BOILER_MIN_DOCS}
+              if len(ds) >= threshold}
 
     got = {r["doc_id"]: r for r in
            boilerplate_corpus_lines(spark, SF).collect()}
