@@ -1765,6 +1765,187 @@ def epub_extract_text(spark, sf_dir):
                        "total_chars long")
 
 
+@register("route_mixed_formats", sql="""
+    -- closed forms of all eight format builders, unioned: branch k of
+    -- doc_id % 8 synthesizes that format; the router must DETECT it
+    -- from bytes and extract the same units each dedicated query pins
+    WITH base AS (
+      SELECT doc_id, doc_id % 8 AS f FROM documents WHERE doc_id % 10 = 1
+    ),
+    docx_p AS (
+      SELECT doc_id, pp, array_to_string(list_transform(
+               generate_series(0, (doc_id + pp) % 3),
+               r -> CASE WHEN r = 0 THEN ''
+                         WHEN (doc_id + pp) % 3 = 2 AND r = 1 THEN chr(9)
+                         ELSE ' ' END
+                    || 'doc ' || doc_id || ' para ' || pp
+                    || ' run ' || r), '') AS t
+      FROM (SELECT doc_id, unnest(generate_series(0, 1 + doc_id % 4))
+                     AS pp FROM base WHERE f = 0)
+    ),
+    xlsx_r AS (
+      SELECT doc_id, ss, rr,
+             'doc ' || doc_id || ' shared '
+               || ((doc_id + ss + rr) % (3 + doc_id % 3))
+             || chr(9) || 'inline ' || doc_id || ' ' || ss || ' ' || rr
+             || chr(9) || (doc_id * 100 + ss * 10 + rr) AS t
+      FROM (SELECT doc_id, ss,
+                   unnest(generate_series(0, 1 + (doc_id + ss) % 3)) AS rr
+            FROM (SELECT doc_id,
+                         unnest(generate_series(0, doc_id % 2)) AS ss
+                  FROM base WHERE f = 1))
+    ),
+    pptx_p AS (
+      SELECT doc_id, ss, pp,
+             'doc ' || doc_id || ' slide ' || ss || ' para ' || pp
+             || CASE WHEN (doc_id + ss + pp) % 2 = 1
+                     THEN ' x' || ((doc_id + ss + pp) % 5) ELSE '' END AS t
+      FROM (SELECT doc_id, ss,
+                   unnest(generate_series(0, (doc_id + ss) % 3)) AS pp
+            FROM (SELECT doc_id,
+                         unnest(generate_series(0, doc_id % 3)) AS ss
+                  FROM base WHERE f = 2))
+    ),
+    rtf_p AS (
+      SELECT doc_id, pp,
+             CASE WHEN pp = 0 THEN 'T:' || chr(9) ELSE '' END
+             || 'doc' || chr(160) || ' ' || doc_id || ' para ' || pp
+             || ' tail'
+             || CASE WHEN (doc_id + pp) % 2 = 1
+                     THEN ' caf' || chr(233) ELSE '' END
+             || CASE WHEN (doc_id + pp) % 3 = 2
+                     THEN ' ' || chr(945) ELSE '' END AS t
+      FROM (SELECT doc_id, unnest(generate_series(0, 1 + doc_id % 3))
+                     AS pp FROM base WHERE f = 3)
+    ),
+    doc_p AS (
+      SELECT doc_id, pp,
+             'doc ' || doc_id || ' legacy para ' || pp
+             || CASE WHEN (doc_id + pp) % 2 = 1
+                     THEN ' caf' || chr(233) ELSE '' END
+             || CASE WHEN pp = doc_id % 3 + 1
+                     THEN ' ' || chr(964) || (doc_id % 7) ELSE '' END AS t
+      FROM (SELECT doc_id, unnest(generate_series(0, 1 + doc_id % 3))
+                     AS pp FROM base WHERE f = 4)
+    ),
+    eml_u AS (
+      SELECT doc_id, -1 AS i,
+             'doc ' || doc_id || ': r' || chr(233) || 'sum' || chr(233)
+               || ' ' || chr(8470) || (doc_id % 9) AS t
+      FROM base WHERE f = 5
+      UNION ALL
+      SELECT doc_id, i,
+             CASE WHEN i = 2 + doc_id % 3
+                  THEN 'note ' || (doc_id % 5) || ' attached'
+                  ELSE 'doc ' || doc_id || ' mail line ' || i
+                       || CASE WHEN (doc_id + i) % 2 = 1
+                               THEN ' caf' || chr(233) ELSE '' END
+             END AS t
+      FROM (SELECT doc_id, unnest(generate_series(0, 2 + doc_id % 3))
+                     AS i FROM base WHERE f = 5)
+    ),
+    epub_c AS (
+      SELECT doc_id, cc, string_agg(t, chr(10) ORDER BY pp) AS t
+      FROM (SELECT doc_id, cc, pp,
+                   'doc ' || doc_id || ' chap ' || cc || ' para ' || pp
+                   || CASE WHEN (doc_id + cc + pp) % 2 = 1
+                           THEN ' caf' || chr(233) ELSE '' END AS t
+            FROM (SELECT doc_id, cc,
+                         unnest(generate_series(0, (doc_id + cc) % 3))
+                           AS pp
+                  FROM (SELECT doc_id,
+                               unnest(generate_series(0, doc_id % 3))
+                                 AS cc
+                        FROM base WHERE f = 6)))
+      GROUP BY doc_id, cc
+    ),
+    pdf_pg AS (
+      SELECT doc_id, pp, array_to_string(list_transform(
+               generate_series(0, 1 + (doc_id + pp) % 3),
+               j -> 'doc ' || doc_id || ' page ' || pp || ' line ' || j),
+               chr(10)) AS t
+      FROM (SELECT doc_id, unnest(generate_series(0, doc_id % 3)) AS pp
+            FROM base WHERE f = 7)
+    ),
+    units AS (
+      SELECT doc_id, 'docx' AS fmt, pp AS ord, t FROM docx_p
+      UNION ALL SELECT doc_id, 'xlsx', ss * 100 + rr, t FROM xlsx_r
+      UNION ALL SELECT doc_id, 'pptx', ss * 100 + pp, t FROM pptx_p
+      UNION ALL SELECT doc_id, 'rtf', pp, t FROM rtf_p
+      UNION ALL SELECT doc_id, 'doc', pp, t FROM doc_p
+      UNION ALL SELECT doc_id, 'eml', i, t FROM eml_u
+      UNION ALL SELECT doc_id, 'epub', cc, t FROM epub_c
+      UNION ALL SELECT doc_id, 'pdf', pp, t FROM pdf_pg
+    )
+    SELECT doc_id, min(fmt) AS fmt, CAST(count(*) AS INT) AS n_units,
+           md5(string_agg(t, chr(30) ORDER BY ord)) AS text_md5,
+           CAST(sum(length(t)) AS BIGINT) AS total_chars
+    FROM units GROUP BY doc_id
+""")
+def route_mixed_formats(spark, sf_dir):
+    # Ingestion front door (r5): each doc synthesizes ONE of the eight
+    # binary formats (by doc_id % 8); the router must detect the
+    # container from bytes alone (magic + ZIP-member / CFB-directory
+    # probes — no extension, no Content-Type) and extract through the
+    # matching parser. The oracle unions all eight closed forms, so a
+    # missniff OR a parser slip flips the row.
+    def synth_route(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        from crawspark.oracle.cfbdoc import make_legacy_doc
+        from crawspark.oracle.epub import make_epub
+        from crawspark.oracle.mailmsg import make_eml
+        from crawspark.oracle.officedoc import (
+            make_docx,
+            make_pptx,
+            make_xlsx,
+        )
+        from crawspark.oracle.pdfcrypt import make_plain_pdf
+        from crawspark.oracle.rtf import make_rtf
+        from crawspark.oracle.sniff import extract_any
+
+        def build(d: int) -> bytes:
+            k = d % 8
+            if k == 0:
+                return make_docx(d)
+            if k == 1:
+                return make_xlsx(d)
+            if k == 2:
+                return make_pptx(d)
+            if k == 3:
+                return make_rtf(d)
+            if k == 4:
+                return make_legacy_doc(d)
+            if k == 5:
+                return make_eml(d)
+            if k == 6:
+                return make_epub(d)
+            pages = [[f"doc {d} page {p} line {j}"
+                      for j in range(2 + (d + p) % 3)]
+                     for p in range(1 + d % 3)]
+            return make_plain_pdf(pages, flate=d % 2 == 0)
+
+        for pdf in batches:
+            out = {"doc_id": [], "fmt": [], "n_units": [],
+                   "text_md5": [], "total_chars": []}
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                fmt, units = extract_any(build(d))
+                out["doc_id"].append(d)
+                out["fmt"].append(fmt)
+                out["n_units"].append(len(units))
+                out["text_md5"].append(hashlib.md5(
+                    "\x1e".join(units).encode()).hexdigest())
+                out["total_chars"].append(sum(len(t) for t in units))
+            yield pd.DataFrame(out)
+
+    docs = (read_testdata(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") % 10 == 1).select("doc_id"))
+    return docs.mapInPandas(
+        synth_route, "doc_id long, fmt string, n_units int, "
+                     "text_md5 string, total_chars long")
+
+
 @register("multimodal_exif_meta", sql="""
     -- closed form of oracle/exif.build_exif_tiff as spliced by the
     -- query: orientation cycles 1-8 (5-8 swap effective dims), byte

@@ -658,6 +658,44 @@ def test_epub_extraction_walk():
     assert extract_epub_text(b"not epub") == []
 
 
+def test_sniff_format_routing():
+    import io
+    import struct
+    import zipfile
+
+    from crawspark.oracle.cfbdoc import make_legacy_doc
+    from crawspark.oracle.sniff import extract_any, sniff_format
+
+    # RIFF disambiguation: WAVE vs WEBP share the outer magic
+    assert sniff_format(b"RIFF" + b"\x10\x00\x00\x00" + b"WAVEfmt ") \
+        == "wav"
+    assert sniff_format(b"RIFF" + b"\x10\x00\x00\x00" + b"WEBPVP8 ") \
+        == "webp"
+    # a ZIP that is none of the OOXML/EPUB members stays generic
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("data.txt", "x")
+    assert sniff_format(buf.getvalue()) == "zip"
+    # CFB without a WordDocument stream is generic cfb, not doc
+    raw = bytearray(make_legacy_doc(0))
+    # clobber the directory name "WordDocument" (entry 1 of the dir
+    # sector at sector 1 → file offset 512 + 512 + 128)
+    off = 512 + 512 + 128
+    raw[off:off + 8] = "Aord".encode("utf-16-le")
+    assert sniff_format(bytes(raw)) == "cfb"
+    assert extract_any(bytes(raw)) == ("cfb", [])
+    # mp4: size-prefixed ftyp box, no fixed offset-0 magic
+    assert sniff_format(struct.pack(">I", 24) + b"ftypisom"
+                        + b"\x00" * 16) == "mp4"
+    # text vs unknown: utf-8 decodability decides
+    assert sniff_format("héllo".encode()) == "text"
+    assert sniff_format(b"\xff\xfe\xfd\xfc") == "unknown"
+    assert sniff_format(b"") == "unknown"
+    # html without a doctype, after leading whitespace
+    assert sniff_format(b"   <HTML><body><p>x</p></body></HTML>") \
+        == "html"
+
+
 def test_feed_parse_both_dialects():
     from crawspark.oracle.feeds import make_feed, parse_feed
 
