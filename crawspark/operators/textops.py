@@ -256,11 +256,27 @@ from crawspark.functions.ngrams import ngram_expr
 
 _DECON_GRAMS = f"array_distinct({ngram_expr(DECON_N)})"
 
+# Planted contamination: the synthetic corpus is random word soup, so a
+# NATURAL exact 8-gram repeat across the benchmark boundary is a coin
+# flip per SF (sf0.01 had one, sf0.1 had none — a vacuous driver row).
+# Benchmark doc b and every corpus doc with doc_id % 23 = 3 share the
+# "leaked eval question" sentinel variant doc_id % 10, guaranteeing
+# collisions at every SF; the oracle appends the identical sentinel.
+_DECON_PLANT_SPARK = (
+    "CASE WHEN doc_id < 10 OR doc_id % 23 = 3 THEN concat(text, "
+    "' eval question m', cast(doc_id % 10 as string), "
+    "' alpha beta gamma delta epsilon zeta eta') ELSE text END")
+_DECON_PLANT_SQL = (
+    "CASE WHEN doc_id < 10 OR doc_id % 23 = 3 THEN text || "
+    "' eval question m' || (doc_id % 10) || "
+    "' alpha beta gamma delta epsilon zeta eta' ELSE text END")
+
 
 @register("decontaminate_against_benchmark", sql=f"""
     WITH tok AS (
       SELECT doc_id,
-             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+             list_filter(regexp_split_to_array(
+                 lower({_DECON_PLANT_SQL}), '[^a-z0-9]+'),
                          x -> x <> '') AS toks
       FROM documents
     ), grams AS (
@@ -286,6 +302,7 @@ def decontaminate_against_benchmark(spark, sf_dir):
     # benchmark sizes the key becomes xxhash64(gram)).
     docs = (read_testdata(spark, sf_dir, "documents")
             .repartition(spark.sparkContext.defaultParallelism)
+            .withColumn("text", F.expr(_DECON_PLANT_SPARK))
             .withColumn("toks", F.expr(_WORD_TOKS))
             .filter(F.size("toks") >= DECON_N)
             .select("doc_id", F.explode(F.expr(_DECON_GRAMS)).alias("gram")))
