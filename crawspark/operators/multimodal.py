@@ -1946,6 +1946,141 @@ def route_mixed_formats(spark, sf_dir):
                      "text_md5 string, total_chars long")
 
 
+@register("scan_tar_archive", sql="""
+    -- closed form of oracle/tarzip.make_targz: member m of doc d is
+    -- (name variant by m, 1+(d+m)%3 lines 'doc d member m line k')
+    WITH m AS (
+      SELECT doc_id, unnest(generate_series(0, 1 + doc_id % 3)) AS mm
+      FROM documents WHERE doc_id % 10 = 7
+    ), members AS (
+      SELECT doc_id, mm,
+             CASE mm
+               WHEN 0 THEN 'data/shard' || doc_id || '/member0.txt'
+               WHEN 1 THEN 'deep/' || array_to_string(list_transform(
+                      generate_series(0, 9),
+                      j -> 'directory' || lpad(CAST(j AS VARCHAR), 2,
+                                               '0')), '/')
+                    || '/prefix-split-' || doc_id || '.txt'
+               ELSE 'gnu-' || repeat('x', 140) || '-' || doc_id || '-'
+                    || mm || '.txt'
+             END AS name,
+             array_to_string(list_transform(
+               generate_series(0, (doc_id + mm) % 3),
+               k -> 'doc ' || doc_id || ' member ' || mm || ' line '
+                    || k), chr(10)) AS t
+      FROM m
+    )
+    SELECT doc_id, CAST(count(*) AS INT) AS n_members,
+           md5(string_agg(name, chr(30) ORDER BY mm)) AS names_md5,
+           md5(string_agg(t, chr(30) ORDER BY mm)) AS text_md5,
+           CAST(sum(length(t)) AS BIGINT) AS total_bytes
+    FROM members GROUP BY doc_id
+""")
+def scan_tar_archive(spark, sf_dir):
+    # Archive route (r5): deterministic .tar.gz per doc; the real walk
+    # gunzips, verifies ustar header checksums, reassembles ustar
+    # prefix-split paths and GNU typeflag-L longnames, skips directory
+    # entries, and hashes the recovered member names + contents.
+    def synth_scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        from crawspark.oracle.tarzip import make_targz, parse_tar
+        for pdf in batches:
+            out = {"doc_id": [], "n_members": [], "names_md5": [],
+                   "text_md5": [], "total_bytes": []}
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                members = parse_tar(make_targz(d))
+                out["doc_id"].append(d)
+                out["n_members"].append(len(members))
+                out["names_md5"].append(hashlib.md5(
+                    "\x1e".join(n for n, _ in members).encode())
+                    .hexdigest())
+                out["text_md5"].append(hashlib.md5(
+                    b"\x1e".join(b for _, b in members)).hexdigest())
+                out["total_bytes"].append(
+                    sum(len(b) for _, b in members))
+            yield pd.DataFrame(out)
+
+    docs = (read_testdata(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") % 10 == 7).select("doc_id"))
+    return docs.mapInPandas(
+        synth_scan, "doc_id long, n_members int, names_md5 string, "
+                    "text_md5 string, total_bytes long")
+
+
+@register("markdown_extract_blocks", sql="""
+    -- closed form of oracle/markdown.make_markdown's block sequence
+    WITH base AS (
+      SELECT doc_id, 1 + doc_id % 3 AS np FROM documents
+      WHERE doc_id % 10 = 9
+    ), blocks AS (
+      SELECT doc_id, 0 AS ord,
+             'doc ' || doc_id || ' heading ' || (doc_id % 6) AS t
+      FROM base
+      UNION ALL
+      SELECT doc_id, 1 + 3 * pp,
+             'doc ' || doc_id || ' para ' || pp || ' with link' || pp
+             || ' and bold' || pp || ' joined line ' || pp
+      FROM (SELECT doc_id, unnest(generate_series(0, np - 1)) AS pp
+            FROM base)
+      UNION ALL
+      SELECT doc_id, 2 + 3 * pp,
+             'item ' || doc_id || ' ' || pp || ' first'
+      FROM (SELECT doc_id, unnest(generate_series(0, np - 1)) AS pp
+            FROM base)
+      UNION ALL
+      SELECT doc_id, 3 + 3 * pp,
+             'item ' || doc_id || ' ' || pp || ' second code' || pp
+      FROM (SELECT doc_id, unnest(generate_series(0, np - 1)) AS pp
+            FROM base)
+      UNION ALL
+      SELECT doc_id, 1 + 3 * np,
+             'verbatim **not stripped** ' || doc_id || chr(10)
+             || '  indent kept ' || (doc_id % 4)
+      FROM base
+      UNION ALL
+      SELECT doc_id, 2 + 3 * np, 'quoted ' || doc_id || ' tail'
+      FROM base
+    )
+    SELECT doc_id, CAST(count(*) AS INT) AS n_blocks,
+           md5(string_agg(t, chr(30) ORDER BY ord)) AS text_md5,
+           CAST(sum(length(t)) AS BIGINT) AS total_chars
+    FROM blocks GROUP BY doc_id
+""")
+def markdown_extract_blocks(spark, sf_dir):
+    # Markdown route (r5): deterministic document per doc; the real
+    # extractor strips ATX/emphasis/link/image/code-span markers,
+    # drops reference definitions and rules, joins lazy continuation
+    # lines, keeps fenced code VERBATIM (no marker stripping inside),
+    # and unwraps blockquotes/list items — blocks hashed per doc.
+    def synth_extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        from crawspark.oracle.markdown import (
+            extract_markdown,
+            make_markdown,
+        )
+        for pdf in batches:
+            out = {"doc_id": [], "n_blocks": [], "text_md5": [],
+                   "total_chars": []}
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                blocks = extract_markdown(make_markdown(d))
+                out["doc_id"].append(d)
+                out["n_blocks"].append(len(blocks))
+                out["text_md5"].append(hashlib.md5(
+                    "\x1e".join(blocks).encode()).hexdigest())
+                out["total_chars"].append(sum(len(t) for t in blocks))
+            yield pd.DataFrame(out)
+
+    docs = (read_testdata(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") % 10 == 9).select("doc_id"))
+    return docs.mapInPandas(
+        synth_extract, "doc_id long, n_blocks int, text_md5 string, "
+                       "total_chars long")
+
+
 @register("multimodal_exif_meta", sql="""
     -- closed form of oracle/exif.build_exif_tiff as spliced by the
     -- query: orientation cycles 1-8 (5-8 swap effective dims), byte

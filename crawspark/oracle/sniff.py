@@ -33,6 +33,7 @@ _MAGIC = (
     (b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1", "cfb"),
     (b"PK\x03\x04", "zip"),
     (b"fLaC", "flac"),
+    (b"\x1f\x8b", "gzip"),
 )
 
 _RE_HDR = re.compile(rb"^[A-Za-z][A-Za-z0-9-]*:", re.MULTILINE)
@@ -59,6 +60,19 @@ def sniff_format(payload: bytes) -> str:
             kind = "mp4"
         elif head[:3] == b"ID3" or head[:2] in (b"\xff\xfb", b"\xff\xfa"):
             kind = "mp3"
+        elif payload[257:262] == b"ustar":
+            kind = "tar"
+    if kind == "gzip":
+        # refine: a gzipped tar is the common dump container — stream
+        # just the first block out, never the whole payload
+        try:
+            import zlib as _z
+            first = _z.decompressobj(31).decompress(payload[:8192], 512)
+            if first[257:262] == b"ustar":
+                return "tar"
+        except Exception:
+            pass
+        return "gzip"
     if kind == "zip":
         try:
             names = set(zipfile.ZipFile(io.BytesIO(payload)).namelist())
@@ -130,6 +144,10 @@ def extract_any(payload: bytes) -> tuple[str, list[str]]:
     if fmt == "pdf":
         from crawspark.oracle.pdfparse import extract_pdf_text
         return fmt, extract_pdf_text(payload.decode("latin-1"))
+    if fmt == "tar":
+        from crawspark.oracle.tarzip import parse_tar
+        return fmt, [body.decode("utf-8", "replace")
+                     for _, body in parse_tar(payload)]
     if fmt == "eml":
         from crawspark.oracle.mailmsg import extract_eml
         subject, lines = extract_eml(payload)

@@ -1,0 +1,167 @@
+"""tar / tar.gz archive member scan — POSIX ustar + GNU longname,
+hand-parsed from the public format definitions (no ``tarfile``
+module, matching the repo's from-scratch byte-layer style).
+
+Dataset dumps and site mirrors arrive as tarballs. The walk needs the
+real mechanics:
+
+- 512-byte header blocks: NUL-terminated ``name`` (100 B), ``size``
+  as octal ASCII (12 B), ``typeflag``, ``magic='ustar'`` at offset
+  257, and the ``prefix`` field (155 B) that ustar splits long paths
+  into (``prefix + '/' + name``).
+- Content follows the header padded to the next 512 boundary; the
+  archive ends with two zero blocks.
+- GNU long names: a ``typeflag='L'`` pseudo-member whose CONTENT is
+  the next member's real name (paths > 255 or unsplittable).
+- Header checksum: sum of header bytes with the chksum field read as
+  spaces — verified, corrupt headers stop the walk.
+- gzip wrapper (RFC 1952) via stdlib zlib, mtime pinned to 0 for
+  byte-determinism.
+
+``parse_tar`` returns [(member name, bytes)] for regular files.
+``make_targz`` builds a deterministic archive exercising every
+mechanic above (short names, a prefix-split path, a GNU-L name, and
+directory entries that must be skipped).
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+import zlib
+
+_BLK = 512
+
+
+def _octal(field: bytes) -> int:
+    s = field.split(b"\x00")[0].strip()
+    return int(s or b"0", 8)
+
+
+def _checksum_ok(hdr: bytes) -> bool:
+    want = _octal(hdr[148:156])
+    got = sum(hdr[:148]) + 8 * 0x20 + sum(hdr[156:])
+    return want == got
+
+
+def ungzip(payload: bytes) -> bytes:
+    """RFC 1952 unwrap (also accepts raw/zlib deflate); returns the
+    input unchanged when it is not compressed."""
+    if payload[:2] == b"\x1f\x8b":
+        return gzip.decompress(payload)
+    try:
+        return zlib.decompress(payload)
+    except zlib.error:
+        return payload
+
+
+def parse_tar(payload: bytes) -> list[tuple[str, bytes]]:
+    """Regular-file members in archive order. Never raises; non-tar
+    bytes yield []. Accepts a gzip-wrapped archive transparently."""
+    try:
+        data = ungzip(payload)
+    except Exception:
+        return []
+    out: list[tuple[str, bytes]] = []
+    pos = 0
+    pending_longname: str | None = None
+    while pos + _BLK <= len(data):
+        hdr = data[pos:pos + _BLK]
+        if hdr == b"\x00" * _BLK:
+            break  # end-of-archive zero block
+        if hdr[257:262] != b"ustar" or not _checksum_ok(hdr):
+            return out if out else []
+        size = _octal(hdr[124:136])
+        typeflag = hdr[156:157]
+        body = data[pos + _BLK:pos + _BLK + size]
+        pos += _BLK + (size + _BLK - 1) // _BLK * _BLK
+        if typeflag == b"L":  # GNU longname: body names the NEXT member
+            pending_longname = body.rstrip(b"\x00").decode(
+                "utf-8", "replace")
+            continue
+        name = hdr[:100].split(b"\x00")[0].decode("utf-8", "replace")
+        prefix = hdr[345:500].split(b"\x00")[0].decode("utf-8", "replace")
+        if prefix:
+            name = prefix + "/" + name
+        if pending_longname is not None:
+            name = pending_longname
+            pending_longname = None
+        if typeflag in (b"0", b"\x00"):  # regular file
+            out.append((name, body))
+    return out
+
+
+def _header(name: str, size: int, typeflag: bytes) -> bytes:
+    nb = name.encode()
+    prefix = b""
+    if len(nb) > 100:
+        # ustar split at a '/' so both halves fit
+        cut = nb.rfind(b"/", 0, 156)
+        if cut > 0 and len(nb) - cut - 1 <= 100:
+            prefix, nb = nb[:cut], nb[cut + 1:]
+    hdr = bytearray(_BLK)
+    hdr[0:len(nb)] = nb
+    hdr[100:108] = b"0000644\x00"
+    hdr[108:116] = b"0000000\x00"
+    hdr[116:124] = b"0000000\x00"
+    hdr[124:136] = f"{size:011o}".encode() + b"\x00"
+    hdr[136:148] = b"00000000000\x00"  # mtime pinned
+    hdr[148:156] = b" " * 8
+    hdr[156:157] = typeflag
+    hdr[257:263] = b"ustar\x00"
+    hdr[263:265] = b"00"
+    hdr[345:345 + len(prefix)] = prefix
+    chk = sum(hdr)
+    hdr[148:156] = f"{chk:06o}".encode() + b"\x00 "
+    return bytes(hdr)
+
+
+def _member(name: str, body: bytes, typeflag: bytes = b"0") -> bytes:
+    pad = (-len(body)) % _BLK
+    blocks = _header(name, len(body), typeflag) + body + b"\x00" * pad
+    return blocks
+
+
+def _gnu_long(name: str, body: bytes) -> bytes:
+    nb = name.encode() + b"\x00"
+    return _member("././@LongLink", nb, b"L") + _member(name[:100], body)
+
+
+def tar_members_expected(doc_id: int) -> list[tuple[str, str]]:
+    """Closed form of make_targz's regular-file members (name, text)."""
+    d = doc_id
+    out = []
+    for m in range(2 + d % 3):
+        text = "\n".join(f"doc {d} member {m} line {k}"
+                         for k in range(1 + (d + m) % 3))
+        if m == 0:
+            name = f"data/shard{d}/member{m}.txt"
+        elif m == 1:
+            # > 100 chars total, splittable at a '/' inside 155 — the
+            # ustar prefix-field path
+            name = ("deep/" + "/".join(f"directory{j:02d}"
+                                       for j in range(10))
+                    + f"/prefix-split-{d}.txt")
+        else:
+            name = ("gnu-" + "x" * 140 + f"-{d}-{m}.txt")
+        out.append((name, text))
+    return out
+
+
+def make_targz(doc_id: int) -> bytes:
+    """Deterministic .tar.gz: a directory entry (skipped), a short-name
+    member, a prefix-split long path, and a GNU-L longname member;
+    gzip mtime pinned to 0."""
+    d = doc_id
+    blocks = [_member(f"data/shard{d}/", b"", b"5")]  # directory
+    for name, text in tar_members_expected(d):
+        body = text.encode()
+        if name.startswith("gnu-"):
+            blocks.append(_gnu_long(name, body))
+        else:
+            blocks.append(_member(name, body))
+    raw = b"".join(blocks) + b"\x00" * (2 * _BLK)
+    buf = io.BytesIO()
+    with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as gz:
+        gz.write(raw)
+    return buf.getvalue()

@@ -696,6 +696,67 @@ def test_sniff_format_routing():
         == "html"
 
 
+def test_tar_archive_walk():
+    from crawspark.oracle.tarzip import (
+        make_targz,
+        parse_tar,
+        tar_members_expected,
+        ungzip,
+    )
+
+    for d in (0, 1, 7, 20, 33):
+        got = parse_tar(make_targz(d))
+        assert got == [(n, t.encode())
+                       for n, t in tar_members_expected(d)]
+    # the three name mechanics are all on the path: plain, ustar
+    # prefix-split (>100 chars), GNU typeflag-L (>100 chars, no split)
+    names = [n for n, _ in tar_members_expected(2)]
+    assert len(names[0]) <= 100
+    assert len(names[1]) > 100 and "/" in names[1]
+    assert len(names[2]) > 100
+    # a corrupted header checksum stops the walk instead of emitting
+    # garbage members
+    raw = bytearray(ungzip(make_targz(4)))
+    raw[148] ^= 0x01  # first header's chksum field
+    assert parse_tar(bytes(raw)) == []
+    # uncompressed tar parses too; garbage does not
+    assert parse_tar(ungzip(make_targz(3))) == \
+        [(n, t.encode()) for n, t in tar_members_expected(3)]
+    assert parse_tar(b"definitely not a tar archive") == []
+
+
+def test_markdown_extraction_blocks():
+    from crawspark.oracle.markdown import (
+        extract_markdown,
+        make_markdown,
+        markdown_blocks_expected,
+    )
+
+    # fenced code passes through VERBATIM — no emphasis stripping, no
+    # heading parsing, blank lines kept inside the block
+    md = "para one\n\n```\n# not a heading\n**raw**\n\nstill code\n```\n"
+    assert extract_markdown(md) == [
+        "para one", "# not a heading\n**raw**\n\nstill code"]
+    # setext heading: the underline promotes the pending line; an hr
+    # with no pending paragraph just drops
+    assert extract_markdown("Title\n===\n\n---\n\nbody\n") == \
+        ["Title", "body"]
+    # inline constructs: image alt, nested strong inside link text,
+    # reference link, code span
+    assert extract_markdown(
+        "![alt text](i.png) then [**bold link**](u) and [ref][id] "
+        "plus `a*b`\n\n[id]: http://x\n") == \
+        ["alt text then bold link and ref plus a*b"]
+    # lazy continuation joins; blockquote unwraps; list items split
+    assert extract_markdown("> q1\nq2 lazy\n\n- a\n- b\n") == \
+        ["q1 q2 lazy", "a", "b"]
+    # unterminated fence still yields its code
+    assert extract_markdown("```\ndangling\n") == ["dangling"]
+    for d in (0, 1, 9, 22, 35):
+        assert extract_markdown(make_markdown(d)) == \
+            markdown_blocks_expected(d)
+
+
 def test_feed_parse_both_dialects():
     from crawspark.oracle.feeds import make_feed, parse_feed
 
