@@ -61,7 +61,7 @@ def extract_epub_text(payload: bytes) -> list[str]:
         part = posixpath.normpath(posixpath.join(base, href))
         try:
             html = zf.read(part).decode("utf-8", "replace")
-        except KeyError:
+        except Exception:  # missing member, bad CRC, corrupt deflate
             continue
         root = parse_html(html)
         paras = [p.text() for p in root.find_all("p")]

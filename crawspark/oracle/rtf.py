@@ -78,8 +78,11 @@ def extract_rtf_text(payload: bytes) -> list[str]:
         elif b == b"\\":
             nxt = payload[i + 1:i + 2]
             if nxt == b"'":
-                ch = bytes.fromhex(
-                    payload[i + 2:i + 4].decode("ascii", "replace"))
+                try:
+                    ch = bytes.fromhex(
+                        payload[i + 2:i + 4].decode("ascii", "replace"))
+                except ValueError:  # truncated / malformed hex escape
+                    ch = b""
                 i += 4
                 if pend_skip:
                     pend_skip -= 1
