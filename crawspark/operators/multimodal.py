@@ -1765,7 +1765,10 @@ def epub_extract_text(spark, sf_dir):
                        "total_chars long")
 
 
-@register("route_mixed_formats", sql="""
+# Shared by route_mixed_formats (batch) and stream_route_formats
+# (AvailableNow incremental drain in streaming/queries.py): closed
+# forms of all eight format builders, unioned.
+ROUTE_FORMATS_SQL = """
     -- closed forms of all eight format builders, unioned: branch k of
     -- doc_id % 8 synthesizes that format; the router must DETECT it
     -- from bytes and extract the same units each dedicated query pins
@@ -1881,14 +1884,18 @@ def epub_extract_text(spark, sf_dir):
            md5(string_agg(t, chr(30) ORDER BY ord)) AS text_md5,
            CAST(sum(length(t)) AS BIGINT) AS total_chars
     FROM units GROUP BY doc_id
-""")
-def route_mixed_formats(spark, sf_dir):
-    # Ingestion front door (r5): each doc synthesizes ONE of the eight
-    # binary formats (by doc_id % 8); the router must detect the
-    # container from bytes alone (magic + ZIP-member / CFB-directory
-    # probes — no extension, no Content-Type) and extract through the
-    # matching parser. The oracle unions all eight closed forms, so a
-    # missniff OR a parser slip flips the row.
+"""
+
+ROUTE_FORMATS_SCHEMA = ("doc_id long, fmt string, n_units int, "
+                        "text_md5 string, total_chars long")
+
+
+def route_formats(df: DataFrame) -> DataFrame:
+    """Sniff-and-extract stage over a doc_id column: synthesizes one of
+    the eight binary formats per doc (doc_id % 8), detects the
+    container from bytes alone and extracts through the matching
+    parser. Works on batch AND streaming DataFrames (stateless
+    mapInPandas)."""
     def synth_route(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
 
@@ -1939,11 +1946,20 @@ def route_mixed_formats(spark, sf_dir):
                 out["total_chars"].append(sum(len(t) for t in units))
             yield pd.DataFrame(out)
 
+    return df.mapInPandas(synth_route, ROUTE_FORMATS_SCHEMA)
+
+
+@register("route_mixed_formats", sql=ROUTE_FORMATS_SQL)
+def route_mixed_formats(spark, sf_dir):
+    # Ingestion front door (r5): each doc synthesizes ONE of the eight
+    # binary formats (by doc_id % 8); the router must detect the
+    # container from bytes alone (magic + ZIP-member / CFB-directory
+    # probes — no extension, no Content-Type) and extract through the
+    # matching parser. The oracle unions all eight closed forms, so a
+    # missniff OR a parser slip flips the row.
     docs = (read_testdata(spark, sf_dir, "documents")
             .filter(F.col("doc_id") % 10 == 1).select("doc_id"))
-    return docs.mapInPandas(
-        synth_route, "doc_id long, fmt string, n_units int, "
-                     "text_md5 string, total_chars long")
+    return route_formats(docs)
 
 
 @register("scan_tar_archive", sql="""

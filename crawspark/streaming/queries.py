@@ -177,6 +177,48 @@ def stream_dedup_within_watermark(spark, sf_dir):
                     "props"))
 
 
+def _route_sql() -> str:
+    from crawspark.operators.multimodal import ROUTE_FORMATS_SQL
+    return ROUTE_FORMATS_SQL
+
+
+@register("stream_route_formats", sql=_route_sql())
+def stream_route_formats(spark, sf_dir):
+    """The ingestion front door run INCREMENTALLY: the doc_id frontier
+    drains through an AvailableNow file stream whose microbatches run
+    the SAME sniff-and-extract stage as the batch router
+    (route_formats — stateless mapInPandas works unchanged on a
+    streaming DataFrame), foreachBatch-appended to a parquet sink with
+    streaming-checkpoint exactly-once bookkeeping. The oracle is the
+    batch router's 8-branch UNION — streamed output must equal batch
+    output row for row."""
+    from crawspark.bundle import ensure_shipped
+    from crawspark.operators.multimodal import route_formats
+    from crawspark.scratch import scratch_dir
+    from crawspark.sources import read_testdata
+
+    ensure_shipped(spark)
+    base = scratch_dir("sroute", sf_dir, clean=("out", "ck"))
+    inp, out, ck = (os.path.join(base, d) for d in ("in", "out", "ck"))
+    (read_testdata(spark, sf_dir, "documents")
+     .filter(F.col("doc_id") % 10 == 1).select("doc_id")
+     .coalesce(4).write.mode("overwrite").parquet(inp))
+    stream = spark.readStream.schema("doc_id long").parquet(inp)
+
+    def process(batch_df, batch_id: int) -> None:
+        route_formats(batch_df).write.mode("append").parquet(out)
+
+    query = (stream.writeStream
+             .foreachBatch(process)
+             .option("checkpointLocation", ck)
+             .option("maxFilesPerTrigger", 1)
+             .trigger(availableNow=True)
+             .start())
+    if not query.awaitTermination(600):
+        raise RuntimeError("route stream did not complete within timeout")
+    return spark.read.parquet(out)
+
+
 @register("stream_extract_snapshot", sql=_sf_sql(f"""
     SELECT lang, count(*) AS n_docs,
            CAST(sum(n_spans) AS BIGINT) AS total_spans
