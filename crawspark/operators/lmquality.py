@@ -183,8 +183,15 @@ def boilerplate_corpus_lines(spark, sf_dir):
                  f"transform(sequence(0, (size(ts) div {_LINE_W}) - 1),"
                  f" j -> array_join(slice(ts, j * {_LINE_W} + 1,"
                  f" {_LINE_W}), ' '))")).alias("line")))
+    # freq feeds BOTH the scalar threshold and the boiler filter; Spark
+    # has no common-subplan elimination across those branches, so
+    # without the lineage cut the full line-frequency shuffle runs
+    # twice (observed in the plan audit: 3 -> 6 exchanges). Same fix as
+    # the HITS matvec: materialize once, both consumers read the
+    # checkpointed result.
     freq = (lines.groupBy("line")
-            .agg(F.countDistinct("doc_id").alias("ndocs")))
+            .agg(F.countDistinct("doc_id").alias("ndocs"))
+            .localCheckpoint())
     thr = freq.agg(F.greatest(
         F.lit(_BOILER_MIN_DOCS).cast("long"),
         F.ceil(_BOILER_FREQ_MULT * F.avg("ndocs"))).alias("thr"))
