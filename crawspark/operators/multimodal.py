@@ -2097,6 +2097,57 @@ def markdown_extract_blocks(spark, sf_dir):
                        "total_chars long")
 
 
+@register("odt_extract_text", sql="""
+    -- closed form of oracle/officedoc.make_odt: heading then paras
+    -- 'doc d odt para p' + (1+(d+p)%3) spaces + 'gap' [+ tab cafe]
+    WITH p AS (
+      SELECT doc_id, unnest(generate_series(-1, doc_id % 3)) AS pp
+      FROM documents WHERE doc_id % 11 = 9
+    ), paras AS (
+      SELECT doc_id, pp,
+             CASE WHEN pp = -1 THEN 'doc ' || doc_id || ' odt heading'
+                  ELSE 'doc ' || doc_id || ' odt para ' || pp
+                       || repeat(' ', 1 + (doc_id + pp) % 3) || 'gap'
+                       || CASE WHEN (doc_id + pp) % 2 = 1
+                               THEN chr(9) || 'caf' || chr(233)
+                               ELSE '' END
+             END AS t
+      FROM p
+    )
+    SELECT doc_id, CAST(count(*) AS INT) AS n_paras,
+           md5(string_agg(t, chr(30) ORDER BY pp)) AS text_md5,
+           CAST(sum(length(t)) AS BIGINT) AS total_chars
+    FROM paras GROUP BY doc_id
+""")
+def odt_extract_text(spark, sf_dir):
+    # OpenDocument route (r5): deterministic .odt per doc; the real
+    # walk reads content.xml, flattens spans, expands text:s multi-
+    # space elements by their text:c count (ODF's collapsed-whitespace
+    # mechanic) and maps text:tab — recovered paragraphs hashed.
+    def synth_extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        from crawspark.oracle.officedoc import extract_odt_text, make_odt
+        for pdf in batches:
+            out = {"doc_id": [], "n_paras": [], "text_md5": [],
+                   "total_chars": []}
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                paras = extract_odt_text(make_odt(d))
+                out["doc_id"].append(d)
+                out["n_paras"].append(len(paras))
+                out["text_md5"].append(hashlib.md5(
+                    "\x1e".join(paras).encode()).hexdigest())
+                out["total_chars"].append(sum(len(t) for t in paras))
+            yield pd.DataFrame(out)
+
+    docs = (read_testdata(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") % 11 == 9).select("doc_id"))
+    return docs.mapInPandas(
+        synth_extract, "doc_id long, n_paras int, text_md5 string, "
+                       "total_chars long")
+
+
 @register("multimodal_exif_meta", sql="""
     -- closed form of oracle/exif.build_exif_tiff as spliced by the
     -- query: orientation cycles 1-8 (5-8 swap effective dims), byte

@@ -297,6 +297,93 @@ def xlsx_rows_expected(doc_id: int) -> list[str]:
     return out
 
 
+_ODF_TEXT = "urn:oasis:names:tc:opendocument:xmlns:text:1.0"
+_ODF_OFFICE = "urn:oasis:names:tc:opendocument:xmlns:office:1.0"
+
+
+def extract_odt_text(payload: bytes) -> list[str]:
+    """OpenDocument Text (ODF 1.2): one string per ``text:p``/``text:h``
+    in ``content.xml`` body order; ``text:s`` expands to its ``text:c``
+    count of spaces (ODF collapses literal runs of spaces — the
+    expansion is the real mechanic), ``text:tab`` → "\\t",
+    ``text:line-break`` → "\\n", spans flatten. Never raises; non-ODT
+    bytes yield []."""
+    try:
+        zf = zipfile.ZipFile(io.BytesIO(payload))
+        root = ET.parse(zf.open("content.xml")).getroot()
+    except Exception:
+        return []
+    out: list[str] = []
+    for p in root.iter():
+        if p.tag not in (f"{{{_ODF_TEXT}}}p", f"{{{_ODF_TEXT}}}h"):
+            continue
+        parts: list[str] = []
+
+        def walk(node) -> None:
+            if node.tag == f"{{{_ODF_TEXT}}}s":
+                parts.append(" " * int(node.get(
+                    f"{{{_ODF_TEXT}}}c", "1")))
+            elif node.tag == f"{{{_ODF_TEXT}}}tab":
+                parts.append("\t")
+            elif node.tag == f"{{{_ODF_TEXT}}}line-break":
+                parts.append("\n")
+            if node.text:
+                parts.append(node.text)
+            for child in node:
+                walk(child)
+                if child.tail:
+                    parts.append(child.tail)
+
+        walk(p)
+        out.append("".join(parts))
+    return out
+
+
+def odt_paragraphs_expected(doc_id: int) -> list[str]:
+    """Closed form of make_odt: heading then 1 + d%3 paragraphs."""
+    d = doc_id
+    out = [f"doc {d} odt heading"]
+    for p in range(1 + d % 3):
+        t = f"doc {d} odt para {p}"
+        t += " " * (1 + (d + p) % 3) + "gap"
+        if (d + p) % 2 == 1:
+            t += "\tcafé"
+        out.append(t)
+    return out
+
+
+def make_odt(doc_id: int) -> bytes:
+    """Deterministic .odt: mimetype member (STORED first, per OCF),
+    content.xml with a heading, spans, multi-space text:s expansion
+    and text:tab on odd parities."""
+    d = doc_id
+    paras = [f'<text:h text:outline-level="1">doc {d} odt heading'
+             "</text:h>"]
+    for p in range(1 + d % 3):
+        inner = (f"doc {d} odt "
+                 f"<text:span>para {p}</text:span>"
+                 f'<text:s text:c="{1 + (d + p) % 3}"/>gap')
+        if (d + p) % 2 == 1:
+            inner += "<text:tab/>café"
+        paras.append(f"<text:p>{inner}</text:p>")
+    content = (
+        '<?xml version="1.0" encoding="UTF-8"?>'
+        f'<office:document-content xmlns:office="{_ODF_OFFICE}" '
+        f'xmlns:text="{_ODF_TEXT}"><office:body><office:text>'
+        + "".join(paras)
+        + "</office:text></office:body></office:document-content>")
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zi = zipfile.ZipInfo("mimetype", date_time=(1980, 1, 1, 0, 0, 0))
+        zi.compress_type = zipfile.ZIP_STORED
+        zf.writestr(zi, "application/vnd.oasis.opendocument.text")
+        zi = zipfile.ZipInfo("content.xml",
+                             date_time=(1980, 1, 1, 0, 0, 0))
+        zi.compress_type = zipfile.ZIP_DEFLATED
+        zf.writestr(zi, content.encode())
+    return buf.getvalue()
+
+
 _A_NS = "http://schemas.openxmlformats.org/drawingml/2006/main"
 _P_NS = ("http://schemas.openxmlformats.org/presentationml/2006/main")
 

@@ -34,6 +34,8 @@ _MAGIC = (
     (b"PK\x03\x04", "zip"),
     (b"fLaC", "flac"),
     (b"\x1f\x8b", "gzip"),
+    (b"BZh", "bzip2"),
+    (b"\xfd7zXZ\x00", "xz"),
 )
 
 _RE_HDR = re.compile(rb"^[A-Za-z][A-Za-z0-9-]*:", re.MULTILINE)
@@ -62,17 +64,27 @@ def sniff_format(payload: bytes) -> str:
             kind = "mp3"
         elif payload[257:262] == b"ustar":
             kind = "tar"
-    if kind == "gzip":
-        # refine: a gzipped tar is the common dump container — stream
-        # just the first block out, never the whole payload
+    if kind in ("gzip", "bzip2", "xz"):
+        # refine: a compressed tar is the common dump container —
+        # stream just the first block out, never the whole payload
         try:
-            import zlib as _z
-            first = _z.decompressobj(31).decompress(payload[:8192], 512)
+            if kind == "gzip":
+                import zlib as _z
+                first = _z.decompressobj(31).decompress(
+                    payload[:8192], 512)
+            elif kind == "bzip2":
+                import bz2 as _b
+                first = _b.BZ2Decompressor().decompress(
+                    payload[:8192], 512)
+            else:
+                import lzma as _l
+                first = _l.LZMADecompressor().decompress(
+                    payload[:8192], 512)
             if first[257:262] == b"ustar":
                 return "tar"
         except Exception:
             pass
-        return "gzip"
+        return kind
     if kind == "zip":
         try:
             names = set(zipfile.ZipFile(io.BytesIO(payload)).namelist())
@@ -86,6 +98,15 @@ def sniff_format(payload: bytes) -> str:
             return "pptx"
         if "META-INF/container.xml" in names:
             return "epub"
+        if "content.xml" in names:
+            try:
+                mt = zipfile.ZipFile(io.BytesIO(payload)).read(
+                    "mimetype").decode("ascii", "replace")
+            except Exception:
+                mt = ""
+            if "opendocument.text" in mt:
+                return "odt"
+            return "odf" if "opendocument" in mt else "zip"
         return "zip"
     if kind == "cfb":
         # refine: a Word file carries a WordDocument stream
@@ -132,6 +153,9 @@ def extract_any(payload: bytes) -> tuple[str, list[str]]:
     if fmt == "pptx":
         from crawspark.oracle.officedoc import extract_pptx_text
         return fmt, extract_pptx_text(payload)
+    if fmt == "odt":
+        from crawspark.oracle.officedoc import extract_odt_text
+        return fmt, extract_odt_text(payload)
     if fmt == "epub":
         from crawspark.oracle.epub import extract_epub_text
         return fmt, extract_epub_text(payload)

@@ -45,10 +45,17 @@ def _checksum_ok(hdr: bytes) -> bool:
 
 
 def ungzip(payload: bytes) -> bytes:
-    """RFC 1952 unwrap (also accepts raw/zlib deflate); returns the
-    input unchanged when it is not compressed."""
+    """Outer-compression unwrap: gzip (RFC 1952), bzip2, xz/LZMA —
+    the three stdlib codecs tarballs ship with — plus bare zlib/raw
+    deflate; returns the input unchanged when it is not compressed."""
     if payload[:2] == b"\x1f\x8b":
         return gzip.decompress(payload)
+    if payload[:3] == b"BZh":
+        import bz2
+        return bz2.decompress(payload)
+    if payload[:6] == b"\xfd7zXZ\x00":
+        import lzma
+        return lzma.decompress(payload)
     try:
         return zlib.decompress(payload)
     except zlib.error:

@@ -757,6 +757,58 @@ def test_markdown_extraction_blocks():
             markdown_blocks_expected(d)
 
 
+def test_odt_extraction_walk():
+    import io
+    import zipfile
+
+    from crawspark.oracle.officedoc import (
+        extract_odt_text,
+        make_odt,
+        odt_paragraphs_expected,
+    )
+
+    # hand-authored ODF: nested spans flatten, text:s default count is
+    # 1, tails after nested elements are kept in order
+    t = "urn:oasis:names:tc:opendocument:xmlns:text:1.0"
+    o = "urn:oasis:names:tc:opendocument:xmlns:office:1.0"
+    content = (f'<office:document-content xmlns:office="{o}" '
+               f'xmlns:text="{t}"><office:body><office:text>'
+               "<text:p>a<text:span>b<text:span>c</text:span>d"
+               "</text:span>e<text:s/>f<text:line-break/>g</text:p>"
+               "</office:text></office:body></office:document-content>")
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("mimetype", "application/vnd.oasis.opendocument.text")
+        zf.writestr("content.xml", content)
+    assert extract_odt_text(buf.getvalue()) == ["abcde f\ng"]
+    for d in (0, 1, 9, 20, 31):
+        assert extract_odt_text(make_odt(d)) == odt_paragraphs_expected(d)
+    assert extract_odt_text(b"not odt") == []
+
+
+def test_tar_bz2_xz_outer_layers():
+    import bz2
+    import lzma
+
+    from crawspark.oracle.sniff import sniff_format
+    from crawspark.oracle.tarzip import (
+        make_targz,
+        parse_tar,
+        tar_members_expected,
+        ungzip,
+    )
+
+    raw = ungzip(make_targz(11))
+    expect = [(n, t.encode()) for n, t in tar_members_expected(11)]
+    for wrap in (bz2.compress, lzma.compress):
+        payload = wrap(raw)
+        assert sniff_format(payload) == "tar"
+        assert parse_tar(payload) == expect
+    # non-tar compressed payloads keep their codec name
+    assert sniff_format(bz2.compress(b"words")) == "bzip2"
+    assert sniff_format(lzma.compress(b"words")) == "xz"
+
+
 def test_feed_parse_both_dialects():
     from crawspark.oracle.feeds import make_feed, parse_feed
 
