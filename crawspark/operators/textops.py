@@ -562,3 +562,78 @@ def quality_gopher_gates(spark, sf_dir):
         F.round(alpha, 4).alias("alpha_word_frac"),
         F.col("n_stop").cast("int").alias("n_stop_distinct"),
         keep.cast("int").alias("keep"))
+
+
+# ---------------------------------------------------------------------------
+# Phrase search over a positional inverted index [R: query.py — whoosh
+# phrase queries]. boolquery.py covers boolean relevance as a codegen
+# predicate over the raw text; phrase search AT SCALE instead builds
+# (doc_id, term, position) postings and intersects POSITION-SHIFTED
+# lists — the corpus text itself is touched once to build postings, and
+# the match is pure array arithmetic on the tiny filtered posting set
+# (a real index would be materialized once and reused across queries).
+# ---------------------------------------------------------------------------
+
+PHRASES = {
+    "merge_join": ["merge", "join"],          # frequent bigram
+    "sort_merge_join": ["sort", "merge", "join"],  # rare trigram
+}
+
+
+def _phrase_sql_count(ts: str, terms: list[str]) -> str:
+    """DuckDB replay: #positions i where ts[i..] spells the phrase."""
+    cond = " AND ".join(
+        f"{ts}[i + {k}] = '{t}'" for k, t in enumerate(terms))
+    return (f"len(list_filter(range(1, len({ts}) - {len(terms) - 2}), "
+            f"i -> {cond}))")
+
+
+@register("search_phrase_positions", sql=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+    ), hits AS (
+      SELECT doc_id,
+             CAST({_phrase_sql_count('ts', PHRASES['merge_join'])}
+                  AS INT) AS n_merge_join,
+             CAST({_phrase_sql_count('ts', PHRASES['sort_merge_join'])}
+                  AS INT) AS n_sort_merge_join
+      FROM toks
+    )
+    SELECT doc_id, n_merge_join, n_sort_merge_join
+    FROM hits WHERE n_merge_join > 0 OR n_sort_merge_join > 0
+""")
+def search_phrase_positions(spark, sf_dir):
+    # Postings restricted to the phrase vocabulary (3 distinct terms
+    # here — the filter prunes ~90% of positions before any shuffle),
+    # then per-doc position arrays; phrase occurrence count = size of
+    # the intersection of the i-shifted position sets. All JVM-side
+    # array built-ins; the raw text never shuffles.
+    from functools import reduce
+
+    vocab = sorted({t for ts in PHRASES.values() for t in ts})
+    docs = read_testdata(spark, sf_dir, "documents")
+    postings = (docs
+                .select("doc_id", F.posexplode(F.split("text", " "))
+                        .alias("pos", "term"))
+                .filter(F.col("term").isin(vocab)))
+    aggs = []
+    for name, terms in PHRASES.items():
+        for k, t in enumerate(terms):
+            aggs.append(F.collect_list(
+                F.when(F.col("term") == t, F.col("pos")))
+                .alias(f"{name}__{k}"))
+    per_doc = postings.groupBy("doc_id").agg(*aggs)
+    def _shift(col_name: str, k: int):
+        # NB: the lambda must take exactly ONE parameter — pyspark's
+        # transform() passes (element, index) to two-arg lambdas, so a
+        # captured `k=k` default would silently receive the array index
+        return F.transform(F.col(col_name), lambda x: x - k)
+
+    cols = [F.col("doc_id")]
+    for name, terms in PHRASES.items():
+        shifted = [_shift(f"{name}__{k}", k) for k in range(len(terms))]
+        inter = reduce(F.array_intersect, shifted)
+        cols.append(F.size(inter).alias(f"n_{name}"))
+    out = per_doc.select(*cols)
+    return out.filter(
+        (F.col("n_merge_join") > 0) | (F.col("n_sort_merge_join") > 0))
