@@ -1899,38 +1899,8 @@ def route_formats(df: DataFrame) -> DataFrame:
     def synth_route(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
 
-        from crawspark.oracle.cfbdoc import make_legacy_doc
-        from crawspark.oracle.epub import make_epub
-        from crawspark.oracle.mailmsg import make_eml
-        from crawspark.oracle.officedoc import (
-            make_docx,
-            make_pptx,
-            make_xlsx,
-        )
-        from crawspark.oracle.pdfcrypt import make_plain_pdf
-        from crawspark.oracle.rtf import make_rtf
+        from crawspark.oracle.sniff import build_format_payload as build
         from crawspark.oracle.sniff import extract_any
-
-        def build(d: int) -> bytes:
-            k = d % 8
-            if k == 0:
-                return make_docx(d)
-            if k == 1:
-                return make_xlsx(d)
-            if k == 2:
-                return make_pptx(d)
-            if k == 3:
-                return make_rtf(d)
-            if k == 4:
-                return make_legacy_doc(d)
-            if k == 5:
-                return make_eml(d)
-            if k == 6:
-                return make_epub(d)
-            pages = [[f"doc {d} page {p} line {j}"
-                      for j in range(2 + (d + p) % 3)]
-                     for p in range(1 + d % 3)]
-            return make_plain_pdf(pages, flate=d % 2 == 0)
 
         for pdf in batches:
             out = {"doc_id": [], "fmt": [], "n_units": [],
@@ -1947,6 +1917,57 @@ def route_formats(df: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return df.mapInPandas(synth_route, ROUTE_FORMATS_SCHEMA)
+
+
+@register("warc_route_payloads", sql=ROUTE_FORMATS_SQL)
+def warc_route_payloads(spark, sf_dir):
+    # The FULL crawl-storage ingestion path in one hop: each doc's
+    # binary format payload (same % 8 corpus as the router) is wrapped
+    # in an HTTP/1.1 response (framing variant d % 4 — identity /
+    # chunked / gzip / chunked+gzip), that in a WARC response record,
+    # and the file gzip-membered for even docs. The read side walks
+    # WARC framing → HTTP de-chunk/de-gzip → byte sniff → format
+    # parser. The oracle is the SAME 8-branch UNION as the plain
+    # router: every transport layer must be byte-lossless, so all
+    # three routing queries (batch, streaming, WARC) hash identically.
+    def synth_route(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        from crawspark.oracle.httpmsg import build_response, parse_response
+        from crawspark.oracle.sniff import build_format_payload, extract_any
+        from crawspark.oracle.warc import build_record, build_warc, parse_warc
+
+        for pdf in batches:
+            out = {"doc_id": [], "fmt": [], "n_units": [],
+                   "text_md5": [], "total_chars": []}
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                http = build_response(
+                    build_format_payload(d), variant=d % 4,
+                    content_type="application/octet-stream")
+                rec = build_record(
+                    "response", http,
+                    target_uri=f"http://example.test/doc/{d}",
+                    record_id=f"<urn:uuid:crawspark-{d}>",
+                    content_type="application/http;msgtype=response")
+                warc = build_warc([rec], gzip_members=d % 2 == 0)
+                resp = next(
+                    (r for r in parse_warc(warc)
+                     if r["warc_type"] == "response"), None)
+                msg = parse_response(resp["block"]) if resp else None
+                fmt, units = extract_any(msg["body"]) if msg \
+                    else ("unknown", [])
+                out["doc_id"].append(d)
+                out["fmt"].append(fmt)
+                out["n_units"].append(len(units))
+                out["text_md5"].append(hashlib.md5(
+                    "\x1e".join(units).encode()).hexdigest())
+                out["total_chars"].append(sum(len(t) for t in units))
+            yield pd.DataFrame(out)
+
+    docs = (read_testdata(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") % 10 == 1).select("doc_id"))
+    return docs.mapInPandas(synth_route, ROUTE_FORMATS_SCHEMA)
 
 
 @register("route_mixed_formats", sql=ROUTE_FORMATS_SQL)

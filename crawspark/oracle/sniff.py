@@ -139,6 +139,40 @@ def sniff_format(payload: bytes) -> str:
         return "unknown"
 
 
+def build_format_payload(doc_id: int) -> bytes:
+    """The router corpus: doc_id % 8 selects which of the eight binary
+    formats this doc synthesizes (shared by the batch router, the
+    streaming router, and the WARC-wrapped transport query — one
+    builder, one oracle)."""
+    d, k = doc_id, doc_id % 8
+    if k == 0:
+        from crawspark.oracle.officedoc import make_docx
+        return make_docx(d)
+    if k == 1:
+        from crawspark.oracle.officedoc import make_xlsx
+        return make_xlsx(d)
+    if k == 2:
+        from crawspark.oracle.officedoc import make_pptx
+        return make_pptx(d)
+    if k == 3:
+        from crawspark.oracle.rtf import make_rtf
+        return make_rtf(d)
+    if k == 4:
+        from crawspark.oracle.cfbdoc import make_legacy_doc
+        return make_legacy_doc(d)
+    if k == 5:
+        from crawspark.oracle.mailmsg import make_eml
+        return make_eml(d)
+    if k == 6:
+        from crawspark.oracle.epub import make_epub
+        return make_epub(d)
+    from crawspark.oracle.pdfcrypt import make_plain_pdf
+    pages = [[f"doc {d} page {p} line {j}"
+              for j in range(2 + (d + p) % 3)]
+             for p in range(1 + d % 3)]
+    return make_plain_pdf(pages, flate=d % 2 == 0)
+
+
 def extract_any(payload: bytes) -> tuple[str, list[str]]:
     """(detected format, text units). Units are the format's natural
     granularity — paragraphs, sheet rows, slide paras, pages, chapters,
