@@ -208,3 +208,117 @@ def sketch_kmv_overlap(spark, sf_dir):
         (F.abs(F.col("n_both") / F.col("k_used")
                - F.col("n_inter") / F.col("n_union")) <= _BOUND)
         .alias("within_bound"))
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter frontier seen-set — THE 100 TB crawl membership structure:
+# the seen-URL set itself is petabyte-shaped, but its Bloom bitmap is
+# m/8 bytes, built with a map-side-combining bit_or aggregate (the
+# shuffle carries at most m/32 (word, partial-or) rows per partition)
+# and BROADCAST to the probe side. Sized per corpus: m = 2^ceil(log2(
+# BITS_PER_KEY * n)), k=4 double hashing h1 + i*h2 from two md5 halves
+# — every bit, the bitmap digest, and the FP count replay exactly in
+# DuckDB. False negatives are structurally impossible (the query proves
+# n_true_pos = n_seen as data); the FP rate is the documented tradeoff.
+# ---------------------------------------------------------------------------
+
+_BLOOM_K = 4
+_BLOOM_BITS_PER_KEY = 6  # m/n=6, k=4 -> FP ~ (1-e^-0.667)^4 ~ 5%
+
+_URL = "'http://site' || (doc_id % 97) || '.test/page/' || doc_id"
+_URL_SPARK = ("concat('http://site', cast(doc_id % 97 as string), "
+              "'.test/page/', cast(doc_id as string))")
+
+
+@register("bloom_seen_urls", sql=f"""
+    WITH seen AS (
+      SELECT {_URL} AS url FROM documents WHERE doc_id % 2 = 0
+    ), params AS (
+      SELECT count(*) AS n,
+             CAST(pow(2, ceil(log2({_BLOOM_BITS_PER_KEY} * count(*))))
+                  AS BIGINT) AS m
+      FROM seen
+    ), seen_bits AS (
+      SELECT (('0x' || substr(md5(url), 1, 8))::UBIGINT
+              + i * ('0x' || substr(md5(url), 9, 8))::UBIGINT)
+             % (SELECT m FROM params) AS bit
+      FROM seen, unnest(range(0, {_BLOOM_K})) AS t(i)
+    ), bitmap AS (
+      SELECT bit // 32 AS word,
+             bit_or(CAST(2 ** (bit % 32) AS BIGINT)) AS w
+      FROM seen_bits GROUP BY word
+    ), probes AS (
+      SELECT doc_id, {_URL} AS url, doc_id % 2 = 0 AS is_seen
+      FROM documents
+    ), probe_bits AS (
+      SELECT doc_id, is_seen,
+             (('0x' || substr(md5(url), 1, 8))::UBIGINT
+              + i * ('0x' || substr(md5(url), 9, 8))::UBIGINT)
+             % (SELECT m FROM params) AS bit
+      FROM probes, unnest(range(0, {_BLOOM_K})) AS t(i)
+    ), probe_hits AS (
+      SELECT doc_id, bool_and(is_seen) AS is_seen,
+             CAST(sum(CASE WHEN (coalesce(b.w, 0)
+                                 & CAST(2 ** (bit % 32) AS BIGINT)) <> 0
+                           THEN 1 ELSE 0 END) AS INT)
+               = {_BLOOM_K} AS hit
+      FROM probe_bits p LEFT JOIN bitmap b ON p.bit // 32 = b.word
+      GROUP BY doc_id
+    )
+    SELECT (SELECT CAST(n AS INT) FROM params) AS n_seen,
+           (SELECT m FROM params) AS m_bits,
+           CAST(count(*) AS INT) AS n_probes,
+           CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS INT) AS n_hits,
+           CAST(sum(CASE WHEN hit AND is_seen THEN 1 ELSE 0 END) AS INT)
+             AS n_true_pos,
+           CAST(sum(CASE WHEN hit AND NOT is_seen THEN 1 ELSE 0 END)
+                AS INT) AS n_false_pos,
+           (SELECT md5(string_agg(word || ':' || w, ',' ORDER BY word))
+            FROM bitmap) AS bitmap_md5
+    FROM probe_hits
+""")
+def bloom_seen_urls(spark, sf_dir):
+    docs = read_testdata(spark, sf_dir, "documents")
+    urls = docs.selectExpr("doc_id", f"{_URL_SPARK} AS url",
+                           "doc_id % 2 = 0 AS is_seen")
+    params = (urls.filter("is_seen")
+              .agg(F.count("*").alias("n"))
+              .withColumn("m", F.expr(
+                  f"CAST(pow(2, ceil(log2({_BLOOM_BITS_PER_KEY} * n)))"
+                  " AS BIGINT)")))
+    ks = F.explode(F.array(*[F.lit(i) for i in range(_BLOOM_K)])).alias("i")
+    h1 = "CAST(conv(substring(md5(url), 1, 8), 16, 10) AS BIGINT)"
+    h2 = "CAST(conv(substring(md5(url), 9, 8), 16, 10) AS BIGINT)"
+    bits = (urls.select("doc_id", "is_seen", "url", ks)
+            .crossJoin(F.broadcast(params))
+            .withColumn("bit", F.expr(f"({h1} + i * {h2}) % m"))
+            .withColumn("word", F.expr("bit div 32"))
+            .withColumn("mask", F.expr(
+                "CAST(pow(2, bit % 32) AS BIGINT)")))
+    bitmap = (bits.filter("is_seen")
+              .groupBy("word").agg(F.bit_or("mask").alias("w"))
+              .localCheckpoint(eager=True))
+    # collect_list has no ordering guarantee — build the digest from a
+    # sorted single partition (the bitmap is m/32 rows, trivially small)
+    digest = (bitmap.orderBy("word").coalesce(1)
+              .agg(F.md5(F.concat_ws(",", F.collect_list(
+                  F.concat_ws(":", "word", "w")))).alias("bitmap_md5")))
+    hits = (bits.join(F.broadcast(bitmap), "word", "left")
+            .withColumn("bit_set",
+                        (F.coalesce(F.col("w"), F.lit(0))
+                         .bitwiseAND(F.col("mask")) != 0).cast("int"))
+            .groupBy("doc_id")
+            .agg(F.min("is_seen").alias("is_seen"),
+                 (F.sum("bit_set") == _BLOOM_K).alias("hit")))
+    agg = hits.agg(
+        F.count("*").cast("int").alias("n_probes"),
+        F.sum(F.col("hit").cast("int")).cast("int").alias("n_hits"),
+        F.sum((F.col("hit") & F.col("is_seen")).cast("int")).cast("int")
+        .alias("n_true_pos"),
+        F.sum((F.col("hit") & ~F.col("is_seen")).cast("int")).cast("int")
+        .alias("n_false_pos"))
+    return (params.crossJoin(agg).crossJoin(digest)
+            .select(F.col("n").cast("int").alias("n_seen"),
+                    F.col("m").alias("m_bits"),
+                    "n_probes", "n_hits", "n_true_pos", "n_false_pos",
+                    "bitmap_md5"))
