@@ -322,3 +322,89 @@ def bloom_seen_urls(spark, sf_dir):
                     F.col("m").alias("m_bits"),
                     "n_probes", "n_hits", "n_true_pos", "n_false_pos",
                     "bitmap_md5"))
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch over event users — the fixed-memory frequency table
+# for 100 TB streams: D x W counters built by ONE map-side-combining
+# aggregate (at most D*W (cell, partial-sum) rows cross the wire per
+# partition), point estimates = min over D hashed cells. Structural
+# guarantee rendered as data: estimates NEVER undercount (n_underest
+# must be 0); overcounts are bounded by collisions and reported
+# exactly. Every counter, the sketch digest, and each estimate replay
+# in DuckDB.
+# ---------------------------------------------------------------------------
+
+_CMS_W = 256
+_CMS_D = 4
+
+
+@register("cms_user_counts", sql=f"""
+    WITH ev AS (
+      SELECT CAST(user_id AS VARCHAR) AS k FROM events
+    ), cells AS (
+      SELECT j,
+             (('0x' || substr(md5(k), 1, 8))::UBIGINT
+              + j * ('0x' || substr(md5(k), 9, 8))::UBIGINT)
+             % {_CMS_W} AS col,
+             count(*) AS c
+      FROM ev, unnest(range(0, {_CMS_D})) AS t(j)
+      GROUP BY j, col
+    ), truth AS (
+      SELECT k, count(*) AS true_c FROM ev GROUP BY k
+    ), est AS (
+      SELECT t.k, t.true_c, min(c.c) AS est_c
+      FROM truth t, unnest(range(0, {_CMS_D})) AS u(j)
+      JOIN cells c
+        ON c.j = u.j
+       AND c.col = (('0x' || substr(md5(t.k), 1, 8))::UBIGINT
+                    + u.j * ('0x' || substr(md5(t.k), 9, 8))::UBIGINT)
+                   % {_CMS_W}
+      GROUP BY t.k, t.true_c
+    )
+    SELECT CAST({_CMS_W} AS INT) AS width, CAST({_CMS_D} AS INT) AS depth,
+           (SELECT CAST(count(*) AS BIGINT) FROM ev) AS n_events,
+           CAST(count(*) AS INT) AS n_keys,
+           CAST(sum(CASE WHEN est_c < true_c THEN 1 ELSE 0 END) AS INT)
+             AS n_underest,
+           CAST(max(est_c - true_c) AS BIGINT) AS max_overcount,
+           CAST(round(avg(est_c - true_c), 4) AS DOUBLE) AS avg_overcount,
+           (SELECT md5(string_agg(j || ':' || col || ':' || c, ','
+                                  ORDER BY j, col))
+            FROM cells) AS sketch_md5
+    FROM est
+""")
+def cms_user_counts(spark, sf_dir):
+    ev = (read_testdata(spark, sf_dir, "events")
+          .selectExpr("CAST(user_id AS STRING) AS k"))
+    ks = F.explode(F.array(*[F.lit(j) for j in range(_CMS_D)])).alias("j")
+    h1 = "CAST(conv(substring(md5(k), 1, 8), 16, 10) AS BIGINT)"
+    h2 = "CAST(conv(substring(md5(k), 9, 8), 16, 10) AS BIGINT)"
+    col_expr = f"({h1} + j * {h2}) % {_CMS_W}"
+    cells = (ev.select("k", ks)
+             .withColumn("col", F.expr(col_expr))
+             .groupBy("j", "col").agg(F.count("*").alias("c"))
+             .localCheckpoint(eager=True))
+    digest = (cells.orderBy("j", "col").coalesce(1)
+              .agg(F.md5(F.concat_ws(",", F.collect_list(
+                  F.concat_ws(":", "j", "col", "c"))))
+                   .alias("sketch_md5")))
+    truth = ev.groupBy("k").agg(F.count("*").alias("true_c"))
+    est = (truth.select("k", "true_c", ks)
+           .withColumn("col", F.expr(col_expr))
+           .join(F.broadcast(cells), ["j", "col"])
+           .groupBy("k", "true_c").agg(F.min("c").alias("est_c")))
+    n_events = ev.agg(F.count("*").cast("long").alias("n_events"))
+    agg = est.agg(
+        F.count("*").cast("int").alias("n_keys"),
+        F.sum((F.col("est_c") < F.col("true_c")).cast("int")).cast("int")
+        .alias("n_underest"),
+        F.max(F.col("est_c") - F.col("true_c")).cast("long")
+        .alias("max_overcount"),
+        F.round(F.avg(F.col("est_c") - F.col("true_c")), 4)
+        .alias("avg_overcount"))
+    return (n_events.crossJoin(agg).crossJoin(digest)
+            .select(F.lit(_CMS_W).cast("int").alias("width"),
+                    F.lit(_CMS_D).cast("int").alias("depth"),
+                    "n_events", "n_keys", "n_underest", "max_overcount",
+                    "avg_overcount", "sketch_md5"))
