@@ -200,3 +200,50 @@ def mixture_token_budget(spark, sf_dir):
             .agg(F.count("*").alias("n_docs"),
                  F.sum("n_chars").cast("long").alias("chars_taken"),
                  F.round(F.any_value("frac"), 6).alias("frac")))
+
+
+# Train/val/test split fractions in 60-bit hash space: 90/5/5. The
+# assignment is a pure projection of the salted hash — embarrassingly
+# parallel, stable under corpus growth (a doc's split never changes
+# when other docs arrive), and leak-proof by construction (the salt is
+# the split namespace; no doc can land in two splits).
+_SPLIT_SALT = "split-v1"
+_TWO60 = 1 << 60
+_VAL_LO = int(0.90 * _TWO60)
+_TEST_LO = int(0.95 * _TWO60)
+
+
+@register("split_train_val_test", sql=f"""
+    WITH assigned AS (
+      SELECT doc_id, lang, n_chars,
+             CASE WHEN {_h60_sql('doc_id', _SPLIT_SALT)} < {_VAL_LO}
+                    THEN 'train'
+                  WHEN {_h60_sql('doc_id', _SPLIT_SALT)} < {_TEST_LO}
+                    THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    )
+    SELECT split, lang, CAST(count(*) AS INT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS n_chars,
+           CAST(min(doc_id) AS BIGINT) AS min_doc_id,
+           md5(string_agg(doc_id, ',' ORDER BY doc_id)) AS members_md5
+    FROM assigned GROUP BY split, lang
+""")
+def split_train_val_test(spark, sf_dir):
+    # Disjointness and completeness are checked by the oracle compare
+    # itself: the per-(split, lang) member digests partition the corpus
+    # — any doc assigned to two splits or dropped flips a members_md5.
+    h = _h60(salt=_SPLIT_SALT)
+    split = (F.when(h < _VAL_LO, "train")
+             .when(h < _TEST_LO, "val")
+             .otherwise("test"))
+    return (read_testdata(spark, sf_dir, "documents")
+            .select("doc_id", "lang", "n_chars", split.alias("split"))
+            .groupBy("split", "lang")
+            .agg(F.count("*").cast("int").alias("n_docs"),
+                 F.sum("n_chars").cast("long").alias("n_chars"),
+                 F.min("doc_id").cast("long").alias("min_doc_id"),
+                 F.md5(F.concat_ws(",", F.transform(
+                     F.sort_array(F.collect_list("doc_id")),
+                     lambda x: x.cast("string"))))
+                 .alias("members_md5")))
