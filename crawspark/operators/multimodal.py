@@ -2169,6 +2169,73 @@ def odt_extract_text(spark, sf_dir):
                        "total_chars long")
 
 
+@register("latex_extract_blocks", sql="""
+    -- closed form of oracle/latex.make_latex's block sequence
+    WITH base AS (
+      SELECT doc_id FROM documents WHERE doc_id % 12 = 5
+    ), blocks AS (
+      SELECT doc_id, 0 AS ord,
+             'doc ' || doc_id || ' latex title' AS t FROM base
+      UNION ALL
+      SELECT doc_id, 100 * (ss + 1),
+             'section ' || doc_id || ' ' || ss
+      FROM (SELECT doc_id, unnest(generate_series(0, doc_id % 2)) AS ss
+            FROM base)
+      UNION ALL
+      SELECT doc_id, 100 * (ss + 1) + 1 + pp,
+             'doc ' || doc_id || ' body ' || ss || ' ' || pp
+             || ' with bold' || pp || ' and MATH inline tail ' || pp
+             || CASE WHEN (doc_id + ss + pp) % 2 = 1
+                     THEN ' 100% sure' ELSE '' END
+      FROM (SELECT doc_id, ss,
+                   unnest(generate_series(0, (doc_id + ss) % 3)) AS pp
+            FROM (SELECT doc_id,
+                         unnest(generate_series(0, doc_id % 2)) AS ss
+                  FROM base))
+      UNION ALL
+      SELECT doc_id, 100 * (doc_id % 2 + 2),
+             'figure caption ' || doc_id || ' here' FROM base
+      UNION ALL
+      SELECT doc_id, 100 * (doc_id % 2 + 2) + 1, 'MATH' FROM base
+      UNION ALL
+      SELECT doc_id, 100 * (doc_id % 2 + 2) + 2,
+             'verb@' || doc_id || ' **raw**' FROM base
+    )
+    SELECT doc_id, CAST(count(*) AS INT) AS n_blocks,
+           md5(string_agg(t, chr(30) ORDER BY ord)) AS text_md5,
+           CAST(sum(length(t)) AS BIGINT) AS total_chars
+    FROM blocks GROUP BY doc_id
+""")
+def latex_extract_blocks(spark, sf_dir):
+    # LaTeX route (r5): deterministic .tex per doc; the real extractor
+    # strips comments (keeping \\% literals), unwraps nested text
+    # commands with a brace scanner, drops cite/ref/label with
+    # arguments, placeholders inline + display math, skips tabular,
+    # hoists figure captions, and keeps verbatim blocks VERBATIM.
+    def synth_extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        from crawspark.oracle.latex import extract_latex, make_latex
+        for pdf in batches:
+            out = {"doc_id": [], "n_blocks": [], "text_md5": [],
+                   "total_chars": []}
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                blocks = extract_latex(make_latex(d))
+                out["doc_id"].append(d)
+                out["n_blocks"].append(len(blocks))
+                out["text_md5"].append(hashlib.md5(
+                    "\x1e".join(blocks).encode()).hexdigest())
+                out["total_chars"].append(sum(len(t) for t in blocks))
+            yield pd.DataFrame(out)
+
+    docs = (read_testdata(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") % 12 == 5).select("doc_id"))
+    return docs.mapInPandas(
+        synth_extract, "doc_id long, n_blocks int, text_md5 string, "
+                       "total_chars long")
+
+
 @register("multimodal_exif_meta", sql="""
     -- closed form of oracle/exif.build_exif_tiff as spliced by the
     -- query: orientation cycles 1-8 (5-8 swap effective dims), byte

@@ -809,6 +809,39 @@ def test_tar_bz2_xz_outer_layers():
     assert sniff_format(lzma.compress(b"words")) == "xz"
 
 
+def test_latex_extraction_mechanics():
+    from crawspark.oracle.latex import (
+        extract_latex,
+        latex_blocks_expected,
+        make_latex,
+    )
+
+    # escaped percent is literal; real comment strips to EOL
+    assert extract_latex("50\\% off % but this goes\nrest") == \
+        ["50% off rest"]
+    # nested braces inside a wrap survive the brace scanner
+    assert extract_latex("\\textbf{a {nested} b} c") == ["a nested b c"]
+    # cite/ref drop WITH arguments, optional args included
+    assert extract_latex(
+        "see \\cite[p.~3]{k1999} and \\ref{fig:x} done") == \
+        ["see and done"]
+    # math forms all collapse to the placeholder; \\$ is literal
+    assert extract_latex("cost \\$5, $x+y$ and \\(z\\) and $$a$$.") == \
+        ["cost $5, MATH and MATH and MATH ."]
+    # verbatim keeps commands raw; tabular is skipped wholesale
+    assert extract_latex(
+        "\\begin{verbatim}\\textbf{raw}\\end{verbatim}"
+        "\\begin{tabular}{ll}a&b\\end{tabular}after") == \
+        ["\\textbf{raw}", "after"]
+    # figure: caption hoisted, body dropped
+    assert extract_latex(
+        "\\begin{figure}\\includegraphics{x}\\caption{The \\emph{cap}}"
+        "\\end{figure}") == ["The cap"]
+    for d in (0, 1, 5, 17, 29):
+        assert extract_latex(make_latex(d)) == latex_blocks_expected(d)
+    assert extract_latex("") == []
+
+
 def test_feed_parse_both_dialects():
     from crawspark.oracle.feeds import make_feed, parse_feed
 
