@@ -2236,6 +2236,72 @@ def latex_extract_blocks(spark, sf_dir):
                        "total_chars long")
 
 
+@register("html_extract_tables", sql="""
+    -- closed form of oracle/htmltable.make_table_page: table t of doc
+    -- d expands (colspan+rowspan) to a 4x3 grid with fixed cells
+    WITH t AS (
+      SELECT doc_id, unnest(generate_series(0, doc_id % 2)) AS tt
+      FROM documents WHERE doc_id % 14 = 3
+    ), rows_ AS (
+      SELECT doc_id, tt, rr,
+             CASE rr
+               WHEN 0 THEN 'h' || doc_id || '.' || tt || '.0' || chr(31)
+                        || 'h' || doc_id || '.' || tt || '.1' || chr(31)
+                        || 'h' || doc_id || '.' || tt || '.2'
+               WHEN 1 THEN 'a' || doc_id || '.' || tt || chr(31)
+                        || 'span' || doc_id || '.' || tt || chr(31)
+                        || 'span' || doc_id || '.' || tt
+               WHEN 2 THEN 'rsp' || doc_id || '.' || tt || chr(31)
+                        || 'b' || doc_id || '.' || tt || chr(31)
+                        || 'c' || doc_id || '.' || tt
+               ELSE 'rsp' || doc_id || '.' || tt || chr(31)
+                        || 'e' || doc_id || '.' || tt || chr(31)
+                        || 'f' || doc_id || '.' || tt
+             END AS row_txt
+      FROM t, unnest(generate_series(0, 3)) AS u(rr)
+    )
+    SELECT doc_id,
+           CAST(count(DISTINCT tt) AS INT) AS n_tables,
+           CAST(count(*) AS INT) AS n_rows,
+           CAST(count(*) * 3 AS INT) AS n_cells,
+           md5(string_agg(row_txt, chr(30) ORDER BY tt, rr)) AS grid_md5
+    FROM rows_ GROUP BY doc_id
+""")
+def html_extract_tables(spark, sf_dir):
+    # HTML-table route (r5): deterministic page per doc; the real walk
+    # goes through the extraction core's DOM tokenizer and expands
+    # colspan (cell duplicated across columns) and rowspan (cell
+    # carried down, offsetting later cells) into aligned grids.
+    def synth_extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        from crawspark.oracle.htmltable import (
+            extract_tables,
+            make_table_page,
+        )
+        for pdf in batches:
+            out = {"doc_id": [], "n_tables": [], "n_rows": [],
+                   "n_cells": [], "grid_md5": []}
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                grids = extract_tables(make_table_page(d))
+                rows = [("\x1f".join(row)) for g in grids for row in g]
+                out["doc_id"].append(d)
+                out["n_tables"].append(len(grids))
+                out["n_rows"].append(sum(len(g) for g in grids))
+                out["n_cells"].append(
+                    sum(len(r) for g in grids for r in g))
+                out["grid_md5"].append(hashlib.md5(
+                    "\x1e".join(rows).encode()).hexdigest())
+            yield pd.DataFrame(out)
+
+    docs = (read_testdata(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") % 14 == 3).select("doc_id"))
+    return docs.mapInPandas(
+        synth_extract, "doc_id long, n_tables int, n_rows int, "
+                       "n_cells int, grid_md5 string")
+
+
 @register("multimodal_exif_meta", sql="""
     -- closed form of oracle/exif.build_exif_tiff as spliced by the
     -- query: orientation cycles 1-8 (5-8 swap effective dims), byte

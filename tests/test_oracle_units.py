@@ -842,6 +842,33 @@ def test_latex_extraction_mechanics():
     assert extract_latex("") == []
 
 
+def test_html_table_grid_expansion():
+    from crawspark.oracle.htmltable import (
+        extract_tables,
+        make_table_page,
+        table_grids_expected,
+    )
+
+    # rowspan offsets the FOLLOWING row's cells (the classic bug)
+    html = ("<table><tr><td rowspan=2>A</td><td>B</td></tr>"
+            "<tr><td>C</td></tr></table>")
+    assert extract_tables(html) == [[["A", "B"], ["A", "C"]]]
+    # colspan duplicates; both spans interacting in one table
+    html = ("<table><tr><td colspan=3>W</td></tr>"
+            "<tr><td>a</td><td rowspan=2 colspan=2>X</td></tr>"
+            "<tr><td>b</td></tr></table>")
+    assert extract_tables(html) == [[
+        ["W", "W", "W"], ["a", "X", "X"], ["b", "X", "X"]]]
+    # nested markup flattens; malformed span values default to 1
+    html = ("<table><tr><td colspan='zzz'><b>q</b> <i>r</i></td>"
+            "</tr></table>")
+    assert extract_tables(html) == [[["q r"]]]
+    for d in (0, 1, 3, 17, 31):
+        assert extract_tables(make_table_page(d)) == \
+            table_grids_expected(d)
+    assert extract_tables("<p>no tables</p>") == []
+
+
 def test_feed_parse_both_dialects():
     from crawspark.oracle.feeds import make_feed, parse_feed
 
