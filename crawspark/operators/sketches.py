@@ -408,3 +408,115 @@ def cms_user_counts(spark, sf_dir):
                     F.lit(_CMS_D).cast("int").alias("depth"),
                     "n_events", "n_keys", "n_underest", "max_overcount",
                     "avg_overcount", "sketch_md5"))
+
+
+# ---------------------------------------------------------------------------
+# From-scratch HyperLogLog — the COUNT DISTINCT structure at 100 TB
+# (approx_distinct_urls_hll uses Spark's built-in HLL++; this one is
+# built register by register so DuckDB replays it bit-for-bit and the
+# merge algebra is visible). Register build = ONE max-aggregate over
+# (bucket, rho): map-side combine ships at most m partial maxima per
+# partition; merging shards/sketches is the same max. Everything is
+# INTEGER-exact cross-engine: rho comes from length(bin(v)) (no
+# float log2 at power-of-two boundaries), and the harmonic sum is the
+# exact integer S = sum(2^(VBITS - reg)), so the final estimate is one
+# double division with identical operands in both engines.
+# ---------------------------------------------------------------------------
+
+_HLL_P = 8                  # m = 256 registers
+_HLL_M = 1 << _HLL_P
+_HLL_VBITS = 44             # value bits after the bucket prefix
+_HLL_ALPHA = 0.7182725932495458  # alpha_256 = 0.7213/(1+1.079/256)
+
+
+@register("hll_distinct_urls", sql=f"""
+    WITH keys AS (
+      SELECT DISTINCT {_URL} AS url FROM documents
+    ), hashed AS (
+      -- 52-bit hash (13 hex chars): top {_HLL_P} bits bucket, low
+      -- {_HLL_VBITS} bits value; doubles never touch the integers
+      SELECT ('0x' || substr(md5(url), 1, 13))::UBIGINT AS h FROM keys
+    ), rho AS (
+      SELECT CAST(h >> {_HLL_VBITS} AS BIGINT) AS bucket,
+             CAST(h % {1 << _HLL_VBITS} AS BIGINT) AS v
+      FROM hashed
+    ), regs AS (
+      SELECT bucket,
+             max(CASE WHEN v = 0 THEN {_HLL_VBITS + 1}
+                      ELSE {_HLL_VBITS + 1} - length(bin(v)) END) AS reg
+      FROM rho GROUP BY bucket
+    ), s AS (
+      SELECT CAST(sum(CAST(1 AS BIGINT) << ({_HLL_VBITS} - reg))
+                  AS BIGINT) AS s_used,
+             CAST(count(*) AS INT) AS m_used
+      FROM regs
+    ), est AS (
+      SELECT m_used,
+             {_HLL_M} - m_used AS n_zero_regs,
+             -- zero registers contribute 2^VBITS each (reg = 0)
+             CAST(s_used + CAST({_HLL_M} - m_used AS BIGINT)
+                  * (CAST(1 AS BIGINT) << {_HLL_VBITS}) AS BIGINT)
+               AS s_all
+      FROM s
+    )
+    SELECT CAST({_HLL_P} AS INT) AS p, CAST({_HLL_M} AS INT) AS m,
+           (SELECT CAST(count(*) AS BIGINT) FROM keys) AS n_exact,
+           n_zero_regs, s_all,
+           CAST(round(CAST({_HLL_ALPHA} AS DOUBLE) * {_HLL_M} * {_HLL_M}
+                      * CAST(CAST(2 AS BIGINT) ** {_HLL_VBITS} AS DOUBLE)
+                      / s_all, 2) AS DOUBLE) AS estimate,
+           (SELECT md5(string_agg(bucket || ':' || reg, ','
+                                  ORDER BY bucket)) FROM regs)
+             AS registers_md5,
+           abs(CAST({_HLL_ALPHA} AS DOUBLE) * {_HLL_M} * {_HLL_M}
+               * CAST(CAST(2 AS BIGINT) ** {_HLL_VBITS} AS DOUBLE) / s_all
+               - (SELECT count(*) FROM keys))
+             / (SELECT count(*) FROM keys) <= 3 * 1.04 / sqrt({_HLL_M})
+             AS within_3sigma
+    FROM est
+""")
+def hll_distinct_urls(spark, sf_dir):
+    urls = (read_testdata(spark, sf_dir, "documents")
+            .selectExpr(f"{_URL_SPARK} AS url").distinct()
+            .localCheckpoint(eager=True))
+    hashed = urls.selectExpr(
+        "CAST(conv(substring(md5(url), 1, 13), 16, 10) AS BIGINT) AS h")
+    rho = hashed.selectExpr(
+        f"CAST(h div {1 << _HLL_VBITS} AS BIGINT) AS bucket",
+        f"CAST(h % {1 << _HLL_VBITS} AS BIGINT) AS v")
+    regs = (rho.selectExpr(
+                "bucket",
+                f"CASE WHEN v = 0 THEN {_HLL_VBITS + 1} "
+                f"ELSE {_HLL_VBITS + 1} - length(bin(v)) END AS rho")
+            .groupBy("bucket").agg(F.max("rho").alias("reg"))
+            .localCheckpoint(eager=True))
+    s = regs.selectExpr(
+        f"CAST(shiftleft(CAST(1 AS BIGINT), {_HLL_VBITS} - reg) "
+        "AS BIGINT) AS term").agg(
+        F.sum("term").cast("long").alias("s_used"),
+        F.count("*").cast("int").alias("m_used"))
+    digest = (regs.orderBy("bucket").coalesce(1)
+              .agg(F.md5(F.concat_ws(",", F.collect_list(
+                  F.concat_ws(":", "bucket", "reg"))))
+                   .alias("registers_md5")))
+    n_exact = urls.agg(F.count("*").cast("long").alias("n_exact"))
+    two_v = float(1 << _HLL_VBITS)
+    return (s.crossJoin(n_exact).crossJoin(digest)
+            .withColumn("n_zero_regs",
+                        (F.lit(_HLL_M) - F.col("m_used")).cast("int"))
+            .withColumn("s_all",
+                        (F.col("s_used")
+                         + F.col("n_zero_regs").cast("long")
+                         * F.lit(1 << _HLL_VBITS)).cast("long"))
+            .withColumn("est_raw",
+                        F.lit(_HLL_ALPHA * _HLL_M * _HLL_M * two_v)
+                        / F.col("s_all"))
+            .select(F.lit(_HLL_P).cast("int").alias("p"),
+                    F.lit(_HLL_M).cast("int").alias("m"),
+                    "n_exact", "n_zero_regs", "s_all",
+                    F.round("est_raw", 2).alias("estimate"),
+                    "registers_md5",
+                    (F.abs(F.col("est_raw") - F.col("n_exact"))
+                     / F.col("n_exact")
+                     <= 3 * 1.04 / (_HLL_M ** 0.5))
+                    .alias("within_3sigma")))
