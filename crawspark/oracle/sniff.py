@@ -133,10 +133,16 @@ def sniff_format(payload: bytes) -> str:
         if b"subject:" in lowered and b"from:" in lowered:
             return "eml"
     try:
-        probe.decode("utf-8")
-        return "text"
+        text = probe.decode("utf-8")
     except UnicodeDecodeError:
         return "unknown"
+    if "\\documentclass" in text[:512] or "\\begin{document}" in text:
+        return "latex"
+    first = text.lstrip("\n").split("\n", 1)[0]
+    if (first.startswith("# ") or "\n## " in text or "\n```" in text
+            or "](http" in text):
+        return "markdown"
+    return "text"
 
 
 def build_format_payload(doc_id: int) -> bytes:
@@ -214,4 +220,10 @@ def extract_any(payload: bytes) -> tuple[str, list[str]]:
         from crawspark.oracle.dom import parse_html
         root = parse_html(payload.decode("utf-8", "replace"))
         return fmt, [p.text() for p in root.find_all("p") if p.text()]
+    if fmt == "latex":
+        from crawspark.oracle.latex import extract_latex
+        return fmt, extract_latex(payload.decode("utf-8", "replace"))
+    if fmt == "markdown":
+        from crawspark.oracle.markdown import extract_markdown
+        return fmt, extract_markdown(payload.decode("utf-8", "replace"))
     return fmt, []
