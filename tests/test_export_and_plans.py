@@ -120,3 +120,28 @@ def test_bm25_topk_is_take_ordered(spark, sf_dir):
     plan = _plan(df)
     assert "TakeOrderedAndProject" in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_format_route_plans_are_single_hop(spark, sf_dir):
+    # The format routes must stay "pruned doc_id scan -> ONE Python
+    # hop, zero exchanges" — any accidental shuffle or full-row scan in
+    # these per-doc parsers is a 100 TB regression. (Enforced here;
+    # BENCH/PLANS.md is the human-readable snapshot.)
+    from crawspark.registry import load_all
+
+    reg = load_all()
+    for name in ("route_mixed_formats", "warc_route_payloads",
+                 "scan_tar_archive", "eml_extract_text",
+                 "epub_extract_text", "doc_legacy_extract_text",
+                 "rtf_extract_text", "xlsx_extract_rows",
+                 "pptx_extract_text", "odt_extract_text",
+                 "latex_extract_blocks", "markdown_extract_blocks",
+                 "html_extract_tables"):
+        df = reg[name].spark(spark, sf_dir)
+        s = plan_summary(df)
+        assert s["exchanges"] == 0, (name, s)
+        assert s["python_arrow_stages"] == 1, (name, s)
+        assert s["scans"] == 1, (name, s)
+        plan = _plan(df)
+        # column pruning: only doc_id is read from the documents table
+        assert "text" not in plan.split("ReadSchema")[1], name
