@@ -518,3 +518,83 @@ def host_graph_stats(spark, sf_dir):
                     F.coalesce("out_deg", F.lit(0)).alias("out_deg"),
                     F.coalesce("n_reciprocal", F.lit(0))
                     .alias("n_reciprocal")))
+
+
+def _triangle_oracle_sql(sf_dir: str) -> str:
+    return _host_edges_cte(sf_dir) + """,
+    und AS MATERIALIZED (
+      -- co-citation projection: hosts co-linked by the same source
+      -- (the src->host graph itself is bipartite, hence triangle-free)
+      SELECT DISTINCT least(e1.dst, e2.dst) AS u,
+             greatest(e1.dst, e2.dst) AS v
+      FROM edges e1 JOIN edges e2 ON e1.src = e2.src
+      WHERE e1.dst < e2.dst
+    ), deg AS (
+      SELECT h, count(*) AS d FROM (
+        SELECT u AS h FROM und UNION ALL SELECT v FROM und
+      ) GROUP BY h
+    ), o AS MATERIALIZED (
+      SELECT CASE WHEN (du.d, u) < (dv.d, v) THEN u ELSE v END AS a,
+             CASE WHEN (du.d, u) < (dv.d, v) THEN v ELSE u END AS b
+      FROM und JOIN deg du ON du.h = u JOIN deg dv ON dv.h = v
+    ), tri AS (
+      SELECT e1.a, e1.b, e2.b AS c
+      FROM o e1 JOIN o e2 ON e2.a = e1.b
+                JOIN o e3 ON e3.a = e1.a AND e3.b = e2.b
+    )
+    SELECT host, CAST(count(*) AS INT) AS n_triangles
+    FROM (SELECT a AS host FROM tri UNION ALL SELECT b FROM tri
+          UNION ALL SELECT c FROM tri)
+    GROUP BY host
+    """
+
+
+@register("triangle_count_hosts", sql=_triangle_oracle_sql)
+def triangle_count_hosts(spark, sf_dir):
+    # Triangle counting on the crawl host graph (clustering/spam-farm
+    # signal) with the degree-ordered orientation: each undirected
+    # edge points low→high (degree, name), so every triangle is
+    # counted exactly once and the wedge join fans out from the LOW
+    # degree side — the bound that keeps the self-join feasible on a
+    # power-law web graph (node-iterator is Θ(Σ deg²); this is
+    # O(m^1.5)). Oracle replays the same orientation in DuckDB.
+    edges, _ = _host_edges(spark, sf_dir)
+    # Co-citation projection: the src->host graph is BIPARTITE (hence
+    # triangle-free); hosts co-linked by the same source form the
+    # one-mode graph where triangles measure host clustering. The
+    # projection self-join is the documented scale hazard here — it is
+    # keyed on src, whose fan-out is the per-source distinct-host count
+    # (bounded by crawl breadth), not the corpus size.
+    e2 = edges.selectExpr("src", "dst AS dst2")
+    und = (edges.join(e2, "src")
+           .filter(F.col("dst") < F.col("dst2"))
+           .select(F.col("dst").alias("u"), F.col("dst2").alias("v"))
+           .distinct())
+    deg = (und.select(F.col("u").alias("h"))
+           .union(und.select(F.col("v").alias("h")))
+           .groupBy("h").agg(F.count("*").alias("d")))
+    o = (und
+         .join(deg.selectExpr("h AS u", "d AS du"), "u")
+         .join(deg.selectExpr("h AS v", "d AS dv"), "v")
+         .select(F.when((F.col("du") < F.col("dv"))
+                        | ((F.col("du") == F.col("dv"))
+                           & (F.col("u") < F.col("v"))),
+                        F.col("u")).otherwise(F.col("v")).alias("a"),
+                 F.when((F.col("du") < F.col("dv"))
+                        | ((F.col("du") == F.col("dv"))
+                           & (F.col("u") < F.col("v"))),
+                        F.col("v")).otherwise(F.col("u")).alias("b"))
+         .localCheckpoint(eager=True))
+    e1 = o.selectExpr("a", "b")
+    e2 = o.selectExpr("a AS b", "b AS c")
+    e3 = o.selectExpr("a", "b AS c")
+    tri = (e1.join(e2, "b").join(e3, ["a", "c"])
+           .select("a", "b", "c"))
+    per_host = (tri.selectExpr("a AS host")
+                .union(tri.selectExpr("b AS host"))
+                .union(tri.selectExpr("c AS host"))
+                .groupBy("host")
+                .agg(F.count("*").cast("int").alias("n_triangles")))
+    return per_host
+
+

@@ -30,7 +30,7 @@ EXPECTED_INVARIANT = {
     "ann_search_ivf", "ann_search_pq", "bpe_train_merges",
     "q1_pricing_summary", "quantile_doc_sizes", "approx_quantile_bound",
     "heavy_hitters_users", "sketch_kmv_distinct", "sketch_kmv_overlap",
-    "rank_bm25", "agg_status_counts", "agg_mktsegment", "bloom_seen_urls", "cms_user_counts", "hll_distinct_urls",
+    "rank_bm25", "agg_status_counts", "agg_mktsegment", "bloom_seen_urls", "cms_user_counts", "hll_distinct_urls", "triangle_count_hosts",
     "cube_lang_source", "rollup_lang_source", "pivot_source_by_lang",
     "part_type_stats", "extract_lang_histogram",
 }
