@@ -321,3 +321,61 @@ def test_gopher_gates_each_rule_fires(spark):
         assert r["mean_word_len"] > 0
         if r["keep"]:
             assert r["n_words"] >= 50 and r["symbol_ratio"] < 0.1
+
+
+def test_quality_classifier_learns_and_replays(spark):
+    # Third-way replay: numpy logistic regression run from the raw docs
+    # must land within float tolerance of the Spark-trained weights, and
+    # training must actually LEARN — log-loss after _CLF_STEPS steps
+    # strictly below the w=0 loss (ln 2), trusted-slice mean score above
+    # the rest (the gradient moved the right way).
+    import numpy as np
+
+    from crawspark.operators.lmquality import (
+        _CLF_B,
+        _CLF_LR,
+        _CLF_STEPS,
+        _TARGET_SRC,
+        quality_classifier_score,
+        quality_classifier_train,
+    )
+
+    docs = _docs()
+    n = len(docs)
+    feats = []  # (doc_index, bucket, x)
+    y = np.zeros(n)
+    for i, (_doc_id, _lang, source, text) in enumerate(docs):
+        toks = text.split(" ")
+        cnt = Counter(
+            int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % _CLF_B
+            for t in toks)
+        for b, c in cnt.items():
+            feats.append((i, b, c / len(toks)))
+        feats.append((i, -1, 1.0))
+        y[i] = 1.0 if source == _TARGET_SRC else 0.0
+    buckets = sorted({b for _, b, _ in feats})
+    bidx = {b: j for j, b in enumerate(buckets)}
+    X = np.zeros((n, len(buckets)))
+    for i, b, x in feats:
+        X[i, bidx[b]] = x
+    w = np.zeros(len(buckets))
+    for step in range(_CLF_STEPS):
+        p = 1.0 / (1.0 + np.exp(-X @ w))
+        w = np.round(w - _CLF_LR * (X.T @ (p - y)) / n, 6)
+
+    got = {r["bucket"]: r["weight"]
+           for r in quality_classifier_train(spark, SF).collect()}
+    assert set(got) == set(buckets)
+    for b in buckets:
+        assert got[b] == pytest.approx(w[bidx[b]], abs=2e-6), b
+
+    scores = quality_classifier_score(spark, SF).collect()
+    assert len(scores) == n
+    assert all(0.0 < r["score"] < 1.0 for r in scores)
+    p_final = 1.0 / (1.0 + np.exp(-X @ w))
+    loss = -np.mean(y * np.log(p_final) + (1 - y) * np.log(1 - p_final))
+    assert loss < math.log(2)  # strictly better than the untrained model
+    pos = [r["score"] for r in scores if r["label"] == 1]
+    neg = [r["score"] for r in scores if r["label"] == 0]
+    assert pos and neg
+    assert np.mean(pos) > np.mean(neg)
