@@ -2361,3 +2361,63 @@ def multimodal_exif_meta(spark, sf_dir):
     return docs.mapInPandas(
         synth_exif, "doc_id long, orientation int, make string, "
                     "taken_at string, eff_width int, eff_height int")
+
+
+@register("scan_zip_archive", sql="""
+    -- closed form of oracle/tarzip.make_zip: member m of doc d is
+    -- (name variant by m, 1+(d+m)%3 lines 'doc d member m line k');
+    -- the directory entry the walk must skip contributes nothing.
+    WITH m AS (
+      SELECT doc_id, unnest(generate_series(0, 1 + doc_id % 3)) AS mm
+      FROM documents WHERE doc_id % 10 = 3
+    ), members AS (
+      SELECT doc_id, mm,
+             CASE mm
+               WHEN 0 THEN 'shard' || doc_id || '/stored-member0.txt'
+               WHEN 1 THEN 'deep/nested/path/deflate-' || doc_id || '.txt'
+               ELSE 'member-' || doc_id || '-' || mm || '.txt'
+             END AS name,
+             array_to_string(list_transform(
+               generate_series(0, (doc_id + mm) % 3),
+               k -> 'doc ' || doc_id || ' member ' || mm || ' line '
+                    || k), chr(10)) AS t
+      FROM m
+    )
+    SELECT doc_id, CAST(count(*) AS INT) AS n_members,
+           md5(string_agg(name, chr(30) ORDER BY mm)) AS names_md5,
+           md5(string_agg(t, chr(30) ORDER BY mm)) AS text_md5,
+           CAST(sum(length(t)) AS BIGINT) AS total_bytes
+    FROM members GROUP BY doc_id
+""")
+def scan_zip_archive(spark, sf_dir):
+    # ZIP twin of scan_tar_archive (r5): deterministic archive per doc
+    # with a trailing comment displacing the EOCD; the real walk scans
+    # the EOCD back over the comment, follows the central directory,
+    # re-reads each member's LOCAL header lengths, inflates raw-deflate
+    # members, verifies every CRC-32 and skips the directory entry.
+    def synth_scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        from crawspark.oracle.tarzip import make_zip, parse_zip
+        for pdf in batches:
+            out = {"doc_id": [], "n_members": [], "names_md5": [],
+                   "text_md5": [], "total_bytes": []}
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                members = parse_zip(make_zip(d, comment=b"c" * (d % 97)))
+                out["doc_id"].append(d)
+                out["n_members"].append(len(members))
+                out["names_md5"].append(hashlib.md5(
+                    "\x1e".join(n for n, _ in members).encode())
+                    .hexdigest())
+                out["text_md5"].append(hashlib.md5(
+                    b"\x1e".join(b for _, b in members)).hexdigest())
+                out["total_bytes"].append(
+                    sum(len(b) for _, b in members))
+            yield pd.DataFrame(out)
+
+    docs = (read_testdata(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") % 10 == 3).select("doc_id"))
+    return docs.mapInPandas(
+        synth_scan, "doc_id long, n_members int, names_md5 string, "
+                    "text_md5 string, total_bytes long")

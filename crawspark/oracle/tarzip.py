@@ -172,3 +172,151 @@ def make_targz(doc_id: int) -> bytes:
     with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as gz:
         gz.write(raw)
     return buf.getvalue()
+
+
+# ---------------------------------------------------------------------------
+# ZIP (APPNOTE.TXT) — the other dataset-dump container next to tar
+# ---------------------------------------------------------------------------
+# Hand-built and hand-parsed from the PKWARE APPNOTE layout (no
+# ``zipfile`` module here, matching the from-scratch byte-layer style;
+# the sniffer's bounded member probe is the only zipfile user). The
+# walk is the CORRECT one — central directory, not local-header scan:
+#
+# - End Of Central Directory record (PK\x05\x06) located by scanning
+#   backwards over a possible trailing comment (<= 64 KiB + 22 B).
+# - Central directory entries (PK\x01\x02): compression method (0 =
+#   stored, 8 = raw deflate), CRC-32, sizes, name/extra/comment field
+#   lengths, and the local-header offset.
+# - Each member's bytes start after its LOCAL header (PK\x03\x04),
+#   whose own name/extra lengths differ from the CD's in real archives
+#   (data-descriptor writers) — so both are parsed.
+# - CRC-32 of the decompressed bytes is verified; mismatches and bad
+#   signatures stop the walk. Directory entries (name ends '/') skip.
+# - Out of scope (honestly): ZIP64, encryption, methods other than
+#   0/8 — entries with an unknown method are skipped, not mis-read.
+
+_EOCD_SIG = b"PK\x05\x06"
+_CD_SIG = b"PK\x01\x02"
+_LFH_SIG = b"PK\x03\x04"
+
+
+def parse_zip(payload: bytes) -> list[tuple[str, bytes]]:
+    """File members in central-directory order. Never raises; non-zip
+    or corrupt bytes yield [] (or the members proven good so far)."""
+    import struct
+
+    tail = payload[-(0xFFFF + 22):]
+    at = tail.rfind(_EOCD_SIG)
+    if at < 0 or len(tail) - at < 22:
+        return []
+    n_entries, cd_size, cd_off = struct.unpack(
+        "<HII", tail[at + 10:at + 20])
+    cd = payload[cd_off:cd_off + cd_size]
+    out: list[tuple[str, bytes]] = []
+    pos = 0
+    for _ in range(n_entries):
+        if cd[pos:pos + 4] != _CD_SIG or pos + 46 > len(cd):
+            return out if out else []
+        (method, crc, csize, usize, nlen, xlen, clen) = struct.unpack(
+            "<H4xIIIHHH", cd[pos + 10:pos + 34])
+        (lfh_off,) = struct.unpack("<I", cd[pos + 42:pos + 46])
+        name = cd[pos + 46:pos + 46 + nlen].decode("utf-8", "replace")
+        pos += 46 + nlen + xlen + clen
+        if name.endswith("/"):
+            continue  # directory entry
+        lfh = payload[lfh_off:lfh_off + 30]
+        if lfh[:4] != _LFH_SIG:
+            return out if out else []
+        lf_nlen, lf_xlen = struct.unpack("<HH", lfh[26:30])
+        start = lfh_off + 30 + lf_nlen + lf_xlen
+        raw = payload[start:start + csize]
+        if len(raw) != csize:
+            return out if out else []
+        if method == 0:
+            body = raw
+        elif method == 8:
+            try:
+                body = zlib.decompressobj(-15).decompress(raw)
+            except zlib.error:
+                return out if out else []
+        else:
+            continue  # unknown method: skip, never mis-read
+        if len(body) != usize or zlib.crc32(body) != crc:
+            return out if out else []
+        out.append((name, body))
+    return out
+
+
+def make_zip(doc_id: int, comment: bytes = b"") -> bytes:
+    """Deterministic ZIP for doc ``doc_id`` exercising every mechanic
+    parse_zip handles: a stored member, deflated members, a nested
+    path, a directory entry to skip, and (optionally) a trailing
+    archive comment that pushes the EOCD off the file tail."""
+    import struct
+
+    d = int(doc_id)
+    members: list[tuple[str, bytes, int]] = []  # (name, body, method)
+    for m in range(2 + d % 3):
+        body = "\n".join(
+            f"doc {d} member {m} line {k}"
+            for k in range((d + m) % 3 + 1)).encode()
+        if m == 0:
+            name = f"shard{d}/stored-member0.txt"
+            members.append((name, body, 0))
+        elif m == 1:
+            name = f"deep/nested/path/deflate-{d}.txt"
+            members.append((name, body, 8))
+        else:
+            members.append((f"member-{d}-{m}.txt", body, 8))
+
+    blob = bytearray()
+    cd = bytearray()
+    n_cd = 0
+
+    def add(name: str, body: bytes, method: int,
+            is_dir: bool = False) -> None:
+        nonlocal n_cd
+        nb = name.encode()
+        data = b"" if is_dir else body
+        if method == 8:
+            co = zlib.compressobj(9, zlib.DEFLATED, -15)
+            data = co.compress(data) + co.flush()
+        crc = 0 if is_dir else zlib.crc32(body)
+        usize = 0 if is_dir else len(body)
+        off = len(blob)
+        # local header: version 20, flags 0, dos time/date pinned 0
+        blob.extend(_LFH_SIG + struct.pack(
+            "<HHHHHIIIHH", 20, 0, method, 0, 0, crc, len(data), usize,
+            len(nb), 0) + nb + data)
+        cd.extend(_CD_SIG + struct.pack(
+            "<HHHHHHIIIHHHHHII", 20, 20, 0, method, 0, 0, crc,
+            len(data), usize, len(nb), 0, 0, 0, 0,
+            0x10 if is_dir else 0, off) + nb)
+        n_cd += 1
+
+    add(f"shard{d}/", b"", 0, is_dir=True)
+    for name, body, method in members:
+        add(name, body, method)
+    cd_off = len(blob)
+    blob.extend(cd)
+    blob.extend(_EOCD_SIG + struct.pack(
+        "<HHHHIIH", 0, 0, n_cd, n_cd, len(cd), cd_off, len(comment))
+        + comment)
+    return bytes(blob)
+
+
+def zip_members_expected(doc_id: int) -> list[tuple[str, str]]:
+    """Closed form of make_zip's file members (name, text)."""
+    d = int(doc_id)
+    out = []
+    for m in range(2 + d % 3):
+        text = "\n".join(f"doc {d} member {m} line {k}"
+                         for k in range(1 + (d + m) % 3))
+        if m == 0:
+            name = f"shard{d}/stored-member0.txt"
+        elif m == 1:
+            name = f"deep/nested/path/deflate-{d}.txt"
+        else:
+            name = f"member-{d}-{m}.txt"
+        out.append((name, text))
+    return out

@@ -32,17 +32,17 @@ from crawspark.oracle.officedoc import (
 )
 from crawspark.oracle.rtf import extract_rtf_text, make_rtf
 from crawspark.oracle.sniff import extract_any, sniff_format
-from crawspark.oracle.tarzip import make_targz, parse_tar
+from crawspark.oracle.tarzip import make_targz, make_zip, parse_tar, parse_zip
 
 _PARSERS = [
     extract_docx_text, extract_xlsx_rows, extract_pptx_text,
     extract_rtf_text, extract_doc_text, extract_epub_text,
-    parse_tar, lambda b: extract_eml(b)[1],
+    parse_tar, lambda b: extract_eml(b)[1], parse_zip,
 ]
 
 _BUILDERS = [
     make_docx, make_xlsx, make_pptx, make_rtf, make_legacy_doc,
-    make_epub, make_targz, make_eml,
+    make_epub, make_targz, make_eml, make_zip,
 ]
 
 

@@ -956,3 +956,52 @@ def test_feed_self_only_entry_has_empty_link():
     bare = atom.replace(' rel="self"', "").replace(
         '<link rel="enclosure" href="https://a/audio.mp3"/>', "")
     assert parse_feed(bare)[0]["link"] == "https://a/feed.xml"
+
+
+def test_zip_archive_walk():
+    import zlib
+
+    from crawspark.oracle.tarzip import (
+        make_zip,
+        parse_zip,
+        zip_members_expected,
+    )
+
+    for d in (0, 1, 7, 20, 33):
+        # trailing comment displaces the EOCD off the tail — the scan
+        # must find it anyway
+        got = parse_zip(make_zip(d, comment=b"c" * (d % 97)))
+        assert got == [(n, t.encode())
+                       for n, t in zip_members_expected(d)]
+    # stored (method 0) and deflated (method 8) members both present
+    z = make_zip(5)
+    body0 = zip_members_expected(5)[0][1].encode()
+    assert body0 in z  # stored member bytes appear verbatim
+    assert zip_members_expected(5)[1][1].encode() not in z  # deflated
+    # CRC-32 verification: a flipped content byte stops the walk
+    raw = bytearray(z)
+    raw[raw.find(body0)] ^= 0xFF
+    assert parse_zip(bytes(raw)) == []
+    # a comment longer than the member data still parses
+    assert parse_zip(make_zip(2, comment=b"k" * 4000)) == \
+        [(n, t.encode()) for n, t in zip_members_expected(2)]
+    # an unknown compression method is skipped, not mis-read: patch
+    # member 0's method field in BOTH headers (local + CD)
+    z2 = bytearray(make_zip(0))
+    n0 = b"shard0/stored-member0.txt"
+    for sig in (b"PK\x03\x04", b"PK\x01\x02"):
+        at = z2.find(sig, z2.find(n0) - 60)
+        while at >= 0:
+            hdr_name_at = z2.find(n0, at)
+            if 0 < hdr_name_at < at + 60:
+                off = at + (8 if sig == b"PK\x03\x04" else 10)
+                z2[off:off + 2] = (99).to_bytes(2, "little")
+                break
+            at = z2.find(sig, at + 1)
+    got = parse_zip(bytes(z2))
+    assert [n for n, _ in got] == \
+        [n for n, _ in zip_members_expected(0)[1:]]
+    # garbage and truncation never raise
+    assert parse_zip(b"definitely not a zip") == []
+    assert parse_zip(make_zip(7)[:-25]) == []
+    assert zlib.crc32(b"") == 0  # the empty-member convention make_zip uses
