@@ -91,6 +91,10 @@ def main() -> None:
         "dsir_importance_weights": "documents",
         "bpe_train_merges": "documents",
         "curate_corpus_v3": "documents",
+        # r5 session-6 additions: Kneser-Ney scoring and the trained
+        # logistic-regression gate (3 GD steps + a scoring pass)
+        "quality_kn_perplexity": "documents",
+        "quality_classifier_score": "documents",
     }
     NAMES = tuple(DRIVING)
     table_rows = {t: read_testdata(spark, SF_DIR, t).count()

@@ -683,3 +683,111 @@ def quality_classifier_score(spark, sf_dir):
                     F.col("n").cast("int").alias("n_tokens"),
                     F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("z"))),
                             4).alias("score")))
+
+
+# ---------------------------------------------------------------------------
+# Interpolated Kneser-Ney LM scoring — the smoothing KenLM/CCNet really use
+# ---------------------------------------------------------------------------
+# quality_lm_perplexity above uses add-k smoothing (chosen for oracle
+# simplicity); production CCNet scores with KenLM's modified Kneser-Ney.
+# This query implements interpolated KN with one absolute discount D —
+# every ingredient is counts and count-of-counts, so the DuckDB twin is
+# exact:
+#
+#   P(w2|w1) = max(c12 - D, 0)/c1  +  (D * N1+(w1 .)/c1) * Pcont(w2)
+#   Pcont(w2) = (N1+(. w2) + k) / (N_bigram_types + k * V)
+#
+# with N1+(w1 .) = distinct continuations of w1, N1+(. w2) = distinct
+# histories of w2 (the continuation count that makes KN famous), and a
+# small add-k floor on Pcont so out-of-vocabulary words score finitely
+# (V = distinct words over the WHOLE corpus, identical in both engines).
+# Unseen history (c1 = 0) backs off to Pcont alone.
+_KN_D = 0.75
+
+
+_KN_PPL_SQL = f"""
+    WITH toks AS (
+      SELECT doc_id, lang, source, string_split(text, ' ') AS ts
+      FROM documents
+    ), big AS (
+      SELECT doc_id, lang, source, ts[i] AS w1, ts[i + 1] AS w2
+      FROM (SELECT doc_id, lang, source, ts,
+                   unnest(generate_series(1, len(ts) - 1)) AS i
+            FROM toks WHERE len(ts) >= 2)
+    ), c12 AS (
+      SELECT w1, w2, CAST(count(*) AS DOUBLE) AS c FROM big
+      WHERE source = '{_TARGET_SRC}' GROUP BY w1, w2
+    ), c1 AS (
+      SELECT w1, sum(c) AS c, CAST(count(*) AS DOUBLE) AS n1f
+      FROM c12 GROUP BY w1
+    ), ncb AS (
+      SELECT w2, CAST(count(*) AS DOUBLE) AS n1b FROM c12 GROUP BY w2
+    ), tot AS (
+      SELECT (SELECT CAST(count(*) AS DOUBLE) FROM c12) AS n_types,
+             (SELECT CAST(count(DISTINCT t) AS DOUBLE)
+              FROM (SELECT unnest(ts) AS t FROM toks)) AS v
+    ), scored AS (
+      SELECT b.doc_id, b.lang,
+             -ln(CASE WHEN coalesce(c1.c, 0) > 0 THEN
+                   greatest(coalesce(c12.c, 0) - {_KN_D}, 0) / c1.c
+                   + ({_KN_D} * c1.n1f / c1.c)
+                     * ((coalesce(ncb.n1b, 0) + {_LM_K})
+                        / (tot.n_types + {_LM_K} * tot.v))
+                 ELSE (coalesce(ncb.n1b, 0) + {_LM_K})
+                      / (tot.n_types + {_LM_K} * tot.v)
+                 END) AS nl
+      FROM big b
+      LEFT JOIN c12 ON b.w1 = c12.w1 AND b.w2 = c12.w2
+      LEFT JOIN c1 ON b.w1 = c1.w1
+      LEFT JOIN ncb ON b.w2 = ncb.w2
+      CROSS JOIN tot
+    )
+    SELECT doc_id, lang, CAST(count(*) AS INT) AS n_bigrams,
+           CAST(round(avg(nl), 4) AS DOUBLE) AS avg_neg_logp
+    FROM scored GROUP BY doc_id, lang
+"""
+
+
+@register("quality_kn_perplexity", sql=_KN_PPL_SQL)
+def quality_kn_perplexity(spark, sf_dir):
+    # Same 100 TB shape as the add-k query: the model (c12/c1/ncb plus a
+    # 1-row totals table) is aggregates of the small trusted slice,
+    # broadcast; the corpus side is one explode + three broadcast joins
+    # + a per-doc agg — the only wide exchange is groupBy(doc_id).
+    docs = read_testdata(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", "lang", "source",
+                       F.split("text", " ").alias("ts"))
+    big = (toks.filter(F.size("ts") >= 2)
+           .select("doc_id", "lang", "source", F.explode(F.expr(
+               "zip_with(slice(ts, 1, size(ts) - 1),"
+               "         slice(ts, 2, size(ts) - 1),"
+               "         (a, b) -> struct(a AS w1, b AS w2))"))
+               .alias("bg"))
+           .select("doc_id", "lang", "source", "bg.w1", "bg.w2"))
+    c12 = (big.filter(F.col("source") == _TARGET_SRC)
+           .groupBy("w1", "w2")
+           .agg(F.count("*").cast("double").alias("c12")))
+    c1 = (c12.groupBy("w1")
+          .agg(F.sum("c12").alias("c1"),
+               F.count("*").cast("double").alias("n1f")))
+    ncb = (c12.groupBy("w2")
+           .agg(F.count("*").cast("double").alias("n1b")))
+    tot = (c12.agg(F.count("*").cast("double").alias("n_types"))
+           .crossJoin(toks.select(F.explode("ts").alias("t"))
+                      .agg(F.countDistinct("t").cast("double").alias("v"))))
+    pcont = ((F.coalesce(F.col("n1b"), F.lit(0.0)) + _LM_K)
+             / (F.col("n_types") + _LM_K * F.col("v")))
+    p = F.when(
+        F.coalesce(F.col("c1"), F.lit(0.0)) > 0,
+        F.greatest(F.coalesce(F.col("c12"), F.lit(0.0)) - _KN_D, F.lit(0.0))
+        / F.col("c1")
+        + (_KN_D * F.col("n1f") / F.col("c1")) * pcont
+    ).otherwise(pcont)
+    return (big
+            .join(F.broadcast(c12), ["w1", "w2"], "left")
+            .join(F.broadcast(c1), ["w1"], "left")
+            .join(F.broadcast(ncb), ["w2"], "left")
+            .crossJoin(F.broadcast(tot))
+            .groupBy("doc_id", "lang")
+            .agg(F.count("*").cast("int").alias("n_bigrams"),
+                 F.round(F.avg(-F.log(p)), 4).alias("avg_neg_logp")))

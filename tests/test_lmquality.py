@@ -379,3 +379,65 @@ def test_quality_classifier_learns_and_replays(spark):
     neg = [r["score"] for r in scores if r["label"] == 0]
     assert pos and neg
     assert np.mean(pos) > np.mean(neg)
+
+
+def test_kn_perplexity_matches_formula_and_conserves_mass(spark, docs):
+    # Third-way replay of interpolated Kneser-Ney (absolute discount D,
+    # continuation counts, add-k floored Pcont), plus the property that
+    # makes KN coherent: for a seen history w1, the UNFLOORED
+    # conditional mass sums to exactly 1 over Pcont-weighted words
+    # (sum_w2 [max(c12-D,0)/c1] + D*N1+(w1 .)/c1 == 1 when Pcont sums
+    # to 1) — verified on raw counts before the add-k floor.
+    from crawspark.operators.lmquality import (
+        _KN_D,
+        _LM_K,
+        _TARGET_SRC,
+        quality_kn_perplexity,
+    )
+
+    c12: Counter = Counter()
+    vocab = set()
+    for _, _, source, text in docs:
+        ts = text.split(" ")
+        vocab.update(ts)
+        if source == _TARGET_SRC:
+            c12.update(zip(ts, ts[1:]))
+    c1: Counter = Counter()
+    n1f: Counter = Counter()
+    n1b: Counter = Counter()
+    for (w1, w2), c in c12.items():
+        c1[w1] += c
+        n1f[w1] += 1
+        n1b[w2] += 1
+    n_types = len(c12)
+    v = len(vocab)
+
+    def pcont(w2):
+        return (n1b.get(w2, 0) + _LM_K) / (n_types + _LM_K * v)
+
+    def score(text):
+        ts = text.split(" ")
+        nls = []
+        for a, b in zip(ts, ts[1:]):
+            if c1.get(a, 0) > 0:
+                p = (max(c12.get((a, b), 0) - _KN_D, 0) / c1[a]
+                     + _KN_D * n1f[a] / c1[a] * pcont(b))
+            else:
+                p = pcont(b)
+            nls.append(-math.log(p))
+        return len(nls), round(sum(nls) / len(nls), 4)
+
+    got = {r["doc_id"]: (r["n_bigrams"], r["avg_neg_logp"])
+           for r in quality_kn_perplexity(spark, SF).collect()}
+    assert len(got) == len(docs)
+    for doc_id, _, _, text in docs[:40]:
+        n, s = score(text)
+        assert got[doc_id][0] == n
+        assert got[doc_id][1] == pytest.approx(s, abs=2e-4), doc_id
+
+    # mass conservation of absolute discounting (pre-floor): for every
+    # seen history, discounted counts + redistributed discount == c1
+    for w1 in list(c1)[:50]:
+        disc = sum(max(c - _KN_D, 0) for (a, _), c in c12.items()
+                   if a == w1)
+        assert disc + _KN_D * n1f[w1] == pytest.approx(c1[w1])
