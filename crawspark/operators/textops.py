@@ -637,3 +637,65 @@ def search_phrase_positions(spark, sf_dir):
     out = per_doc.select(*cols)
     return out.filter(
         (F.col("n_merge_join") > 0) | (F.col("n_sort_merge_join") > 0))
+
+
+@register("keyword_tfidf_topk", sql="""
+    -- tf-idf keyword extraction: per doc, top-3 terms by tf*idf with
+    -- tf = term count / doc tokens, idf = ln(N / df). Ranking compares
+    -- the 6-decimal-ROUNDED score (then term asc) so float ulps can
+    -- never reorder near-ties across engines.
+    WITH words AS (
+      SELECT doc_id, t FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS t
+        FROM documents)
+    ), dlen AS (
+      SELECT doc_id, CAST(count(*) AS DOUBLE) AS n FROM words
+      GROUP BY doc_id
+    ), df AS (
+      SELECT t, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+      FROM words GROUP BY t
+    ), nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+    scored AS (
+      SELECT w.doc_id, w.t AS term,
+             round((count(*) / dl.n) * ln((SELECT n FROM nn) / df.df), 6)
+               AS tfidf
+      FROM words w
+      JOIN dlen dl USING (doc_id)
+      JOIN df ON df.t = w.t
+      GROUP BY w.doc_id, w.t, dl.n, df.df
+    )
+    SELECT doc_id, term, CAST(rank AS INT) AS rank, tfidf
+    FROM (SELECT doc_id, term, tfidf,
+                 row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY tfidf DESC, term) AS rank
+          FROM scored)
+    WHERE rank <= 3
+""")
+def keyword_tfidf_topk(spark, sf_dir):
+    # Per-document keyword extraction — the topic-tagging signal a
+    # corpus curation/reporting layer attaches to every kept document.
+    # 100 TB shape: df is an aggregate of the corpus broadcast back
+    # (vocabulary-sized, bounded), the per-doc side is one explode +
+    # two joins + a per-doc window — the window partitions by doc_id,
+    # never globally.
+    from pyspark.sql.window import Window
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    words = docs.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
+    dlen = words.groupBy("doc_id").agg(F.count("*").cast("double").alias("n"))
+    df = words.groupBy("t").agg(
+        F.countDistinct("doc_id").cast("double").alias("df"))
+    nn = docs.agg(F.count("*").cast("double").alias("nn"))
+    scored = (words.groupBy("doc_id", "t").agg(F.count("*").alias("c"))
+              .join(dlen, "doc_id")
+              .join(F.broadcast(df), "t")
+              .crossJoin(F.broadcast(nn))
+              .select("doc_id", F.col("t").alias("term"),
+                      F.round((F.col("c") / F.col("n"))
+                              * F.log(F.col("nn") / F.col("df")), 6)
+                      .alias("tfidf")))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "term")
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 3)
+            .select("doc_id", "term", F.col("rank").cast("int").alias("rank"),
+                    "tfidf"))

@@ -290,3 +290,19 @@ def test_lmquality_plans_broadcast_models_and_shard_windows(spark):
     assert "windowspecdefinition(lang" in plan, plan
     # exactly one exchange: the (lang, shard) hash for the window
     assert plan.count("Exchange") == 1, plan
+
+    # Kneser-Ney: same contract as the add-k query — the three count
+    # tables and the totals row are all broadcast against the corpus.
+    from crawspark.operators.lmquality import (
+        quality_classifier_score,
+        quality_kn_perplexity,
+    )
+
+    plan = executed_plan(quality_kn_perplexity(spark, sf))
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    # Trained classifier: the weight table (<= B+1 rows) must join the
+    # feature table as a broadcast — the corpus never shuffles against
+    # the model. (Corpus-side doc_id equi-joins may legitimately SMJ.)
+    plan = executed_plan(quality_classifier_score(spark, sf))
+    assert "BroadcastHashJoin" in plan
