@@ -84,6 +84,19 @@ AUDIT = [
      "exchanges"),
     ("eml_extract_text",
      "pruned doc_id scan -> ONE mapInPandas MIME walk, zero exchanges"),
+    ("quality_kn_perplexity",
+     "Kneser-Ney: c12/c1/continuation-count tables + 1-row totals all "
+     "BROADCAST; corpus side explode + broadcast joins + one doc_id agg"),
+    ("quality_classifier_score",
+     "trained weight table <= B+1 rows BROADCAST; scoring pass is one "
+     "wide exchange (groupBy doc_id); GD steps reuse one materialized "
+     "feature table"),
+    ("keyword_tfidf_topk",
+     "df table broadcast back over the corpus; per-doc window "
+     "partitions by doc_id, never globally"),
+    ("scan_zip_archive",
+     "pruned doc_id scan -> ONE mapInPandas central-directory walk, "
+     "zero exchanges"),
 ]
 
 
