@@ -975,3 +975,123 @@ def feed_frontier_seed(spark, sf_dir):
     return docs.mapInPandas(
         synth_parse, "doc_id long, idx int, fmt string, title string, "
                      "link string, published string")
+
+
+@register("crawl_snapshot_diff", sql="""
+    -- Two crawl snapshots diffed by doc_id + content hash. The "new"
+    -- crawl derives deterministically from the old one: doc_id%17=0
+    -- dropped (removed), doc_id%13=0 re-extracted with changed text
+    -- (changed), and doc_id%19=0 re-discovered under doc_id+10^9
+    -- (added). Per-status counts + an md5 over the sorted doc_id list
+    -- pin the full membership of every class.
+    WITH old AS (
+      SELECT doc_id, md5(text) AS h FROM documents
+    ), new AS (
+      SELECT doc_id,
+             md5(CASE WHEN doc_id % 13 = 0 THEN text || ' v2'
+                      ELSE text END) AS h
+      FROM documents WHERE doc_id % 17 <> 0
+      UNION ALL
+      SELECT doc_id + 1000000000 AS doc_id, md5(text) AS h
+      FROM documents WHERE doc_id % 19 = 0
+    ), diff AS (
+      SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+             CASE WHEN o.doc_id IS NULL THEN 'added'
+                  WHEN n.doc_id IS NULL THEN 'removed'
+                  WHEN o.h <> n.h THEN 'changed'
+                  ELSE 'unchanged' END AS status
+      FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+    )
+    SELECT status, CAST(count(*) AS BIGINT) AS n_docs,
+           md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id))
+             AS ids_md5
+    FROM diff GROUP BY status
+""")
+def crawl_snapshot_diff(spark, sf_dir):
+    # Crawl-over-crawl change detection — the report a recrawl pipeline
+    # runs before deciding what to re-extract (changed), expire
+    # (removed) or enqueue (added). 100 TB shape: both sides shuffle
+    # once on doc_id for the full outer join (at scale the snapshots
+    # share table layout, so the join co-partitions); only 32-byte
+    # hashes travel, never text.
+    docs = read_testdata(spark, sf_dir, "documents")
+    old = docs.select("doc_id", F.md5("text").alias("h"))
+    new = (docs.filter(F.col("doc_id") % 17 != 0)
+           .select("doc_id",
+                   F.md5(F.when(F.col("doc_id") % 13 == 0,
+                                F.concat(F.col("text"), F.lit(" v2")))
+                         .otherwise(F.col("text"))).alias("h"))
+           .unionByName(
+               docs.filter(F.col("doc_id") % 19 == 0)
+               .select((F.col("doc_id") + 1000000000).alias("doc_id"),
+                       F.md5("text").alias("h"))))
+    diff = (old.withColumnsRenamed({"doc_id": "o_id", "h": "o_h"})
+            .join(new.withColumnsRenamed({"doc_id": "n_id", "h": "n_h"}),
+                  F.col("o_id") == F.col("n_id"), "full_outer")
+            .select(F.coalesce("o_id", "n_id").alias("doc_id"),
+                    F.when(F.col("o_id").isNull(), "added")
+                    .when(F.col("n_id").isNull(), "removed")
+                    .when(F.col("o_h") != F.col("n_h"), "changed")
+                    .otherwise("unchanged").alias("status")))
+    # sort NUMERICALLY before stringifying (lexicographic '10' < '2'
+    # would diverge from the oracle's ORDER BY doc_id)
+    return (diff.groupBy("status")
+            .agg(F.count("*").alias("n_docs"),
+                 F.md5(F.concat_ws(",", F.transform(
+                     F.array_sort(F.collect_list("doc_id")),
+                     lambda x: x.cast("string"))))
+                 .alias("ids_md5")))
+
+
+@register("frontier_budget_allocation", sql="""
+    -- Hamilton / largest-remainder apportionment of a global fetch
+    -- budget across hosts, proportional to demand — EXACT integer
+    -- arithmetic only (B*demand DIV total, remainder = the modulo), so
+    -- both engines agree bit-for-bit with no float shares anywhere.
+    WITH demand AS (
+      SELECT source AS host, CAST(count(*) AS BIGINT) AS demand
+      FROM documents GROUP BY source
+    ), tot AS (SELECT sum(demand) AS t FROM demand),
+    base AS (
+      SELECT host, demand,
+             (1000 * demand) // t AS base,
+             (1000 * demand) % t AS rem
+      FROM demand CROSS JOIN tot
+    ), ranked AS (
+      SELECT *, row_number() OVER (ORDER BY rem DESC, host) AS rk,
+             (SELECT 1000 - sum(base) FROM base) AS leftover
+      FROM base
+    )
+    SELECT host, demand,
+           CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+                AS BIGINT) AS alloc
+    FROM ranked
+""")
+def frontier_budget_allocation(spark, sf_dir):
+    # Crawl scheduling: split a global fetch budget (B=1000) across
+    # hosts proportionally to frontier demand, exactly — floor shares
+    # via integer division, then the leftover units go to the largest
+    # integer remainders (ties by host asc). sum(alloc) == B always.
+    # 100 TB shape: demand is one agg; the apportionment operates on
+    # the HOST table (bounded), with 1-row broadcast totals.
+    from pyspark.sql.window import Window
+
+    B = 1000
+    demand = (read_testdata(spark, sf_dir, "documents")
+              .groupBy(F.col("source").alias("host"))
+              .agg(F.count("*").alias("demand")))
+    tot = demand.agg(F.sum("demand").alias("t"))
+    base = (demand.crossJoin(F.broadcast(tot))
+            .select("host", "demand",
+                    ((F.lit(B) * F.col("demand")) / F.col("t"))
+                    .cast("long").alias("base"),
+                    ((F.lit(B) * F.col("demand")) % F.col("t"))
+                    .alias("rem")))
+    leftover = base.agg((F.lit(B) - F.sum("base")).alias("leftover"))
+    w = Window.orderBy(F.desc("rem"), "host")
+    return (base.withColumn("rk", F.row_number().over(w))
+            .crossJoin(F.broadcast(leftover))
+            .select("host", "demand",
+                    (F.col("base")
+                     + F.when(F.col("rk") <= F.col("leftover"), 1)
+                     .otherwise(0)).alias("alloc")))

@@ -699,3 +699,80 @@ def keyword_tfidf_topk(spark, sf_dir):
             .filter(F.col("rank") <= 3)
             .select("doc_id", "term", F.col("rank").cast("int").alias("rank"),
                     "tfidf"))
+
+
+@register("collocations_pmi_topk", sql="""
+    -- Top-20 collocations by pointwise mutual information over the
+    -- corpus bigrams (count floor 5 kills the noisy singleton tail):
+    -- pmi = ln((c12/Nb) / ((c1/Nt)(c2/Nt))). Ranking compares the
+    -- 6-decimal-rounded score (then w1, w2) so float ulps can never
+    -- reorder near-ties across engines.
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+    ), uni AS (
+      SELECT t, CAST(count(*) AS DOUBLE) AS c
+      FROM (SELECT unnest(ts) AS t FROM toks) GROUP BY t
+    ), big AS (
+      SELECT ts[i] AS w1, ts[i + 1] AS w2,
+             CAST(count(*) AS DOUBLE) AS c12
+      FROM (SELECT ts, unnest(generate_series(1, len(ts) - 1)) AS i
+            FROM toks WHERE len(ts) >= 2)
+      GROUP BY w1, w2 HAVING count(*) >= 5
+    ), tot AS (
+      SELECT (SELECT sum(c) FROM uni) AS nt,
+             (SELECT CAST(sum(len(ts) - 1) AS DOUBLE) FROM toks
+              WHERE len(ts) >= 2) AS nb
+    )
+    SELECT w1, w2, CAST(c12 AS BIGINT) AS pair_count, pmi
+    FROM (
+      SELECT b.w1, b.w2, b.c12,
+             round(ln((b.c12 / tot.nb)
+                      / ((u1.c / tot.nt) * (u2.c / tot.nt))), 6) AS pmi,
+             row_number() OVER (
+               ORDER BY round(ln((b.c12 / tot.nb)
+                                 / ((u1.c / tot.nt) * (u2.c / tot.nt))),
+                               6) DESC, b.w1, b.w2) AS rk
+      FROM big b
+      JOIN uni u1 ON u1.t = b.w1
+      JOIN uni u2 ON u2.t = b.w2
+      CROSS JOIN tot)
+    WHERE rk <= 20
+""")
+def collocations_pmi_topk(spark, sf_dir):
+    # Collocation mining (Church & Hanks 1990 PMI) — the phrase-level
+    # vocabulary signal tokenizer and quality teams pull from a corpus.
+    # 100 TB shape: unigram/bigram counts are map-side-combined aggs;
+    # the surviving >= 5 bigram table joins the unigram table broadcast
+    # (vocabulary-bounded); the global top-20 is TakeOrdered, not a
+    # full sort.
+    docs = read_testdata(spark, sf_dir, "documents")
+    toks = docs.select(F.split("text", " ").alias("ts"))
+    uni = (toks.select(F.explode("ts").alias("t"))
+           .groupBy("t").agg(F.count("*").cast("double").alias("c")))
+    big = (toks.filter(F.size("ts") >= 2)
+           .select(F.explode(F.expr(
+               "zip_with(slice(ts, 1, size(ts) - 1),"
+               "         slice(ts, 2, size(ts) - 1),"
+               "         (a, b) -> struct(a AS w1, b AS w2))")).alias("bg"))
+           .select("bg.w1", "bg.w2")
+           .groupBy("w1", "w2").agg(F.count("*").cast("double").alias("c12"))
+           .filter(F.col("c12") >= 5))
+    tot = (uni.agg(F.sum("c").alias("nt"))
+           .crossJoin(toks.filter(F.size("ts") >= 2)
+                      .agg(F.sum(F.size("ts") - 1).cast("double")
+                           .alias("nb"))))
+    u1 = uni.withColumnsRenamed({"t": "w1", "c": "c1"})
+    u2 = uni.withColumnsRenamed({"t": "w2", "c": "c2"})
+    pmi = F.round(F.log((F.col("c12") / F.col("nb"))
+                        / ((F.col("c1") / F.col("nt"))
+                           * (F.col("c2") / F.col("nt")))), 6)
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.desc("pmi"), "w1", "w2")
+    return (big.join(F.broadcast(u1), "w1").join(F.broadcast(u2), "w2")
+            .crossJoin(F.broadcast(tot))
+            .withColumn("pmi", pmi)
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= 20)
+            .select("w1", "w2", F.col("c12").cast("long").alias("pair_count"),
+                    "pmi"))

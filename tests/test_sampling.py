@@ -162,3 +162,53 @@ def test_c4_gates_semantics(spark, sf_dir):
     assert keeps == {0, 1}
     # pure per-doc map: zero exchanges in the executed plan
     assert "Exchange" not in executed_plan(df)
+
+
+def test_budget_allocation_is_exact_hamilton(spark, sf_dir):
+    # Largest-remainder apportionment properties: the allocations sum
+    # to exactly B, every host gets floor or floor+1 of its exact
+    # proportional share (the Hamilton "quota rule"), and the +1 units
+    # go precisely to the largest remainders (ties by host asc).
+    from crawspark.operators.relational import frontier_budget_allocation
+
+    rows = {r["host"]: r for r in
+            frontier_budget_allocation(spark, sf_dir).collect()}
+    B = 1000
+    total = sum(r["demand"] for r in rows.values())
+    assert sum(r["alloc"] for r in rows.values()) == B
+    rem = {}
+    for h, r in rows.items():
+        base = (B * r["demand"]) // total
+        assert r["alloc"] in (base, base + 1), h
+        rem[h] = (B * r["demand"]) % total
+    leftover = B - sum((B * r["demand"]) // total for r in rows.values())
+    winners = sorted(rows, key=lambda h: (-rem[h], h))[:leftover]
+    for h, r in rows.items():
+        base = (B * r["demand"]) // total
+        assert r["alloc"] == base + (1 if h in winners else 0), h
+
+
+def test_snapshot_diff_partitions_the_union(spark, sf_dir):
+    # The four statuses must partition old ∪ new exactly, with counts
+    # matching the deterministic derivation's closed forms.
+    import duckdb as _duck
+
+    from crawspark.operators.relational import crawl_snapshot_diff
+
+    got = {r["status"]: r["n_docs"] for r in
+           crawl_snapshot_diff(spark, sf_dir).collect()}
+    con = _duck.connect()
+    n, n17, n19, n13 = con.execute(
+        f"""SELECT count(*),
+                   sum(CASE WHEN doc_id % 17 = 0 THEN 1 ELSE 0 END),
+                   sum(CASE WHEN doc_id % 19 = 0 THEN 1 ELSE 0 END),
+                   sum(CASE WHEN doc_id % 13 = 0 AND doc_id % 17 <> 0
+                            THEN 1 ELSE 0 END)
+            FROM read_parquet('{sf_dir}/documents.parquet')"""
+    ).fetchone()
+    con.close()
+    assert got["removed"] == n17
+    assert got["added"] == n19
+    assert got["changed"] == n13
+    assert got["unchanged"] == n - n17 - n13
+    assert sum(got.values()) == n + n19  # old ∪ new
