@@ -1095,3 +1095,103 @@ def frontier_budget_allocation(spark, sf_dir):
                     (F.col("base")
                      + F.when(F.col("rk") <= F.col("leftover"), 1)
                      .otherwise(0)).alias("alloc")))
+
+
+@register("detect_crawl_traps", sql="""
+    -- Crawler-trap heuristics over synthesized frontier URLs (the same
+    -- deterministic grammar per doc in both engines): a repeated
+    -- adjacent path segment (mirror/loop traps), calendar paths
+    -- (/YYYY/MM/ archives), parameter explosions, and excessive depth.
+    -- Adjacent-repeat is checked with list ops, not a regex
+    -- backreference (RE2 in DuckDB has none — the predicate must mean
+    -- the same thing in both engines).
+    WITH urls AS (
+      SELECT doc_id,
+             '/' || CASE CAST(doc_id % 4 AS INT)
+               WHEN 0 THEN 'm/' || repeat('loop/', CAST(2 + doc_id % 3 AS INT))
+                           || 'page-' || doc_id
+               WHEN 1 THEN 'archive/' || CAST(2015 + doc_id % 9 AS INT)
+                           || '/' || lpad(CAST(1 + doc_id % 12 AS VARCHAR),
+                                          2, '0') || '/post-' || doc_id
+               WHEN 2 THEN 'item?id=' || doc_id || '&ref=' || doc_id % 7
+                           || '&s=' || doc_id % 5 || '&t=' || doc_id % 3
+               ELSE 'a/b/c/d/e/f/g/h/doc-' || doc_id
+             END AS pq
+      FROM documents
+    ), parts AS (
+      SELECT doc_id, pq,
+             string_split(CASE WHEN instr(pq, '?') > 0
+                               THEN substr(pq, 1, instr(pq, '?') - 1)
+                               ELSE pq END, '/') AS segs,
+             CASE WHEN instr(pq, '?') > 0
+                  THEN len(string_split(substr(pq, instr(pq, '?') + 1),
+                                        '&'))
+                  ELSE 0 END AS n_params
+      FROM urls
+    ), flags AS (
+      SELECT doc_id, pq, n_params,
+             len(segs) - 1 AS depth,
+             coalesce(list_max(list_transform(
+               generate_series(1, len(segs) - 1),
+               i -> CASE WHEN segs[i] = segs[i + 1] AND segs[i] <> ''
+                         THEN 1 ELSE 0 END)), 0) = 1 AS seg_repeat,
+             regexp_matches(pq, '/(19|20)[0-9]{2}/[0-9]{2}/')
+               AS calendar_path
+      FROM parts
+    )
+    SELECT CAST(seg_repeat AS BOOLEAN) AS seg_repeat,
+           CAST(calendar_path AS BOOLEAN) AS calendar_path,
+           CAST(n_params >= 3 AS BOOLEAN) AS param_explosion,
+           CAST(depth > 6 AS BOOLEAN) AS deep_path,
+           CAST(count(*) AS BIGINT) AS n_urls,
+           md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id))
+             AS ids_md5
+    FROM flags
+    GROUP BY 1, 2, 3, 4
+""")
+def detect_crawl_traps(spark, sf_dir):
+    # Frontier hygiene: the four classic trap signatures a crawler
+    # gates BEFORE fetch (looping mirrors, infinite calendar archives,
+    # session-parameter explosions, and bottomless path depth). Pure
+    # JVM expressions — split/zip_with/exists/regex — over the frontier
+    # URL column; per-class membership is driver-hashed.
+    docs = read_testdata(spark, sf_dir, "documents")
+    pq = F.concat(F.lit("/"), F.expr(
+        "CASE CAST(doc_id % 4 AS INT) "
+        "WHEN 0 THEN 'm/' || repeat('loop/', CAST(2 + doc_id % 3 AS INT)) "
+        "            || 'page-' || doc_id "
+        "WHEN 1 THEN 'archive/' || CAST(2015 + doc_id % 9 AS INT) || '/' "
+        "            || lpad(CAST(1 + doc_id % 12 AS STRING), 2, '0') "
+        "            || '/post-' || doc_id "
+        "WHEN 2 THEN 'item?id=' || doc_id || '&ref=' || doc_id % 7 "
+        "            || '&s=' || doc_id % 5 || '&t=' || doc_id % 3 "
+        "ELSE 'a/b/c/d/e/f/g/h/doc-' || doc_id END"))
+    urls = docs.select("doc_id", pq.alias("pq"))
+    path = F.when(F.instr("pq", "?") > 0,
+                  F.expr("substr(pq, 1, instr(pq, '?') - 1)")) \
+        .otherwise(F.col("pq"))
+    n_params = F.when(
+        F.instr("pq", "?") > 0,
+        F.size(F.split(F.expr("substr(pq, instr(pq, '?') + 1)"), "&"))) \
+        .otherwise(F.lit(0))
+    parts = urls.select("doc_id", "pq",
+                        F.split(path, "/").alias("segs"),
+                        n_params.alias("n_params"))
+    seg_repeat = F.exists(
+        F.zip_with(F.expr("slice(segs, 1, size(segs) - 1)"),
+                   F.expr("slice(segs, 2, size(segs) - 1)"),
+                   lambda a, b: (a == b) & (a != F.lit(""))),
+        lambda x: x)
+    flags = parts.select(
+        "doc_id",
+        seg_repeat.alias("seg_repeat"),
+        F.col("pq").rlike("/(19|20)[0-9]{2}/[0-9]{2}/")
+        .alias("calendar_path"),
+        (F.col("n_params") >= 3).alias("param_explosion"),
+        ((F.size("segs") - 1) > 6).alias("deep_path"))
+    return (flags.groupBy("seg_repeat", "calendar_path",
+                          "param_explosion", "deep_path")
+            .agg(F.count("*").alias("n_urls"),
+                 F.md5(F.concat_ws(",", F.transform(
+                     F.array_sort(F.collect_list("doc_id")),
+                     lambda x: x.cast("string")))).alias("ids_md5")))
