@@ -266,3 +266,50 @@ def curate_corpus_v3(spark, sf_dir):
                     & (F.col("kept_ratio") >= BOILER_KEEP_MIN))
             .select("doc_id", "lang", "n_tokens", "avg_neg_logp",
                     "bucket", "log_weight"))
+
+
+def _curate_v4_sql(sf_dir: str) -> str:
+    # v3 + the trained-classifier gate, composed from the REGISTERED
+    # oracles (the same no-drift rule as v3): per language, rank
+    # survivors by the logistic-regression trust score and drop the
+    # bottom tercile. ntile over the (rounded) score then doc_id is
+    # exactly deterministic in both engines.
+    from crawspark.registry import REGISTRY
+
+    v3 = REGISTRY["curate_corpus_v3"].render_sql(sf_dir)
+    clf = REGISTRY["quality_classifier_score"].render_sql(sf_dir)
+    return f"""
+    SELECT doc_id, lang, n_tokens, log_weight, clf_score
+    FROM (
+      SELECT v3.doc_id, v3.lang, v3.n_tokens, v3.log_weight,
+             c.score AS clf_score,
+             ntile(3) OVER (PARTITION BY v3.lang
+                            ORDER BY c.score DESC, v3.doc_id) AS ct
+      FROM ({v3}) v3
+      JOIN ({clf}) c USING (doc_id))
+    WHERE ct <= 2
+    """
+
+
+@register("curate_corpus_v4", sql=_curate_v4_sql)
+def curate_corpus_v4(spark, sf_dir):
+    # The trained model actually gating the corpus: v3's survivors
+    # (dedup chain + Gopher gates + CCNet perplexity + boilerplate +
+    # DSIR weights) ranked per language by the logistic-regression
+    # trust score; the least-trusted third is dropped — the GPT-3
+    # Appendix A shape with the classifier trained IN the pipeline.
+    # The ntile window partitions by lang (never global); the score
+    # join is doc_id-keyed.
+    from crawspark.operators.lmquality import quality_classifier_score
+    from pyspark.sql.window import Window
+
+    base = curate_corpus_v3(spark, sf_dir).select(
+        "doc_id", "lang", "n_tokens", "log_weight")
+    clf = quality_classifier_score(spark, sf_dir).select(
+        "doc_id", F.col("score").alias("clf_score"))
+    w = Window.partitionBy("lang").orderBy(F.desc("clf_score"), "doc_id")
+    return (base.join(clf, "doc_id")
+            .withColumn("ct", F.ntile(3).over(w))
+            .filter(F.col("ct") <= 2)
+            .select("doc_id", "lang", "n_tokens", "log_weight",
+                    "clf_score"))

@@ -441,3 +441,36 @@ def test_kn_perplexity_matches_formula_and_conserves_mass(spark, docs):
         disc = sum(max(c - _KN_D, 0) for (a, _), c in c12.items()
                    if a == w1)
         assert disc + _KN_D * n1f[w1] == pytest.approx(c1[w1])
+
+
+def test_curate_v4_classifier_gate_composes(spark):
+    # v4 strictly removes from v3 (per-lang bottom tercile by trust
+    # score), keeps roughly two thirds per language, and every dropped
+    # survivor scores at or below every kept one within its language.
+    from crawspark.operators.curate import curate_corpus_v3, curate_corpus_v4
+    from crawspark.operators.lmquality import quality_classifier_score
+
+    v3 = {r["doc_id"] for r in curate_corpus_v3(spark, SF).collect()}
+    v4_rows = curate_corpus_v4(spark, SF).collect()
+    v4 = {r["doc_id"] for r in v4_rows}
+    assert v4 < v3  # strict subset: the gate fires
+    score = {r["doc_id"]: r["score"] for r in
+             quality_classifier_score(spark, SF).collect()}
+    # within each language, max dropped score <= min kept score (ties
+    # broken by doc_id can equalize at the boundary)
+    import collections
+    kept = collections.defaultdict(list)
+    for r in v4_rows:
+        kept[r["lang"]].append(score[r["doc_id"]])
+    dropped = collections.defaultdict(list)
+    # recover language for dropped docs from v3's output
+    for r in curate_corpus_v3(spark, SF).collect():
+        if r["doc_id"] not in v4:
+            dropped[r["lang"]].append(score[r["doc_id"]])
+    for lang, ds in dropped.items():
+        # ntile orders by (score desc, doc_id): a dropped doc can tie a
+        # kept doc at the cut but never strictly exceed the kept minimum
+        assert max(ds) <= min(kept[lang]), lang
+        # tercile arithmetic: ntile(3) makes tile 3 exactly n // 3 rows
+        n = len(ds) + len(kept[lang])
+        assert len(ds) == n // 3, lang
