@@ -95,3 +95,15 @@ def test_maintain_job_mainline(spark, tmp_path):
     assert out["expired_versions"]
     assert be.snapshots("t") == [be.current_version("t")]
     assert be.read(spark, "t").count() == 12  # 15 - 3 deleted
+
+
+def test_curate_job_v4_classifier_gate(tmp_path):
+    out = _run([f"{REPO}/jobs/curate.py",
+                "--sf-dir", "/root/testdata/sf0.001",
+                "--out", str(tmp_path / "curated_v4"),
+                "--master", "local[4]", "--v4"])
+    stats = json.loads(out)
+    assert stats["docs_in"] == 500
+    assert 0 < stats["docs_out"] < 500
+    assert 0 < stats["mean_clf_score"] < 1
+    assert stats["total_tokens"] > 0
