@@ -1081,10 +1081,12 @@ def frontier_budget_allocation(spark, sf_dir):
               .groupBy(F.col("source").alias("host"))
               .agg(F.count("*").alias("demand")))
     tot = demand.agg(F.sum("demand").alias("t"))
+    # `div` is Spark's INTEGER division — double-divide-then-cast would
+    # round within half an ulp of an integer at ~1e13+ totals and break
+    # parity with the oracle's exact `//`
     base = (demand.crossJoin(F.broadcast(tot))
             .select("host", "demand",
-                    ((F.lit(B) * F.col("demand")) / F.col("t"))
-                    .cast("long").alias("base"),
+                    F.expr(f"({B} * demand) div t").alias("base"),
                     ((F.lit(B) * F.col("demand")) % F.col("t"))
                     .alias("rem")))
     leftover = base.agg((F.lit(B) - F.sum("base")).alias("leftover"))

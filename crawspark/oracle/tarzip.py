@@ -225,7 +225,7 @@ def parse_zip(payload: bytes) -> list[tuple[str, bytes]]:
         if name.endswith("/"):
             continue  # directory entry
         lfh = payload[lfh_off:lfh_off + 30]
-        if lfh[:4] != _LFH_SIG:
+        if len(lfh) < 30 or lfh[:4] != _LFH_SIG:
             return out if out else []
         lf_nlen, lf_xlen = struct.unpack("<HH", lfh[26:30])
         start = lfh_off + 30 + lf_nlen + lf_xlen
@@ -255,19 +255,11 @@ def make_zip(doc_id: int, comment: bytes = b"") -> bytes:
     import struct
 
     d = int(doc_id)
-    members: list[tuple[str, bytes, int]] = []  # (name, body, method)
-    for m in range(2 + d % 3):
-        body = "\n".join(
-            f"doc {d} member {m} line {k}"
-            for k in range((d + m) % 3 + 1)).encode()
-        if m == 0:
-            name = f"shard{d}/stored-member0.txt"
-            members.append((name, body, 0))
-        elif m == 1:
-            name = f"deep/nested/path/deflate-{d}.txt"
-            members.append((name, body, 8))
-        else:
-            members.append((f"member-{d}-{m}.txt", body, 8))
+    # one source of truth for the member grammar: the closed-form helper
+    # (member 0 is stored, the rest deflated)
+    members: list[tuple[str, bytes, int]] = [
+        (name, text.encode(), 0 if m == 0 else 8)
+        for m, (name, text) in enumerate(zip_members_expected(d))]
 
     blob = bytearray()
     cd = bytearray()
