@@ -97,6 +97,15 @@ AUDIT = [
     ("scan_zip_archive",
      "pruned doc_id scan -> ONE mapInPandas central-directory walk, "
      "zero exchanges"),
+    ("curate_corpus_v4",
+     "v3 chain + classifier gate: trust-score join doc_id-keyed, "
+     "tercile window partitions by lang (never global)"),
+    ("crawl_snapshot_diff",
+     "full outer join on doc_id shuffles 32-byte hashes only, never "
+     "text; one status agg"),
+    ("collocations_pmi_topk",
+     "map-side-combined unigram/bigram counts; unigram table BROADCAST "
+     "to the floor-5 bigram survivors"),
 ]
 
 
