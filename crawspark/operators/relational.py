@@ -1197,3 +1197,63 @@ def detect_crawl_traps(spark, sf_dir):
                  F.md5(F.concat_ws(",", F.transform(
                      F.array_sort(F.collect_list("doc_id")),
                      lambda x: x.cast("string")))).alias("ids_md5")))
+
+
+@register("robots_sitemap_discovery", sql="""
+    -- closed form of the synthesized per-host robots Sitemap lines:
+    -- even-length hosts publish one sitemap; odd-length hosts publish
+    -- two (the second with an uppercase scheme, kept verbatim) plus a
+    -- relative value the parser must ignore.
+    WITH hosts AS (
+      SELECT DISTINCT source || '.example.com' AS host FROM documents
+    )
+    SELECT host, CAST(ord AS INT) AS ord, sitemap_url FROM (
+      SELECT host, 0 AS ord,
+             'https://' || host || '/sitemap.xml' AS sitemap_url
+      FROM hosts WHERE length(host) % 2 = 0
+      UNION ALL
+      SELECT host, 0, 'https://' || host || '/sitemap-a.xml'
+      FROM hosts WHERE length(host) % 2 = 1
+      UNION ALL
+      SELECT host, 1, 'HTTPS://' || host || '/sitemap-b.xml'
+      FROM hosts WHERE length(host) % 2 = 1)
+""")
+def robots_sitemap_discovery(spark, sf_dir):
+    """Sitemap cross-submission discovery [sitemaps.org; the robots.txt
+    companion to the RFC 9309 gate]: per host, the Sitemap: directives
+    are collected GLOBALLY (the synthesized texts hide them before
+    groups, inside a group, duplicated, and as a relative value that
+    must be ignored) — the PARSER's placement/validity semantics are
+    the thing under test, per-host rows hashed."""
+    from collections.abc import Iterator as _Iter
+
+    import pandas as pd
+
+    def robots_text_for(host: str) -> str:
+        if len(host) % 2 == 0:
+            # before any group + an exact duplicate inside the group
+            return (f"Sitemap: https://{host}/sitemap.xml\n"
+                    "User-agent: *\nDisallow: /private\n"
+                    f"sitemap: https://{host}/sitemap.xml\n")
+        return ("User-agent: *\nDisallow: /tmp\n"
+                f"Sitemap: https://{host}/sitemap-a.xml\n\n"
+                f"SITEMAP: HTTPS://{host}/sitemap-b.xml\n"
+                "Sitemap: /relative-ignored.xml\n")
+
+    def discover(batches: _Iter[pd.DataFrame]) -> _Iter[pd.DataFrame]:
+        from crawspark.oracle.robots import extract_sitemaps
+        for pdf in batches:
+            out = {"host": [], "ord": [], "sitemap_url": []}
+            for host in pdf["host"]:
+                for i, sm in enumerate(
+                        extract_sitemaps(robots_text_for(str(host)))):
+                    out["host"].append(host)
+                    out["ord"].append(i)
+                    out["sitemap_url"].append(sm)
+            yield pd.DataFrame(out)
+
+    hosts = (read_testdata(spark, sf_dir, "documents")
+             .select(F.concat("source", F.lit(".example.com"))
+                     .alias("host")).distinct())
+    return hosts.mapInPandas(
+        discover, "host string, ord int, sitemap_url string")

@@ -112,3 +112,28 @@ def robots_allowed(rules: list[tuple[bool, str]], path: str) -> bool:
             best_allow = allow
             best_len = length
     return best_allow
+
+
+def extract_sitemaps(text: str) -> list[str]:
+    """``Sitemap:`` directives (sitemaps.org cross-submission via
+    robots.txt). Per the protocol the record is GLOBAL — independent of
+    any User-agent group, so every line is collected wherever it
+    appears. Values must be absolute http(s) URLs (the spec requires a
+    full URL; relative values are ignored); order kept, first
+    occurrence wins on duplicates. Never raises on garbage."""
+    out: list[str] = []
+    seen = set()
+    for raw in text.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if ":" not in line:
+            continue
+        field, _, value = line.partition(":")
+        if field.strip().lower() != "sitemap":
+            continue
+        value = value.strip()
+        if not re.match(r"(?i)^https?://", value):
+            continue
+        if value not in seen:
+            seen.add(value)
+            out.append(value)
+    return out

@@ -1005,3 +1005,20 @@ def test_zip_archive_walk():
     assert parse_zip(b"definitely not a zip") == []
     assert parse_zip(make_zip(7)[:-25]) == []
     assert zlib.crc32(b"") == 0  # the empty-member convention make_zip uses
+
+
+def test_robots_sitemap_extraction_semantics():
+    from crawspark.oracle.robots import extract_sitemaps
+
+    txt = ("Sitemap: https://a.com/s1.xml\n"       # before any group
+           "User-agent: *\nDisallow: /x\n"
+           "sitemap: https://a.com/s2.xml\n"       # inside a group, lc field
+           "SITEMAP: HTTP://a.com/s3.xml # c\n"    # uc field+scheme, comment
+           "Sitemap: /relative.xml\n"              # relative -> ignored
+           "Sitemap: ftp://a.com/s.xml\n"          # non-http(s) -> ignored
+           "Sitemap: https://a.com/s1.xml\n")      # duplicate -> first wins
+    assert extract_sitemaps(txt) == [
+        "https://a.com/s1.xml", "https://a.com/s2.xml",
+        "HTTP://a.com/s3.xml"]
+    assert extract_sitemaps("") == []
+    assert extract_sitemaps("garbage\nno colons here") == []
