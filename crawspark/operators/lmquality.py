@@ -600,7 +600,13 @@ def _clf_cte() -> str:
 
 def _clf_feats(spark, sf_dir):
     """(feats, lab, ntok) DataFrames — the Spark twin of _clf_cte's base."""
-    docs = read_testdata(spark, sf_dir, "documents")
+    return _clf_features_of(read_testdata(spark, sf_dir, "documents"))
+
+
+def _clf_features_of(docs):
+    """Features/labels/token counts from ANY docs DataFrame with
+    (doc_id, source, text) — per-doc pure, so the same expressions run
+    unchanged inside a streaming microbatch."""
     bucket = F.pmod(F.conv(F.substring(F.md5("t"), 1, 8), 16, 10)
                     .cast("long"), F.lit(_CLF_B)).alias("bucket")
     words = (docs.select("doc_id", "source",
@@ -675,7 +681,16 @@ def quality_classifier_score(spark, sf_dir):
     # exactly the GPT-3 Appendix A recipe). One broadcast join + one
     # groupBy(doc_id): the scoring pass is a single wide exchange at any
     # corpus size.
-    feats, lab, ntok, w = _clf_train(spark, sf_dir)
+    _, _, _, w = _clf_train(spark, sf_dir)
+    docs = read_testdata(spark, sf_dir, "documents")
+    return clf_score_docs(docs, w)
+
+
+def clf_score_docs(docs, w):
+    """Score ANY docs DataFrame with a trained weight table — shared by
+    the batch query above and the streaming microbatch path (scoring is
+    per-doc pure given the broadcast model)."""
+    feats, lab, ntok = _clf_features_of(docs)
     z = (feats.join(F.broadcast(w), "bucket")
          .groupBy("doc_id").agg(F.sum(F.col("x") * F.col("w")).alias("z")))
     return (z.join(lab, "doc_id").join(ntok, "doc_id")

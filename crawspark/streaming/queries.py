@@ -250,3 +250,47 @@ def stream_extract_snapshot(spark, sf_dir):
             .groupBy("lang")
             .agg(F.count("*").alias("n_docs"),
                  F.sum("n_spans").cast("long").alias("total_spans")))
+
+
+def _clf_score_sql() -> str:
+    from crawspark.registry import REGISTRY
+    return REGISTRY["quality_classifier_score"].sql
+
+
+@register("stream_score_quality", sql=_clf_score_sql())
+def stream_score_quality(spark, sf_dir):
+    """Model inference in the stream: the classifier is trained ONCE in
+    batch over the corpus (the production shape — models train offline,
+    increments score online), then the document frontier drains through
+    an AvailableNow file stream whose microbatches score against the
+    broadcast weight table (scoring is per-doc pure, so stateless
+    foreachBatch works unchanged). The oracle is the batch score query —
+    streamed scores must equal batch scores row for row."""
+    from crawspark.bundle import ensure_shipped
+    from crawspark.operators.lmquality import _clf_train, clf_score_docs
+    from crawspark.scratch import scratch_dir
+    from crawspark.sources import read_testdata
+
+    ensure_shipped(spark)
+    base = scratch_dir("sscore", sf_dir, clean=("out", "ck"))
+    inp, out, ck = (os.path.join(base, d) for d in ("in", "out", "ck"))
+    docs = read_testdata(spark, sf_dir, "documents")
+    (docs.select("doc_id", "source", "text")
+     .coalesce(4).write.mode("overwrite").parquet(inp))
+    _, _, _, w = _clf_train(spark, sf_dir)  # offline training pass
+
+    stream = spark.readStream.schema(
+        "doc_id long, source string, text string").parquet(inp)
+
+    def process(batch_df, batch_id: int) -> None:
+        clf_score_docs(batch_df, w).write.mode("append").parquet(out)
+
+    query = (stream.writeStream
+             .foreachBatch(process)
+             .option("checkpointLocation", ck)
+             .option("maxFilesPerTrigger", 1)
+             .trigger(availableNow=True)
+             .start())
+    if not query.awaitTermination(600):
+        raise RuntimeError("score stream did not complete within timeout")
+    return spark.read.parquet(out)
