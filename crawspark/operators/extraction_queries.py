@@ -440,3 +440,27 @@ def jsonld_extract_meta(spark, sf_dir):
         synth_extract, "doc_id long, headline string, "
                        "date_published string, author_name string, "
                        "word_count int")
+
+
+@register("lang_confusion_matrix", sql=_sf_sql(f"""
+    SELECT d.lang AS declared, e.lang AS detected,
+           count(*) AS n_docs
+    FROM {ORACLE_PQ} e
+    JOIN documents d ON e.doc_id = CAST(d.doc_id AS VARCHAR)
+    GROUP BY declared, detected
+"""))
+def lang_confusion_matrix(spark, sf_dir):
+    # Language-ID QA: the corpus's DECLARED language (table metadata)
+    # cross-tabulated against the language the extraction DETECTED
+    # (meta tag honored when a table ships for it, else stopword vote)
+    # — the drift report a multilingual pipeline watches to catch
+    # mislabeled sources. One broadcast-able join on doc_id + a tiny
+    # group-by; per-cell counts driver-hashed.
+    declared = (read_testdata(spark, sf_dir, "documents")
+                .select(F.col("doc_id").cast("string").alias("doc_id"),
+                        F.col("lang").alias("declared")))
+    detected = _extracted(spark, sf_dir).select(
+        "doc_id", F.col("lang").alias("detected"))
+    return (detected.join(declared, "doc_id")
+            .groupBy("declared", "detected")
+            .agg(F.count("*").alias("n_docs")))

@@ -39,3 +39,44 @@ def test_available_now_incremental(spark, tmp_path):
     exp = extract_document(d["doc_id"], d["spans"])
     assert [(s["kind"], s["text"]) for s in by_id[d["doc_id"]]["spans"]] == \
         [(s["kind"], s["text"]) for s in exp["spans"]]
+
+
+def test_stream_score_exactly_once_redrain(spark, tmp_path):
+    # The streaming classifier-scoring path: drain equals the batch
+    # scorer row for row, and a manual re-drain with the checkpoint
+    # KEPT appends nothing (exactly-once bookkeeping).
+    import os
+
+    from pyspark.sql import functions as F
+
+    from crawspark.operators.lmquality import _clf_train, clf_score_docs
+    from crawspark.sources import read_testdata
+
+    sf = "/root/testdata/sf0.001"
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    docs = read_testdata(spark, sf, "documents")
+    (docs.select("doc_id", "source", "text")
+     .coalesce(4).write.parquet(inp))
+    _, _, _, w = _clf_train(spark, sf)
+
+    def drain() -> None:
+        stream = spark.readStream.schema(
+            "doc_id long, source string, text string").parquet(inp)
+        q = (stream.writeStream
+             .foreachBatch(lambda b, _i:
+                           clf_score_docs(b, w).write.mode("append")
+                           .parquet(out))
+             .option("checkpointLocation", ck)
+             .trigger(availableNow=True).start())
+        assert q.awaitTermination(600)
+
+    drain()
+    got = {r["doc_id"]: r["score"]
+           for r in spark.read.parquet(out).collect()}
+    batch = {r["doc_id"]: r["score"]
+             for r in clf_score_docs(docs, w).collect()}
+    assert got == batch and len(got) == 500
+    drain()  # checkpoint kept: no new files, nothing appended
+    assert spark.read.parquet(out).count() == 500
