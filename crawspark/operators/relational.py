@@ -1257,3 +1257,70 @@ def robots_sitemap_discovery(spark, sf_dir):
                      .alias("host")).distinct())
     return hosts.mapInPandas(
         discover, "host string, ord int, sitemap_url string")
+
+
+@register("join_asof_versions", sql="""
+    -- AS-OF JOIN — the brief's canonical "operator Spark lacks":
+    -- each event matches its user's most recent profile version at or
+    -- before the event time. DuckDB's native ASOF LEFT JOIN is the
+    -- oracle; version timestamps derive deterministically from orders
+    -- (o_orderkey % 720 hours into the event month) and ties per
+    -- (user, ver_ts) are pre-deduped to max(o_orderkey) so the match
+    -- is well-defined in both engines.
+    WITH v0 AS (
+      SELECT o_custkey AS user_id,
+             TIMESTAMP '2024-01-01 00:00:00'
+               + INTERVAL (o_orderkey % 720) HOUR AS ver_ts,
+             o_orderkey
+      FROM orders
+    ), v AS (
+      SELECT user_id, ver_ts, max(o_orderkey) AS version_key
+      FROM v0 GROUP BY user_id, ver_ts
+    )
+    SELECT e.event_id, e.user_id, e.ts, v.version_key, v.ver_ts
+    FROM events e
+    ASOF LEFT JOIN v ON e.user_id = v.user_id AND e.ts >= v.ver_ts
+""")
+def join_asof_versions(spark, sf_dir):
+    # Spark has no native as-of join; the scalable rebuild is the
+    # union-and-carry-forward trick: tag version rows and event rows,
+    # sort each user's timeline once (versions before events at equal
+    # timestamps — the <= semantics), and carry the last non-null
+    # version forward with last(ignorenulls) over an unbounded-
+    # preceding window. ONE shuffle (the per-user window) — the naive
+    # inequality join is a per-user cross product that explodes at
+    # scale; events before a user's first version keep NULLs (left
+    # semantics).
+    events = read_testdata(spark, sf_dir, "events")
+    orders = read_testdata(spark, sf_dir, "orders")
+    v = orders.select(
+        F.col("o_custkey").alias("user_id"),
+        F.expr("TIMESTAMP '2024-01-01 00:00:00' + make_interval("
+               "0, 0, 0, 0, CAST(o_orderkey % 720 AS INT), 0, 0)")
+        .alias("ver_ts"),
+        F.col("o_orderkey").alias("version_key"))
+    ev_rows = events.select(
+        "user_id", F.col("ts").alias("t"), "event_id",
+        F.lit(None).cast("long").alias("vk"),
+        F.lit(None).cast("timestamp").alias("vt"),
+        F.lit(1).alias("is_event"))
+    v_rows = v.select(
+        "user_id", F.col("ver_ts").alias("t"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.col("version_key").alias("vk"),
+        F.col("ver_ts").alias("vt"),
+        F.lit(0).alias("is_event"))
+    # tie-break INSIDE the window ordering (vk asc → last() sees the max
+    # orderkey among same-timestamp versions, matching the oracle's
+    # dedup) — a pre-aggregation would cost a second shuffle
+    w = (Window.partitionBy("user_id")
+         .orderBy("t", "is_event", F.asc_nulls_first("vk"))
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    timeline = (ev_rows.unionByName(v_rows)
+                .withColumn("version_key",
+                            F.last("vk", ignorenulls=True).over(w))
+                .withColumn("ver_ts",
+                            F.last("vt", ignorenulls=True).over(w)))
+    return (timeline.filter(F.col("is_event") == 1)
+            .select("event_id", "user_id", F.col("t").alias("ts"),
+                    "version_key", "ver_ts"))

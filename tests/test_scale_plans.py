@@ -306,3 +306,21 @@ def test_lmquality_plans_broadcast_models_and_shard_windows(spark):
     # the model. (Corpus-side doc_id equi-joins may legitimately SMJ.)
     plan = executed_plan(quality_classifier_score(spark, sf))
     assert "BroadcastHashJoin" in plan
+
+
+def test_asof_join_is_single_exchange(spark):
+    # The union-and-carry-forward as-of join must cost ONE wide
+    # exchange (the per-user window hash) — the naive inequality join
+    # would be a per-user cross product. Also: no Join operator at all
+    # appears in the plan (the match is computed by the window).
+    from crawspark.operators.relational import join_asof_versions
+
+    plan = executed_plan(join_asof_versions(spark, "/root/testdata/sf0.001"))
+    assert plan.count("Exchange") == 1, plan
+    assert "Join" not in plan, plan
+    rows = join_asof_versions(spark, "/root/testdata/sf0.001").collect()
+    # left semantics: some events precede their user's first version
+    assert any(r["version_key"] is None for r in rows)
+    matched = [r for r in rows if r["version_key"] is not None]
+    assert matched
+    assert all(r["ver_ts"] <= r["ts"] for r in matched)
