@@ -1324,3 +1324,58 @@ def join_asof_versions(spark, sf_dir):
     return (timeline.filter(F.col("is_event") == 1)
             .select("event_id", "user_id", F.col("t").alias("ts"),
                     "version_key", "ver_ts"))
+
+
+@register("join_range_windows", sql="""
+    -- RANGE (interval-overlap) JOIN: events matched to every 12-hour
+    -- promo window of their user that contains them. The oracle is the
+    -- plain inequality join; the Spark side must produce identical
+    -- pairs through the bucketed scale path.
+    WITH win AS (
+      SELECT o_custkey AS user_id, o_orderkey AS window_key,
+             TIMESTAMP '2024-01-01 00:00:00'
+               + INTERVAL (o_orderkey % 720) HOUR AS w_start,
+             TIMESTAMP '2024-01-01 00:00:00'
+               + INTERVAL ((o_orderkey % 720) + 12) HOUR AS w_end
+      FROM orders
+    )
+    SELECT e.event_id, w.window_key, e.user_id
+    FROM events e JOIN win w
+      ON e.user_id = w.user_id
+     AND e.ts >= w.w_start AND e.ts < w.w_end
+""")
+def join_range_windows(spark, sf_dir):
+    # OSS Spark plans a time-inequality join as BroadcastNestedLoop (a
+    # per-user cross product at scale). The scale path: bin time into
+    # bucket-width slots equal to the max interval length, explode each
+    # interval to the (at most two) bins it touches, EQUI-join on
+    # (user_id, bin), then apply the exact containment filter and
+    # de-duplicate pairs seen from both bins. One hash shuffle; the
+    # plan test pins that no nested-loop join appears.
+    BIN = 12 * 3600  # seconds — bin width == interval length
+    events = read_testdata(spark, sf_dir, "events")
+    win = read_testdata(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderkey").alias("window_key"),
+        F.expr("TIMESTAMP '2024-01-01 00:00:00' + make_interval("
+               "0, 0, 0, 0, CAST(o_orderkey % 720 AS INT), 0, 0)")
+        .alias("w_start"),
+        F.expr("TIMESTAMP '2024-01-01 00:00:00' + make_interval("
+               "0, 0, 0, 0, CAST(o_orderkey % 720 AS INT) + 12, 0, 0)")
+        .alias("w_end"))
+    e_binned = events.select(
+        "event_id", "user_id", "ts",
+        (F.unix_timestamp("ts") / BIN).cast("long").alias("bin"))
+    w_binned = (win.select(
+        "user_id", "window_key", "w_start", "w_end",
+        F.explode(F.sequence(
+            (F.unix_timestamp("w_start") / BIN).cast("long"),
+            # end is EXCLUSIVE: a window ending exactly on a bin edge
+            # does not reach into that bin
+            ((F.unix_timestamp("w_end") - 1) / BIN).cast("long")))
+        .alias("bin")))
+    return (e_binned.join(w_binned, ["user_id", "bin"])
+            .filter((F.col("ts") >= F.col("w_start"))
+                    & (F.col("ts") < F.col("w_end")))
+            .select("event_id", "window_key", "user_id")
+            .distinct())

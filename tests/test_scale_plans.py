@@ -324,3 +324,43 @@ def test_asof_join_is_single_exchange(spark):
     matched = [r for r in rows if r["version_key"] is not None]
     assert matched
     assert all(r["ver_ts"] <= r["ts"] for r in matched)
+
+
+def test_range_join_avoids_nested_loop(spark):
+    # The bucketed range join must plan as an EQUI hash/sort-merge join
+    # on (user_id, bin) — never BroadcastNestedLoop or a cartesian (the
+    # naive time-inequality plan). Matches must land, including windows
+    # that straddle a bin boundary (the two-bin explode path), and the
+    # exact filter must hold on every pair.
+    from crawspark.operators.relational import join_range_windows
+
+    df = join_range_windows(spark, "/root/testdata/sf0.001")
+    plan = executed_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:1500]
+    assert "CartesianProduct" not in plan
+    assert ("SortMergeJoin" in plan or "BroadcastHashJoin" in plan
+            or "ShuffledHashJoin" in plan)
+    rows = df.collect()
+    assert rows
+    # windows start on odd hours relative to the 12h grid for most
+    # orderkeys, so straddling windows exist and matched through the
+    # second bin: verify at least one matched event sits in a later
+    # bin than its window's start bin
+    import duckdb as _d
+    con = _d.connect()
+    straddle = con.execute("""
+      WITH win AS (
+        SELECT o_custkey AS user_id, o_orderkey AS window_key,
+               TIMESTAMP '2024-01-01 00:00:00'
+                 + INTERVAL (o_orderkey % 720) HOUR AS w_start
+        FROM read_parquet('/root/testdata/sf0.001/orders.parquet'))
+      SELECT count(*) FROM win w
+      JOIN read_parquet('/root/testdata/sf0.001/events.parquet') e
+        ON e.user_id = w.user_id
+       AND e.ts >= w.w_start
+       AND e.ts < w.w_start + INTERVAL 12 HOUR
+      WHERE CAST(epoch(e.ts) AS BIGINT) // 43200
+            > CAST(epoch(w.w_start) AS BIGINT) // 43200
+    """).fetchone()[0]
+    con.close()
+    assert straddle > 0  # the second-bin path is actually on the data
