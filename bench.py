@@ -91,10 +91,12 @@ def main() -> None:
         "dsir_importance_weights": "documents",
         "bpe_train_merges": "documents",
         "curate_corpus_v3": "documents",
-        # r5 session-6 additions: Kneser-Ney scoring and the trained
-        # logistic-regression gate (3 GD steps + a scoring pass)
+        # r5 session-6 additions: Kneser-Ney scoring, the trained
+        # logistic-regression gate (3 GD steps + a scoring pass), and
+        # the union-window as-of join (the custom join the brief names)
         "quality_kn_perplexity": "documents",
         "quality_classifier_score": "documents",
+        "join_asof_versions": "events",
     }
     NAMES = tuple(DRIVING)
     table_rows = {t: read_testdata(spark, SF_DIR, t).count()
