@@ -681,16 +681,21 @@ def quality_classifier_score(spark, sf_dir):
     # exactly the GPT-3 Appendix A recipe). One broadcast join + one
     # groupBy(doc_id): the scoring pass is a single wide exchange at any
     # corpus size.
-    _, _, _, w = _clf_train(spark, sf_dir)
-    docs = read_testdata(spark, sf_dir, "documents")
-    return clf_score_docs(docs, w)
+    # batch path reuses the TRAINING pass's materialized feature/label
+    # tables — re-deriving them from raw text would add four full-corpus
+    # scans/shuffles to the scoring plan (r5 session-6 review finding)
+    feats, lab, ntok, w = _clf_train(spark, sf_dir)
+    return _clf_score_from(feats, lab, ntok, w)
 
 
 def clf_score_docs(docs, w):
-    """Score ANY docs DataFrame with a trained weight table — shared by
-    the batch query above and the streaming microbatch path (scoring is
-    per-doc pure given the broadcast model)."""
-    feats, lab, ntok = _clf_features_of(docs)
+    """Score ANY docs DataFrame with a trained weight table — the
+    streaming microbatch path (scoring is per-doc pure given the
+    broadcast model; features derive from the batch's own rows)."""
+    return _clf_score_from(*_clf_features_of(docs), w)
+
+
+def _clf_score_from(feats, lab, ntok, w):
     z = (feats.join(F.broadcast(w), "bucket")
          .groupBy("doc_id").agg(F.sum(F.col("x") * F.col("w")).alias("z")))
     return (z.join(lab, "doc_id").join(ntok, "doc_id")

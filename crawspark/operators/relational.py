@@ -1349,9 +1349,9 @@ def join_range_windows(spark, sf_dir):
     # per-user cross product at scale). The scale path: bin time into
     # bucket-width slots equal to the max interval length, explode each
     # interval to the (at most two) bins it touches, EQUI-join on
-    # (user_id, bin), then apply the exact containment filter and
-    # de-duplicate pairs seen from both bins. One hash shuffle; the
-    # plan test pins that no nested-loop join appears.
+    # (user_id, bin), then apply the exact containment filter (events
+    # occupy one bin each, so no pair can match twice). One hash
+    # shuffle; the plan test pins that no nested-loop join appears.
     BIN = 12 * 3600  # seconds — bin width == interval length
     events = read_testdata(spark, sf_dir, "events")
     win = read_testdata(spark, sf_dir, "orders").select(
@@ -1374,8 +1374,11 @@ def join_range_windows(spark, sf_dir):
             # does not reach into that bin
             ((F.unix_timestamp("w_end") - 1) / BIN).cast("long")))
         .alias("bin")))
+    # no dedup needed: an EVENT sits in exactly one bin, so each
+    # (event, window) pair matches at most once — a distinct here would
+    # add a second full-output shuffle for nothing (and would silently
+    # collapse genuinely duplicated input rows the oracle keeps)
     return (e_binned.join(w_binned, ["user_id", "bin"])
             .filter((F.col("ts") >= F.col("w_start"))
                     & (F.col("ts") < F.col("w_end")))
-            .select("event_id", "window_key", "user_id")
-            .distinct())
+            .select("event_id", "window_key", "user_id"))

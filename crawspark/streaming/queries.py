@@ -203,7 +203,12 @@ def stream_route_formats(spark, sf_dir):
     (read_testdata(spark, sf_dir, "documents")
      .filter(F.col("doc_id") % 10 == 1).select("doc_id")
      .coalesce(4).write.mode("overwrite").parquet(inp))
-    stream = spark.readStream.schema("doc_id long").parquet(inp)
+    # maxFilesPerTrigger is a file-SOURCE option (snapshot_sink.py has
+    # the canonical placement); on the writer Spark silently ignores it
+    # and the drain would collapse to one microbatch (r5 session-6
+    # review finding)
+    stream = (spark.readStream.schema("doc_id long")
+              .option("maxFilesPerTrigger", 1).parquet(inp))
 
     def process(batch_df, batch_id: int) -> None:
         route_formats(batch_df).write.mode("append").parquet(out)
@@ -211,7 +216,6 @@ def stream_route_formats(spark, sf_dir):
     query = (stream.writeStream
              .foreachBatch(process)
              .option("checkpointLocation", ck)
-             .option("maxFilesPerTrigger", 1)
              .trigger(availableNow=True)
              .start())
     if not query.awaitTermination(600):
@@ -252,12 +256,15 @@ def stream_extract_snapshot(spark, sf_dir):
                  F.sum("n_spans").cast("long").alias("total_spans")))
 
 
-def _clf_score_sql() -> str:
+def _clf_score_sql(sf_dir: str) -> str:
+    # LAZY (callable) oracle: resolving the registry at module-import
+    # time would make this module crash unless operators.lmquality was
+    # imported first (r5 session-6 review finding — import-order trap).
     from crawspark.registry import REGISTRY
-    return REGISTRY["quality_classifier_score"].sql
+    return REGISTRY["quality_classifier_score"].render_sql(sf_dir)
 
 
-@register("stream_score_quality", sql=_clf_score_sql())
+@register("stream_score_quality", sql=_clf_score_sql)
 def stream_score_quality(spark, sf_dir):
     """Model inference in the stream: the classifier is trained ONCE in
     batch over the corpus (the production shape — models train offline,
@@ -279,8 +286,9 @@ def stream_score_quality(spark, sf_dir):
      .coalesce(4).write.mode("overwrite").parquet(inp))
     _, _, _, w = _clf_train(spark, sf_dir)  # offline training pass
 
-    stream = spark.readStream.schema(
-        "doc_id long, source string, text string").parquet(inp)
+    stream = (spark.readStream.schema(
+        "doc_id long, source string, text string")
+        .option("maxFilesPerTrigger", 1).parquet(inp))  # source option
 
     def process(batch_df, batch_id: int) -> None:
         clf_score_docs(batch_df, w).write.mode("append").parquet(out)
@@ -288,7 +296,6 @@ def stream_score_quality(spark, sf_dir):
     query = (stream.writeStream
              .foreachBatch(process)
              .option("checkpointLocation", ck)
-             .option("maxFilesPerTrigger", 1)
              .trigger(availableNow=True)
              .start())
     if not query.awaitTermination(600):

@@ -45,7 +45,7 @@ def test_stream_score_exactly_once_redrain(spark, tmp_path):
     # The streaming classifier-scoring path: drain equals the batch
     # scorer row for row, and a manual re-drain with the checkpoint
     # KEPT appends nothing (exactly-once bookkeeping).
-    import os
+    import pytest
 
     from pyspark.sql import functions as F
 
@@ -77,6 +77,11 @@ def test_stream_score_exactly_once_redrain(spark, tmp_path):
            for r in spark.read.parquet(out).collect()}
     batch = {r["doc_id"]: r["score"]
              for r in clf_score_docs(docs, w).collect()}
-    assert got == batch and len(got) == 500
+    # tolerance, not float equality: the two runs sum x*w under
+    # different physical partitionings, so z can differ in the last ulp
+    # and flip a round-to-4dp boundary (review finding)
+    assert len(got) == 500 and got.keys() == batch.keys()
+    for d in got:
+        assert got[d] == pytest.approx(batch[d], abs=1e-4), d
     drain()  # checkpoint kept: no new files, nothing appended
     assert spark.read.parquet(out).count() == 500
