@@ -202,7 +202,7 @@ def stream_route_formats(spark, sf_dir):
     inp, out, ck = (os.path.join(base, d) for d in ("in", "out", "ck"))
     (read_testdata(spark, sf_dir, "documents")
      .filter(F.col("doc_id") % 10 == 1).select("doc_id")
-     .coalesce(4).write.mode("overwrite").parquet(inp))
+     .repartition(4).write.mode("overwrite").parquet(inp))
     # maxFilesPerTrigger is a file-SOURCE option (snapshot_sink.py has
     # the canonical placement); on the writer Spark silently ignores it
     # and the drain would collapse to one microbatch (r5 session-6
@@ -283,7 +283,7 @@ def stream_score_quality(spark, sf_dir):
     inp, out, ck = (os.path.join(base, d) for d in ("in", "out", "ck"))
     docs = read_testdata(spark, sf_dir, "documents")
     (docs.select("doc_id", "source", "text")
-     .coalesce(4).write.mode("overwrite").parquet(inp))
+     .repartition(4).write.mode("overwrite").parquet(inp))
     _, _, _, w = _clf_train(spark, sf_dir)  # offline training pass
 
     stream = (spark.readStream.schema(

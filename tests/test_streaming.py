@@ -57,13 +57,16 @@ def test_stream_score_exactly_once_redrain(spark, tmp_path):
     out = str(tmp_path / "out")
     ck = str(tmp_path / "ck")
     docs = read_testdata(spark, sf, "documents")
+    # repartition, not coalesce: the source reads as ONE partition
+    # and coalesce cannot increase it — one file would mean one batch
     (docs.select("doc_id", "source", "text")
-     .coalesce(4).write.parquet(inp))
+     .repartition(4).write.parquet(inp))
     _, _, _, w = _clf_train(spark, sf)
 
     def drain() -> None:
-        stream = spark.readStream.schema(
-            "doc_id long, source string, text string").parquet(inp)
+        stream = (spark.readStream.schema(
+            "doc_id long, source string, text string")
+            .option("maxFilesPerTrigger", 1).parquet(inp))
         q = (stream.writeStream
              .foreachBatch(lambda b, _i:
                            clf_score_docs(b, w).write.mode("append")
@@ -73,6 +76,14 @@ def test_stream_score_exactly_once_redrain(spark, tmp_path):
         assert q.awaitTermination(600)
 
     drain()
+    # the drain must actually SPLIT into microbatches (maxFilesPerTrigger
+    # is a source option; on the writer it is silently ignored and the
+    # 4-file input collapses to one batch — review finding): the stream
+    # checkpoint records one offset file per microbatch
+    import os
+    n_batches = len([f for f in os.listdir(os.path.join(ck, "offsets"))
+                     if not f.startswith(".")])
+    assert n_batches >= 2, n_batches
     got = {r["doc_id"]: r["score"]
            for r in spark.read.parquet(out).collect()}
     batch = {r["doc_id"]: r["score"]
