@@ -659,3 +659,94 @@ def dedup_minhash_incremental(spark, sf_dir):
             .groupBy(F.col("doc_new").alias("doc_id"))
             .agg(F.count("*").cast("int").alias("n_lake_matches"),
                  F.min("doc_old").alias("first_match")))
+
+
+@register("dedup_containment_pairs", sql=f"""
+    -- Broder CONTAINMENT c(A in B) = |A ∩ B| / |A| — the asymmetric
+    -- near-dup signal: a short quote wholly absorbed into a longer
+    -- article has low symmetric Jaccard but containment ≈ 1. The
+    -- corpus is word soup with no natural quote-expansion dups, so
+    -- deterministic PLANTS keep the row non-vacuous at every SF (the
+    -- decontamination-sentinel precedent): every 29th long doc gets a
+    -- first-12-words excerpt under doc_id + 2*10^9, whose shingles are
+    -- a strict subset of its source's. Emitted: ordered pairs with
+    -- containment >= 0.8 that the symmetric resolve threshold (0.8)
+    -- would MISS.
+    WITH docs_aug AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 2000000000 AS doc_id,
+             array_to_string(string_split(text, ' ')[1:12], ' ') AS text
+      FROM documents
+      WHERE doc_id % 29 = 0 AND len(string_split(text, ' ')) >= 40
+    ), tok AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                         x -> x <> '') AS toks
+      FROM docs_aug
+    ), sh_all AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               range(1, len(toks) - 1),
+               i -> array_to_string(list_slice(toks, i, i + 2), ' ')))) AS shingle
+      FROM tok WHERE len(toks) >= 3
+    ), hot AS (
+      SELECT shingle FROM sh_all GROUP BY shingle HAVING count(*) > {DF_CAP}
+    ), sh AS (
+      SELECT doc_id, shingle FROM sh_all ANTI JOIN hot USING (shingle)
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+    ), overlap AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM sh a JOIN sh b USING (shingle)
+      WHERE a.doc_id <> b.doc_id
+      GROUP BY doc_a, doc_b
+    )
+    SELECT doc_a, doc_b,
+           CAST(round(CAST(n_common AS DOUBLE) / sa.n_sh, 4) AS DOUBLE)
+             AS containment,
+           CAST(round(CAST(n_common AS DOUBLE)
+                      / (sa.n_sh + sb.n_sh - n_common), 4) AS DOUBLE)
+             AS jaccard
+    FROM overlap
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(n_common AS DOUBLE) / sa.n_sh >= 0.8
+      AND CAST(n_common AS DOUBLE)
+          / (sa.n_sh + sb.n_sh - n_common) < 0.8
+""")
+def dedup_containment_pairs(spark, sf_dir):
+    # Same inverted-index pair generation as dedup_ngram_jaccard (the
+    # shingle is the shuffle key, DF_CAP bounds fanout) but ORDERED
+    # pairs and the asymmetric denominator |A|. The planted excerpts
+    # make the asymmetric catch observable; jaccard < 0.8 keeps only
+    # what the symmetric resolve path misses.
+    docs = read_testdata(spark, sf_dir, "documents")
+    plants = (docs
+              .filter((F.col("doc_id") % 29 == 0)
+                      & (F.size(F.split("text", " ")) >= 40))
+              .select((F.col("doc_id") + 2000000000).alias("doc_id"),
+                      F.concat_ws(" ", F.slice(F.split("text", " "), 1, 12))
+                      .alias("text")))
+    aug = docs.select("doc_id", "text").unionByName(plants)
+    sh = shingle_rows_capped(aug).localCheckpoint(eager=True)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    overlap = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+                      & (F.col("a.doc_id") != F.col("b.doc_id")))
+               .groupBy(F.col("a.doc_id").alias("doc_a"),
+                        F.col("b.doc_id").alias("doc_b"))
+               .agg(F.count("*").alias("n_common")))
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    cont = F.col("n_common").cast("double") / F.col("sa.n_sh")
+    jac = (F.col("n_common").cast("double")
+           / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_common")))
+    return (overlap
+            .join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+            .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+            .filter((cont >= 0.8) & (jac < 0.8))
+            .select("doc_a", "doc_b",
+                    F.round(cont, 4).alias("containment"),
+                    F.round(jac, 4).alias("jaccard")))
