@@ -247,3 +247,69 @@ def split_train_val_test(spark, sf_dir):
                      F.sort_array(F.collect_list("doc_id")),
                      lambda x: x.cast("string"))))
                  .alias("members_md5")))
+
+
+from crawspark.operators.textops import DECON_N as _LEAK_N  # noqa: E402
+
+
+@register("split_leakage_check", sql=f"""
+    -- Eval hygiene over the hash split: {_LEAK_N}-gram runs shared
+    -- between a TEST document and any TRAIN document are contamination
+    -- the eval set inherits from natural near-dups — exactly what the
+    -- split assignment alone cannot prevent. Natural duplicate runs
+    -- exist in the corpus at every SF (no plants needed).
+    WITH assigned AS (
+      SELECT doc_id, text,
+             CASE WHEN {_h60_sql('doc_id', _SPLIT_SALT)} < {_VAL_LO} THEN 'train'
+                  WHEN {_h60_sql('doc_id', _SPLIT_SALT)} < {_TEST_LO} THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    ), tok AS (
+      SELECT doc_id, split,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS toks
+      FROM assigned
+    ), grams AS (
+      SELECT doc_id, split,
+             unnest(list_distinct(list_transform(
+               range(1, len(toks) - {_LEAK_N - 2}),
+               i -> array_to_string(list_slice(toks, i, i + {_LEAK_N - 1}),
+                                    ' ')))) AS gram
+      FROM tok WHERE len(toks) >= {_LEAK_N}
+    ), train_g AS (
+      SELECT DISTINCT gram FROM grams WHERE split = 'train'
+    )
+    SELECT g.doc_id AS test_doc_id,
+           CAST(count(*) AS INT) AS n_leaked_grams
+    FROM grams g JOIN train_g USING (gram)
+    WHERE g.split = 'test'
+    GROUP BY test_doc_id
+""")
+def split_leakage_check(spark, sf_dir):
+    # The train-gram set is bounded by the train split's distinct-gram
+    # vocabulary; at extreme scale the key becomes xxhash64(gram) and
+    # the join stays a hash join keyed on the gram — the corpus side
+    # never self-joins. Same tokenizer + gram window as the benchmark
+    # decontamination query (one definition of "contaminated run").
+    from crawspark.operators.textops import DECON_N
+
+    h = _h60(salt=_SPLIT_SALT)
+    split = (F.when(h < _VAL_LO, "train")
+             .when(h < _TEST_LO, "val")
+             .otherwise("test"))
+    docs = (read_testdata(spark, sf_dir, "documents")
+            .repartition(spark.sparkContext.defaultParallelism)
+            .select("doc_id", "text", split.alias("split"))
+            .withColumn("toks", F.expr(
+                "filter(split(lower(text), '[^a-z0-9]+'), x -> x <> '')"))
+            .filter(F.size("toks") >= DECON_N)
+            .select("doc_id", "split", F.explode(F.expr(
+                f"array_distinct(transform(sequence(0, size(toks) - "
+                f"{DECON_N}), i -> array_join(slice(toks, i + 1, "
+                f"{DECON_N}), ' ')))")).alias("gram")))
+    train_g = (docs.filter(F.col("split") == "train")
+               .select("gram").distinct())
+    return (docs.filter(F.col("split") == "test")
+            .join(train_g, "gram")
+            .groupBy(F.col("doc_id").alias("test_doc_id"))
+            .agg(F.count("*").cast("int").alias("n_leaked_grams")))
