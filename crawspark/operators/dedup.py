@@ -30,12 +30,17 @@ _SHINGLES = f"array_distinct({_SHINGLES_RAW})"
 # the cap changes nothing on testdata — it is the 100 TB guard.)
 DF_CAP = 256
 
-_DDB_TOK_CTES = f"""
+def _ddb_tok_ctes(src: str = "documents") -> str:
+    """The shingle pipeline CTEs (tok/sh_all/hot/sh) over ``src`` — ONE
+    definition mirrored verbatim in every oracle (r5 review: the
+    containment query had copied the bodies with only the relation
+    changed)."""
+    return f"""
     tok AS (
       SELECT doc_id,
              list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
                          x -> x <> '') AS toks
-      FROM documents
+      FROM {src}
     ), sh_all AS (
       SELECT doc_id,
              unnest(list_distinct(list_transform(
@@ -47,6 +52,9 @@ _DDB_TOK_CTES = f"""
     ), sh AS (
       SELECT doc_id, shingle FROM sh_all ANTI JOIN hot USING (shingle)
     )"""
+
+
+_DDB_TOK_CTES = _ddb_tok_ctes()
 
 
 @register("dedup_exact", sql="""
@@ -668,33 +676,19 @@ def dedup_minhash_incremental(spark, sf_dir):
     -- corpus is word soup with no natural quote-expansion dups, so
     -- deterministic PLANTS keep the row non-vacuous at every SF (the
     -- decontamination-sentinel precedent): every 29th long doc gets a
-    -- first-12-words excerpt under doc_id + 2*10^9, whose shingles are
-    -- a strict subset of its source's. Emitted: ordered pairs with
+    -- first-12-words excerpt under -doc_id - 1 (NEGATIVE ids cannot
+    -- collide with any real doc_id at any corpus size), whose shingles
+    -- are a strict subset of its source's. Emitted: ordered pairs with
     -- containment >= 0.8 that the symmetric resolve threshold (0.8)
     -- would MISS.
     WITH docs_aug AS (
       SELECT doc_id, text FROM documents
       UNION ALL
-      SELECT doc_id + 2000000000 AS doc_id,
+      SELECT -doc_id - 1 AS doc_id,
              array_to_string(string_split(text, ' ')[1:12], ' ') AS text
       FROM documents
       WHERE doc_id % 29 = 0 AND len(string_split(text, ' ')) >= 40
-    ), tok AS (
-      SELECT doc_id,
-             list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
-                         x -> x <> '') AS toks
-      FROM docs_aug
-    ), sh_all AS (
-      SELECT doc_id,
-             unnest(list_distinct(list_transform(
-               range(1, len(toks) - 1),
-               i -> array_to_string(list_slice(toks, i, i + 2), ' ')))) AS shingle
-      FROM tok WHERE len(toks) >= 3
-    ), hot AS (
-      SELECT shingle FROM sh_all GROUP BY shingle HAVING count(*) > {DF_CAP}
-    ), sh AS (
-      SELECT doc_id, shingle FROM sh_all ANTI JOIN hot USING (shingle)
-    ), sizes AS (
+    ), {_ddb_tok_ctes('docs_aug')}, sizes AS (
       SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
     ), overlap AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
@@ -716,16 +710,17 @@ def dedup_minhash_incremental(spark, sf_dir):
           / (sa.n_sh + sb.n_sh - n_common) < 0.8
 """)
 def dedup_containment_pairs(spark, sf_dir):
-    # Same inverted-index pair generation as dedup_ngram_jaccard (the
-    # shingle is the shuffle key, DF_CAP bounds fanout) but ORDERED
-    # pairs and the asymmetric denominator |A|. The planted excerpts
-    # make the asymmetric catch observable; jaccard < 0.8 keeps only
-    # what the symmetric resolve path misses.
+    # Same inverted-index pair generation as dedup_ngram_jaccard with
+    # the UNDIRECTED (a < b) join — half the pair rows through the
+    # dominant shuffle (r5 review) — then BOTH directed containments
+    # emitted post-aggregation from each undirected row via explode.
+    # The jaccard < 0.8 filter keeps only what the symmetric resolve
+    # path misses.
     docs = read_testdata(spark, sf_dir, "documents")
     plants = (docs
               .filter((F.col("doc_id") % 29 == 0)
                       & (F.size(F.split("text", " ")) >= 40))
-              .select((F.col("doc_id") + 2000000000).alias("doc_id"),
+              .select((-F.col("doc_id") - 1).alias("doc_id"),
                       F.concat_ws(" ", F.slice(F.split("text", " "), 1, 12))
                       .alias("text")))
     aug = docs.select("doc_id", "text").unionByName(plants)
@@ -734,19 +729,27 @@ def dedup_containment_pairs(spark, sf_dir):
     a = sh.alias("a")
     b = sh.alias("b")
     overlap = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
-                      & (F.col("a.doc_id") != F.col("b.doc_id")))
-               .groupBy(F.col("a.doc_id").alias("doc_a"),
-                        F.col("b.doc_id").alias("doc_b"))
+                      & (F.col("a.doc_id") < F.col("b.doc_id")))
+               .groupBy(F.col("a.doc_id").alias("u"),
+                        F.col("b.doc_id").alias("v"))
                .agg(F.count("*").alias("n_common")))
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
-    cont = F.col("n_common").cast("double") / F.col("sa.n_sh")
+    su = sizes.alias("su")
+    sv = sizes.alias("sv")
     jac = (F.col("n_common").cast("double")
-           / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_common")))
+           / (F.col("su.n_sh") + F.col("sv.n_sh") - F.col("n_common")))
+    pair = lambda da, db, denom: F.struct(  # noqa: E731
+        F.col(da).alias("doc_a"), F.col(db).alias("doc_b"),
+        (F.col("n_common").cast("double") / F.col(denom))
+        .alias("containment"), jac.alias("jaccard"))
     return (overlap
-            .join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-            .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
-            .filter((cont >= 0.8) & (jac < 0.8))
+            .join(su, F.col("u") == F.col("su.doc_id"))
+            .join(sv, F.col("v") == F.col("sv.doc_id"))
+            .select(F.explode(F.array(pair("u", "v", "su.n_sh"),
+                                      pair("v", "u", "sv.n_sh")))
+                    .alias("p"))
+            .select("p.*")
+            .filter((F.col("containment") >= 0.8)
+                    & (F.col("jaccard") < 0.8))
             .select("doc_a", "doc_b",
-                    F.round(cont, 4).alias("containment"),
-                    F.round(jac, 4).alias("jaccard")))
+                    F.round("containment", 4).alias("containment"),
+                    F.round("jaccard", 4).alias("jaccard")))

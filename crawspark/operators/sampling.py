@@ -289,9 +289,13 @@ def split_leakage_check(spark, sf_dir):
     # The train-gram set is bounded by the train split's distinct-gram
     # vocabulary; at extreme scale the key becomes xxhash64(gram) and
     # the join stays a hash join keyed on the gram — the corpus side
-    # never self-joins. Same tokenizer + gram window as the benchmark
-    # decontamination query (one definition of "contaminated run").
-    from crawspark.operators.textops import DECON_N
+    # never self-joins. Tokenizer and gram window come from textops'
+    # single definitions (_WORD_TOKS / _DECON_GRAMS — the zip_with
+    # ngram_expr form, 6x the transform(sequence) spelling), so
+    # "contaminated run" cannot drift from the benchmark query; the
+    # exploded gram table materializes once (localCheckpoint) because
+    # both the train_g and test branches read it.
+    from crawspark.operators.textops import _DECON_GRAMS, _WORD_TOKS
 
     h = _h60(salt=_SPLIT_SALT)
     split = (F.when(h < _VAL_LO, "train")
@@ -300,13 +304,11 @@ def split_leakage_check(spark, sf_dir):
     docs = (read_testdata(spark, sf_dir, "documents")
             .repartition(spark.sparkContext.defaultParallelism)
             .select("doc_id", "text", split.alias("split"))
-            .withColumn("toks", F.expr(
-                "filter(split(lower(text), '[^a-z0-9]+'), x -> x <> '')"))
-            .filter(F.size("toks") >= DECON_N)
-            .select("doc_id", "split", F.explode(F.expr(
-                f"array_distinct(transform(sequence(0, size(toks) - "
-                f"{DECON_N}), i -> array_join(slice(toks, i + 1, "
-                f"{DECON_N}), ' ')))")).alias("gram")))
+            .withColumn("toks", F.expr(_WORD_TOKS))
+            .filter(F.size("toks") >= _LEAK_N)
+            .select("doc_id", "split",
+                    F.explode(F.expr(_DECON_GRAMS)).alias("gram"))
+            .localCheckpoint(eager=True))
     train_g = (docs.filter(F.col("split") == "train")
                .select("gram").distinct())
     return (docs.filter(F.col("split") == "test")
