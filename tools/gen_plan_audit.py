@@ -106,6 +106,18 @@ AUDIT = [
     ("collocations_pmi_topk",
      "map-side-combined unigram/bigram counts; unigram table BROADCAST "
      "to the floor-5 bigram survivors"),
+    ("join_asof_versions",
+     "union-and-carry-forward: ONE exchange (per-user window), zero "
+     "Join operators — the naive inequality join is a cross product"),
+    ("join_range_windows",
+     "bin-bucketed EQUI join on (user_id, bin) + exact containment "
+     "filter — never BroadcastNestedLoop"),
+    ("split_leakage_check",
+     "gram table materialized once for both branches; train-gram set "
+     "is the hash-join key, corpus never self-joins"),
+    ("dedup_containment_pairs",
+     "undirected a<b inverted-index join (half the pair rows); both "
+     "directed containments emitted post-agg via explode"),
 ]
 
 
