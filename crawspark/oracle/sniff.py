@@ -212,6 +212,14 @@ def extract_any(payload: bytes) -> tuple[str, list[str]]:
         from crawspark.oracle.tarzip import parse_tar
         return fmt, [body.decode("utf-8", "replace")
                      for _, body in parse_tar(payload)]
+    if fmt == "zip":
+        # a GENERIC zip (no OOXML/ODF/EPUB member signature matched the
+        # container probe): member texts in central-directory order,
+        # the tar-route twin (r5: the router sniffed these correctly
+        # but dropped their content)
+        from crawspark.oracle.tarzip import parse_zip
+        return fmt, [body.decode("utf-8", "replace")
+                     for _, body in parse_zip(payload)]
     if fmt == "eml":
         from crawspark.oracle.mailmsg import extract_eml
         subject, lines = extract_eml(payload)

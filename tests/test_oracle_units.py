@@ -1022,3 +1022,20 @@ def test_robots_sitemap_extraction_semantics():
         "HTTP://a.com/s3.xml"]
     assert extract_sitemaps("") == []
     assert extract_sitemaps("garbage\nno colons here") == []
+
+
+def test_router_extracts_generic_zip_members():
+    # a zip that is NOT OOXML/ODF/EPUB must route to the member walk
+    # (r5: it sniffed as 'zip' but extract_any dropped the content)
+    from crawspark.oracle.sniff import extract_any, sniff_format
+    from crawspark.oracle.tarzip import make_zip, zip_members_expected
+
+    z = make_zip(7, comment=b"x" * 33)
+    assert sniff_format(z) == "zip"
+    fmt, units = extract_any(z)
+    assert fmt == "zip"
+    assert units == [t for _, t in zip_members_expected(7)]
+    # OOXML containers still route to their own parsers, not the walk
+    from crawspark.oracle.officedoc import make_docx
+    fmt, units = extract_any(make_docx(3))
+    assert fmt == "docx" and units
