@@ -598,3 +598,31 @@ def triangle_count_hosts(spark, sf_dir):
     return per_host
 
 
+
+
+@register("length_lognormal_params", sql="""
+    -- The heavy-tail model behind the size-bucketing design: document
+    -- sizes are approximately lognormal, so mean/stddev of ln(n_chars)
+    -- per language ARE the distribution parameters the 100 TB batch
+    -- planner reads off (bucket count ~ sigma; Arrow batch-byte target
+    -- ~ exp(mu + 2 sigma)). Population stddev on both engines.
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(round(avg(ln(n_chars)), 4) AS DOUBLE) AS mu,
+           CAST(round(stddev_pop(ln(n_chars)), 4) AS DOUBLE) AS sigma,
+           CAST(round(exp(avg(ln(n_chars))
+                          + 2 * stddev_pop(ln(n_chars))), 1) AS DOUBLE)
+             AS p97_model_chars
+    FROM documents WHERE n_chars > 0 GROUP BY lang
+""")
+def length_lognormal_params(spark, sf_dir):
+    # One partial-aggregated scan; ln/exp on doubles with the repo's
+    # rounding discipline.
+    docs = (read_testdata(spark, sf_dir, "documents")
+            .filter(F.col("n_chars") > 0)
+            .select("lang", F.log("n_chars").alias("l")))
+    return (docs.groupBy("lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.round(F.avg("l"), 4).alias("mu"),
+                 F.round(F.stddev_pop("l"), 4).alias("sigma"),
+                 F.round(F.exp(F.avg("l") + 2 * F.stddev_pop("l")), 1)
+                 .alias("p97_model_chars")))

@@ -1039,3 +1039,30 @@ def test_router_extracts_generic_zip_members():
     from crawspark.oracle.officedoc import make_docx
     fmt, units = extract_any(make_docx(3))
     assert fmt == "docx" and units
+
+
+def test_lognormal_params_match_numpy(spark):
+    # third-way replay on raw data: mu/sigma per lang from numpy
+    import duckdb
+    import numpy as np
+
+    con = duckdb.connect()
+    rows = con.execute(
+        "SELECT lang, n_chars FROM "
+        "read_parquet('/root/testdata/sf0.001/documents.parquet') "
+        "WHERE n_chars > 0").fetchall()
+    con.close()
+    from crawspark.operators.analytics import length_lognormal_params
+
+    got = {r["lang"]: r for r in
+           length_lognormal_params(spark,
+                                   "/root/testdata/sf0.001").collect()}
+    langs = {}
+    for lang, n in rows:
+        langs.setdefault(lang, []).append(np.log(n))
+    for lang, ls in langs.items():
+        a = np.array(ls)
+        assert got[lang]["n_docs"] == len(ls)
+        assert got[lang]["mu"] == round(float(a.mean()), 4)
+        assert abs(got[lang]["sigma"] - float(a.std())) < 2e-4, lang
+        assert got[lang]["sigma"] > 0  # the heavy tail is real
