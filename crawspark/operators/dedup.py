@@ -753,3 +753,255 @@ def dedup_containment_pairs(spark, sf_dir):
             .select("doc_a", "doc_b",
                     F.round("containment", 4).alias("containment"),
                     F.round("jaccard", 4).alias("jaccard")))
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD 2003 — the
+# MOSS algorithm): POSITION-AWARE text-reuse detection. MinHash/Jaccard
+# treats a document as a shingle SET; winnowing selects the minimum k-gram
+# hash in every sliding window of w consecutive k-grams (ties -> rightmost),
+# which guarantees that ANY shared run of at least t = w + k - 1 words
+# produces at least one shared fingerprint — the property that catches a
+# paragraph lifted into an otherwise-unrelated document, where whole-set
+# Jaccard stays near zero. Expected fingerprint density is 2/(w+1) of the
+# k-grams (paper §4), so the downstream join is ~1/3 the gram volume.
+#
+# Selection is expressed as a pure window predicate shared verbatim by the
+# Spark plan and the DuckDB oracle: position j is chosen by SOME window iff
+# for some split a in [0, w-1], the a hashes immediately left are all >= h_j
+# and the (w-1-a) hashes immediately right are all > h_j (">= left, > right"
+# IS the rightmost-min rule). lag/lead past the document edge is NULL, so a
+# disjunct whose window would overhang the document evaluates NULL — exactly
+# the paper's "full windows only".
+#
+# 100 TB: one shuffle on doc_id for the window pass (the extraction layout
+# is already doc-partitioned), then the pair join keyed on a 16-hex-char
+# fingerprint with a document-frequency cap (boilerplate fingerprints would
+# otherwise be an O(df^2) posting blowup — same guard as DF_CAP above).
+# ---------------------------------------------------------------------------
+
+WINNOW_K = 4    # words per k-gram
+WINNOW_W = 5    # k-grams per window -> guarantee threshold t = 8 words
+WINNOW_DOC_CAP = 64  # fingerprints in more docs than this are boilerplate
+
+_WINNOW_OVER = "OVER (PARTITION BY doc_id ORDER BY pos)"
+
+
+def _winnow_selected_pred() -> str:
+    """Rightmost-min-per-window selection as one OR of lag/lead conjunctions
+    (w disjuncts, each <= w-1 comparisons) — identical text on both engines."""
+    disjuncts = []
+    for a in range(WINNOW_W):
+        conj = [f"lag(h, {i}) {_WINNOW_OVER} >= h" for i in range(1, a + 1)]
+        conj += [f"lead(h, {i}) {_WINNOW_OVER} > h"
+                 for i in range(1, WINNOW_W - a)]
+        disjuncts.append("(" + " AND ".join(conj) + ")")
+    return " OR ".join(disjuncts)
+
+
+# Planted reuse: WINNOW_PLANT_WORDS-word excerpt docs under negative
+# doc_ids — the same idiom as dedup_containment_pairs. 16 words = 13
+# k-grams = 9 full windows; a selected position serves at most w windows,
+# so the excerpt (and hence each (excerpt, source) pair) carries at least
+# ceil(9/5) = 2 guaranteed shared fingerprints — enough to clear the
+# resolve query's WINNOW_MIN_SHARED edge threshold, not just the pair
+# query's >= 1.
+WINNOW_PLANT_WORDS = 16
+WINNOW_MIN_SHARED = 2   # resolve: edges need >= 2 shared fingerprints
+
+_WINNOW_GRAMS = ngram_expr(WINNOW_K)
+
+# DuckDB CTE chain docs_aug -> fp, shared by every winnowing query: the
+# caller supplies a `docs_aug(doc_id, text)` CTE, this chain tokenizes,
+# forms k-grams with positions, hashes, applies the selection predicate
+# and emits the DISTINCT (doc_id, h) fingerprint table.
+_WINNOW_FP_CTES = f"""tok AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                         x -> x <> '') AS toks
+      FROM docs_aug
+    ), gl AS (
+      SELECT doc_id,
+             list_transform(range(1, len(toks) - {WINNOW_K - 2}),
+               i -> array_to_string(list_slice(toks, i, i + {WINNOW_K - 1}),
+                                    ' ')) AS grams
+      FROM tok WHERE len(toks) >= {WINNOW_K}
+    ), g0 AS (
+      SELECT doc_id, unnest(range(1, len(grams) + 1)) AS pos,
+             unnest(grams) AS gram
+      FROM gl
+    ), g AS (
+      SELECT doc_id, pos, substring(md5(gram), 1, 16) AS h FROM g0
+    ), sel AS (
+      SELECT doc_id, h, ({_winnow_selected_pred()}) AS selected FROM g
+    ), fp AS (
+      SELECT DISTINCT doc_id, h FROM sel WHERE selected
+    )"""
+
+# Plant CTE + corpus-frequency cap, shared by the pair and resolve queries.
+_WINNOW_PLANT_CTE = f"""docs_aug AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT -doc_id - 1 AS doc_id,
+             array_to_string(string_split(text, ' ')[1:{WINNOW_PLANT_WORDS}],
+                             ' ') AS text
+      FROM documents
+      WHERE doc_id % 29 = 0 AND len(string_split(text, ' ')) >= 40
+    )"""
+
+_WINNOW_CAP_CTES = f"""hot AS (
+      SELECT h FROM fp GROUP BY h HAVING count(*) > {WINNOW_DOC_CAP}
+    ), fpc AS (
+      SELECT doc_id, h FROM fp ANTI JOIN hot USING (h)
+    )"""
+
+
+def _winnow_fp(aug):
+    """Spark mirror of _WINNOW_FP_CTES: DISTINCT (doc_id, h) winnowing
+    fingerprints of an augmented (doc_id, text) frame. All w disjuncts
+    share one window spec -> Catalyst plans a single Window node (one
+    doc_id shuffle); pinned in tests/test_winnowing.py."""
+    grams = (aug.selectExpr("doc_id", f"{_TOKS} AS toks")
+             .filter(F.expr(f"size(toks) >= {WINNOW_K}"))
+             .selectExpr("doc_id",
+                         f"posexplode({_WINNOW_GRAMS}) AS (pos, gram)")
+             .selectExpr("doc_id", "pos",
+                         "substring(md5(gram), 1, 16) AS h"))
+    sel = (grams.withColumn("selected", F.expr(_winnow_selected_pred()))
+           .filter("selected"))
+    return sel.select("doc_id", "h").distinct()
+
+
+def _winnow_fpc(spark, sf_dir):
+    """Planted-excerpt corpus -> capped fingerprint table. The fingerprint
+    table feeds multiple join sides downstream — localCheckpoint runs the
+    window pass ONCE instead of re-deriving it per side (same idiom as the
+    minhash signature table above)."""
+    docs = read_testdata(spark, sf_dir, "documents")
+    plants = (docs
+              .filter((F.col("doc_id") % 29 == 0)
+                      & (F.size(F.split("text", " ")) >= 40))
+              .select((-F.col("doc_id") - 1).alias("doc_id"),
+                      F.concat_ws(" ", F.slice(F.split("text", " "), 1,
+                                               WINNOW_PLANT_WORDS))
+                      .alias("text")))
+    aug = docs.select("doc_id", "text").unionByName(plants)
+    fp = _winnow_fp(aug).localCheckpoint(eager=True)
+    hot = (fp.groupBy("h").agg(F.count("*").alias("df"))
+           .filter(F.col("df") > WINNOW_DOC_CAP).select("h"))
+    return fp.join(F.broadcast(hot), "h", "left_anti")
+
+
+@register("dedup_winnowing", sql=f"""
+    WITH {_WINNOW_PLANT_CTE}, {_WINNOW_FP_CTES}, {_WINNOW_CAP_CTES}
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(count(*) AS INT) AS n_shared
+    FROM fpc a JOIN fpc b USING (h)
+    WHERE a.doc_id < b.doc_id
+    GROUP BY doc_a, doc_b
+""")
+def dedup_winnowing(spark, sf_dir):
+    fpc = _winnow_fpc(spark, sf_dir)
+    a = fpc.alias("a")
+    b = fpc.alias("b")
+    return (a.join(b, (F.col("a.h") == F.col("b.h"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .groupBy(F.col("a.doc_id").alias("doc_a"),
+                     F.col("b.doc_id").alias("doc_b"))
+            .agg(F.count("*").cast("int").alias("n_shared")))
+
+
+@register("dedup_winnowing_resolve", sql=f"""
+    WITH RECURSIVE {_WINNOW_PLANT_CTE}, {_WINNOW_FP_CTES},
+    {_WINNOW_CAP_CTES}, pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+      FROM fpc a JOIN fpc b USING (h)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY doc_a, doc_b
+    ), edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      WHERE n_shared >= {WINNOW_MIN_SHARED}
+      UNION ALL
+      SELECT doc_b, doc_a FROM pairs WHERE n_shared >= {WINNOW_MIN_SHARED}
+    ), reach(node, label) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
+    )
+    SELECT node AS doc_id, min(label) AS keep_id FROM reach GROUP BY node
+""")
+def dedup_winnowing_resolve(spark, sf_dir):
+    # Position-aware fuzzy dedup end to end: winnowing fingerprint pairs
+    # with >= WINNOW_MIN_SHARED shared fingerprints become edges, connected
+    # components assign every touched doc its min-id keeper — the same
+    # resolve shape as dedup_minhash_resolve, but the edge relation is the
+    # SIGMOD-2003 shared-run guarantee instead of whole-set Jaccard, so a
+    # family of documents quoting one source collapses even when pairwise
+    # Jaccard never crosses a set-similarity bar. 100 TB: the pair join is
+    # capped-df fingerprint keyed; components run the hybrid union-find /
+    # large-star-small-star path (edge volumes are tiny vs the corpus).
+    fpc = _winnow_fpc(spark, sf_dir)
+    a = fpc.alias("a")
+    b = fpc.alias("b")
+    edges = (a.join(b, (F.col("a.h") == F.col("b.h"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id")))
+             .groupBy(F.col("a.doc_id").alias("doc_a"),
+                      F.col("b.doc_id").alias("doc_b"))
+             .agg(F.count("*").alias("n_shared"))
+             .filter(F.col("n_shared") >= WINNOW_MIN_SHARED)
+             .select("doc_a", "doc_b")
+             .localCheckpoint(eager=True))
+    comp = connected_components(edges)
+    return comp.select(F.col("node").alias("doc_id"),
+                       F.col("label").alias("keep_id"))
+
+
+@register("site_template_fingerprints", sql=f"""
+    WITH docs_aug AS (
+      -- every doc of a source carries that source's footer (the planted
+      -- site template — 8 words >= t, so at least one fingerprint of the
+      -- footer run is selected in EVERY doc of the source)
+      SELECT doc_id,
+             text || ' visit ' || source || ' archive subscribe ' ||
+             source || ' daily digest newsletter' AS text
+      FROM documents
+    ), {_WINNOW_FP_CTES}, src_fp AS (
+      SELECT d.source, f.h, count(*) AS n_with
+      FROM fp f JOIN documents d USING (doc_id)
+      GROUP BY d.source, f.h
+    ), src_n AS (
+      SELECT source, count(*) AS n_docs FROM documents GROUP BY source
+    )
+    SELECT s.source, CAST(any_value(n.n_docs) AS INT) AS n_docs,
+           CAST(count(*) AS INT) AS n_template_fps,
+           min(s.h) AS sample_fp
+    FROM src_fp s JOIN src_n n USING (source)
+    WHERE n.n_docs >= 5 AND 2 * s.n_with >= n.n_docs
+    GROUP BY s.source
+""")
+def site_template_fingerprints(spark, sf_dir):
+    # Site-level boilerplate DISCOVERY: a fingerprint present in >= half a
+    # host's documents is that host's template (nav bars, footers, subscribe
+    # blocks) — the cross-document complement of the per-document DOM
+    # heuristics, and the reason the corpus-wide pair joins need a df cap at
+    # all. No cap here: template fingerprints ARE the hot ones; the plan is
+    # two aggregations (per-(source,h) df, per-source doc count) and never
+    # a pair join, so hotness is harmless. The corpus plants a deterministic
+    # per-source footer so the row is non-vacuous at every SF.
+    docs = read_testdata(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(" visit "), F.col("source"),
+                 F.lit(" archive subscribe "), F.col("source"),
+                 F.lit(" daily digest newsletter")).alias("text"))
+    fp = _winnow_fp(aug)
+    src_fp = (fp.join(docs.select("doc_id", "source"), "doc_id")
+              .groupBy("source", "h").agg(F.count("*").alias("n_with")))
+    src_n = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
+    return (src_fp.join(F.broadcast(src_n), "source")
+            .filter((F.col("n_docs") >= 5)
+                    & (2 * F.col("n_with") >= F.col("n_docs")))
+            .groupBy("source")
+            .agg(F.any_value("n_docs").cast("int").alias("n_docs"),
+                 F.count("*").cast("int").alias("n_template_fps"),
+                 F.min("h").alias("sample_fp")))

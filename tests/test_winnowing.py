@@ -1,0 +1,214 @@
+"""Winnowing fingerprint dedup (dedup.py dedup_winnowing) — the selection
+rule against a pure-Python reference on hand vectors, the t-guarantee on
+the planted excerpt pair, the fingerprint-density expectation, and the
+single-Window-node plan shape."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from crawspark.operators.dedup import (
+    WINNOW_K,
+    WINNOW_W,
+    _winnow_selected_pred,
+)
+
+
+def winnow_reference(hashes: list[str], w: int) -> set[int]:
+    """Textbook rightmost-min winnowing (Schleimer et al. §4, the plain
+    window rule): for every full window of w hashes, select the rightmost
+    position holding the window minimum. 0-based positions."""
+    selected: set[int] = set()
+    for i in range(len(hashes) - w + 1):
+        window = hashes[i:i + w]
+        m = min(window)
+        j = max(k for k in range(w) if window[k] == m)
+        selected.add(i + j)
+    return selected
+
+
+def pred_reference(hashes: list[str], w: int) -> set[int]:
+    """The lag/lead disjunction the SQL predicate encodes, evaluated in
+    Python: position j is selected iff for some a in [0, w-1] the a left
+    neighbours are all >= h and the w-1-a right neighbours are all > h,
+    with every compared neighbour in bounds."""
+    out: set[int] = set()
+    n = len(hashes)
+    for j in range(n):
+        for a in range(w):
+            left = range(j - a, j)
+            right = range(j + 1, j + w - a)
+            if left and left.start < 0:
+                continue
+            if right and right.stop > n:
+                continue
+            if all(hashes[m] >= hashes[j] for m in left) and \
+               all(hashes[m] > hashes[j] for m in right):
+                out.add(j)
+                break
+    return out
+
+
+@pytest.mark.parametrize("seq", [
+    # strictly decreasing: every window picks its last element
+    list("fedcba"),
+    # strictly increasing: every window picks its first element
+    list("abcdef"),
+    # all-equal run: rightmost-tie rule
+    list("bbbbbb"),
+    # the paper's shape: interior minimum shared by adjacent windows
+    list("cabdfe"),
+    # duplicate minima straddling window boundaries
+    list("badbad"),
+    list("aabbaa"),
+    # shorter than one window -> nothing selected
+    list("ab"),
+])
+def test_predicate_matches_textbook_winnowing(seq):
+    assert pred_reference(seq, WINNOW_W) == winnow_reference(seq, WINNOW_W)
+
+
+def test_predicate_matches_on_random_md5_sequences():
+    # 200 deterministic pseudo-random hash sequences of varied length:
+    # the lag/lead form must agree with the textbook window scan exactly.
+    for trial in range(200):
+        n = 1 + (trial * 7919) % 40
+        seq = [hashlib.md5(f"{trial}:{i}".encode()).hexdigest()[:16]
+               for i in range(n)]
+        assert pred_reference(seq, WINNOW_W) == winnow_reference(seq, WINNOW_W), \
+            (trial, seq)
+
+
+def test_sql_predicate_agrees_with_python_reference():
+    # Run the EXACT predicate string through DuckDB on hand sequences and
+    # compare with the textbook scan — pins the SQL text itself, not a
+    # re-derivation.
+    import duckdb
+    con = duckdb.connect()
+    for trial in range(50):
+        n = 1 + (trial * 31) % 30
+        seq = [hashlib.md5(f"sql{trial}:{i}".encode()).hexdigest()[:16]
+               for i in range(n)]
+        rows = ", ".join(f"(0, {p + 1}, '{h}')" for p, h in enumerate(seq))
+        got = con.execute(f"""
+            WITH g(doc_id, pos, h) AS (VALUES {rows}),
+            sel AS (SELECT pos, ({_winnow_selected_pred()}) AS s FROM g)
+            SELECT pos - 1 FROM sel WHERE s ORDER BY 1
+        """).fetchall()
+        assert {r[0] for r in got} == winnow_reference(seq, WINNOW_W), \
+            (trial, seq)
+
+
+def _plant_sources(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from pyspark.sql import functions as F
+    return [r.doc_id for r in
+            docs.filter((F.col("doc_id") % 29 == 0)
+                        & (F.size(F.split("text", " ")) >= 40))
+            .select("doc_id").collect()]
+
+
+def test_planted_excerpt_pair_guaranteed(spark, sf_dir):
+    # The winnowing theorem: a shared run of >= t = w + k - 1 = 8 words
+    # yields >= 1 shared fingerprint. The plants share WINNOW_PLANT_WORDS
+    # = 16 words with their source doc (13 grams -> 9 full windows, so in
+    # fact >= ceil(9/5) = 2 shared fingerprints), so every (plant, source)
+    # pair must appear with n_shared >= WINNOW_MIN_SHARED.
+    from crawspark.operators.dedup import WINNOW_MIN_SHARED
+    from crawspark.registry import load_all
+    reg = load_all()
+    rows = reg["dedup_winnowing"].spark(spark, sf_dir).collect()
+    shared = {(r.doc_a, r.doc_b): r.n_shared for r in rows}
+    planted = _plant_sources(spark, sf_dir)
+    assert planted, "plant cohort empty at this SF — test is vacuous"
+    for s in planted:
+        assert shared.get((-s - 1, s), 0) >= WINNOW_MIN_SHARED, s
+
+
+def test_resolve_groups_plants_with_sources(spark, sf_dir):
+    # End-to-end resolve: every planted excerpt lands in the same
+    # component as its source, and labels are component minima (a label
+    # is itself a member doc with label == itself).
+    from crawspark.registry import load_all
+    reg = load_all()
+    rows = reg["dedup_winnowing_resolve"].spark(spark, sf_dir).collect()
+    label = {r.doc_id: r.keep_id for r in rows}
+    planted = _plant_sources(spark, sf_dir)
+    assert planted
+    for s in planted:
+        assert -s - 1 in label and s in label, s
+        assert label[-s - 1] == label[s], s
+    for doc, lbl in label.items():
+        assert lbl <= doc
+        assert label[lbl] == lbl, (doc, lbl)
+
+
+def test_site_template_footer_detected(spark, sf_dir):
+    # The per-source footer is an 8-word run (>= t) at the end of EVERY
+    # doc of the source, so each source with >= 5 docs must surface at
+    # least one template fingerprint.
+    from pyspark.sql import functions as F
+    from crawspark.registry import load_all
+    reg = load_all()
+    rows = reg["site_template_fingerprints"].spark(spark, sf_dir).collect()
+    got = {r.source: r for r in rows}
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    eligible = {r.source: r.n for r in
+                docs.groupBy("source").agg(F.count("*").alias("n"))
+                .filter("n >= 5").collect()}
+    assert eligible, "no source has >= 5 docs at this SF — vacuous"
+    for src, n in eligible.items():
+        assert src in got, src
+        assert got[src].n_docs == n
+        assert got[src].n_template_fps >= 1
+
+
+def test_fingerprint_density_near_expectation(spark, sf_dir):
+    # Paper §4: expected density of selected positions is 2/(w+1). Random
+    # word soup hashes are effectively uniform, so the corpus-wide density
+    # should sit near 1/3 for w=5 (loose band — finite docs).
+    from pyspark.sql import functions as F
+    from crawspark.operators.dedup import _TOKS, _WINNOW_GRAMS
+    from crawspark.sources import read_testdata
+    docs = read_testdata(spark, sf_dir, "documents")
+    grams = (docs.selectExpr("doc_id", f"{_TOKS} AS toks")
+             .filter(F.expr(f"size(toks) >= {WINNOW_K}"))
+             .selectExpr("doc_id",
+                         f"posexplode({_WINNOW_GRAMS}) AS (pos, gram)")
+             .selectExpr("doc_id", "pos", "substring(md5(gram), 1, 16) AS h"))
+    sel = grams.withColumn("s", __import__("pyspark.sql.functions",
+                                           fromlist=["expr"])
+                           .expr(_winnow_selected_pred()))
+    total, selected = sel.agg(
+        F.count("*"), F.sum(F.col("s").cast("int"))).first()
+    density = selected / total
+    expected = 2.0 / (WINNOW_W + 1)
+    assert abs(density - expected) < 0.05, (density, expected)
+
+
+def test_single_window_node_plan(spark, sf_dir):
+    # All w disjuncts share one window spec -> exactly one Window operator
+    # (one doc_id exchange) in the selection fragment; the full query
+    # localCheckpoints the fingerprint table, so the final plan re-derives
+    # NO window pass per join side (0 Window nodes after the checkpoint).
+    from pyspark.sql import functions as F
+    from crawspark.operators.dedup import _TOKS, _WINNOW_GRAMS
+    from crawspark.sources import read_testdata
+    docs = read_testdata(spark, sf_dir, "documents")
+    sel = (docs.selectExpr("doc_id", f"{_TOKS} AS toks")
+           .filter(F.expr(f"size(toks) >= {WINNOW_K}"))
+           .selectExpr("doc_id", f"posexplode({_WINNOW_GRAMS}) AS (pos, gram)")
+           .selectExpr("doc_id", "pos", "substring(md5(gram), 1, 16) AS h")
+           .withColumn("s", F.expr(_winnow_selected_pred())))
+    frag = sel._jdf.queryExecution().executedPlan().toString()
+    assert sum(l.strip().lstrip(":+- ").startswith("Window ")
+               for l in frag.splitlines()) == 1, frag
+
+    from crawspark.registry import load_all
+    reg = load_all()
+    full = reg["dedup_winnowing"].spark(
+        spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert sum(l.strip().lstrip(":+- ").startswith("Window ")
+               for l in full.splitlines()) == 0, full
