@@ -1382,3 +1382,53 @@ def join_range_windows(spark, sf_dir):
             .filter((F.col("ts") >= F.col("w_start"))
                     & (F.col("ts") < F.col("w_end")))
             .select("event_id", "window_key", "user_id"))
+
+
+@register("frontier_politeness_schedule", sql="""
+    -- Politeness-constrained fetch scheduling: each host's queue is
+    -- serialized at that host's crawl delay; hosts are sharded to 16
+    -- workers by the first md5 nibble (identical on both engines). Per
+    -- worker, the two classic lower bounds of its wall clock: the
+    -- capacity bound (1 request/second of service across its hosts) and
+    -- the chain bound (its slowest single host queue — politeness spacing
+    -- can never be beaten by parallelism within a host).
+    WITH host AS (
+      SELECT source AS host, count(*) AS n_urls,
+             1 + (length(source) * 7 + ascii(substring(source, 1, 1))) % 8
+               AS delay_s,
+             substring(md5(source), 1, 1) AS worker
+      FROM documents GROUP BY source
+    ), h2 AS (
+      SELECT *, (n_urls - 1) * delay_s AS finish_s FROM host
+    )
+    SELECT worker, CAST(count(*) AS INT) AS n_hosts,
+           CAST(sum(n_urls) AS BIGINT) AS n_urls,
+           CAST(max(finish_s) AS BIGINT) AS chain_bound_s,
+           CAST(greatest(sum(n_urls), max(finish_s)) AS BIGINT)
+             AS lower_bound_s
+    FROM h2 GROUP BY worker
+""")
+def frontier_politeness_schedule(spark, sf_dir):
+    # Crawl planning: demand per host (one agg over the frontier), a
+    # deterministic per-host crawl delay, md5-nibble worker sharding, then
+    # per-worker schedulability bounds. 100 TB shape: the frontier agg is
+    # the only large shuffle; everything after operates on the HOST table
+    # (bounded, ~1e8 rows at web scale) with a 16-group final agg. The
+    # chain bound surfacing a single dominant host is exactly the signal
+    # that triggers per-host budget caps upstream (see
+    # frontier_budget_allocation).
+    host = (read_testdata(spark, sf_dir, "documents")
+            .groupBy(F.col("source").alias("host"))
+            .agg(F.count("*").alias("n_urls"))
+            .withColumn("delay_s",
+                        1 + (F.length("host") * 7
+                             + F.ascii(F.substring("host", 1, 1))) % 8)
+            .withColumn("worker", F.substring(F.md5("host"), 1, 1))
+            .withColumn("finish_s",
+                        (F.col("n_urls") - 1) * F.col("delay_s")))
+    return (host.groupBy("worker")
+            .agg(F.count("*").cast("int").alias("n_hosts"),
+                 F.sum("n_urls").cast("bigint").alias("n_urls"),
+                 F.max("finish_s").cast("bigint").alias("chain_bound_s"),
+                 F.greatest(F.sum("n_urls"), F.max("finish_s"))
+                 .cast("bigint").alias("lower_bound_s")))

@@ -776,3 +776,96 @@ def collocations_pmi_topk(spark, sf_dir):
             .filter(F.col("rk") <= 20)
             .select("w1", "w2", F.col("c12").cast("long").alias("pair_count"),
                     "pmi"))
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring duplication coverage (Lee et al. 2022, "Deduplicating
+# Training Data Makes Language Models Better"): instead of whole-document
+# similarity, measure how much of EACH document is covered by token runs
+# that occur elsewhere in the corpus. The paper builds a suffix array; at
+# Spark scale the equivalent signal is k-token gram occurrences with
+# corpus count >= 2, unioned per document into interval coverage — the
+# per-document duplicated-token fraction that substring-level dedup would
+# remove. Distinct from decontaminate (vs a benchmark) and split_leakage
+# (across a split): this is corpus-internal, all-pairs by construction.
+# ---------------------------------------------------------------------------
+
+SUBSTR_K = 8   # tokens per duplicated-run gram (the paper's ~50-token spirit
+               # scaled to the synthetic corpus's short docs)
+
+# A fixed 11-word slogan planted on every 17th doc keeps the row
+# non-vacuous at every SF (cross-doc duplicated runs exist by construction)
+# next to whatever natural repeats the corpus carries.
+_SLOGAN = (" open web corpus quality matters deduplicate your training "
+           "data thoroughly always")
+_SLOGAN_SPARK = ("CASE WHEN doc_id % 17 = 0 THEN concat(text, '"
+                 + _SLOGAN + "') ELSE text END")
+_SLOGAN_SQL = ("CASE WHEN doc_id % 17 = 0 THEN text || '"
+               + _SLOGAN + "' ELSE text END")
+
+
+@register("dedup_substring_coverage", sql=f"""
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower({_SLOGAN_SQL}),
+                                               '[^a-z0-9]+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ), gl AS (
+      SELECT doc_id, len(toks) AS n_toks,
+             list_transform(range(1, len(toks) - {SUBSTR_K - 2}),
+               i -> array_to_string(list_slice(toks, i, i + {SUBSTR_K - 1}),
+                                    ' ')) AS grams
+      FROM tok WHERE len(toks) >= {SUBSTR_K}
+    ), g AS (
+      SELECT doc_id, n_toks, unnest(range(1, len(grams) + 1)) AS pos,
+             unnest(grams) AS gram
+      FROM gl
+    ), dup AS (
+      SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2
+    ), occ AS (
+      SELECT doc_id, n_toks, pos FROM g JOIN dup USING (gram)
+    ), contrib AS (
+      SELECT doc_id, n_toks,
+             coalesce(least({SUBSTR_K},
+                            pos - lag(pos) OVER (PARTITION BY doc_id
+                                                 ORDER BY pos)),
+                      {SUBSTR_K}) AS c
+      FROM occ
+    )
+    SELECT doc_id, CAST(any_value(n_toks) AS INT) AS n_toks,
+           CAST(sum(c) AS INT) AS covered_toks,
+           round(sum(c) / any_value(n_toks), 4) AS dup_frac
+    FROM contrib GROUP BY doc_id
+""")
+def dedup_substring_coverage(spark, sf_dir):
+    # Fixed-length intervals sorted by start make interval union a single
+    # window pass: each duplicated gram at pos covers [pos, pos+K), and its
+    # NEW coverage is min(K, pos - prev_pos) — no interval trees, no UDFs.
+    # The position base differs across engines (posexplode is 0-based,
+    # DuckDB's range is 1-based) but only pos DIFFERENCES enter the math.
+    # 100 TB: one gram agg (map-side combined count) and one join back on
+    # the gram key — the join-back side can carry a bloom filter of dup
+    # grams at extreme scale; no pair join ever forms, so hot template
+    # grams cost counts, not postings^2.
+    docs = (read_testdata(spark, sf_dir, "documents")
+            .withColumn("text", F.expr(_SLOGAN_SPARK))
+            .withColumn("toks", F.expr(_WORD_TOKS))
+            .filter(F.size("toks") >= SUBSTR_K)
+            .select("doc_id", F.size("toks").alias("n_toks"),
+                    F.posexplode(F.expr(ngram_expr(SUBSTR_K)))
+                    .alias("pos", "gram")))
+    dup = (docs.groupBy("gram").agg(F.count("*").alias("n"))
+           .filter(F.col("n") >= 2).select("gram"))
+    occ = docs.join(dup, "gram").select("doc_id", "n_toks", "pos")
+    from pyspark.sql.window import Window
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    contrib = occ.withColumn(
+        "c", F.coalesce(F.least(F.lit(SUBSTR_K),
+                                F.col("pos") - F.lag("pos").over(w)),
+                        F.lit(SUBSTR_K)))
+    return (contrib.groupBy("doc_id")
+            .agg(F.any_value("n_toks").cast("int").alias("n_toks"),
+                 F.sum("c").cast("int").alias("covered_toks"),
+                 F.round(F.sum("c") / F.any_value("n_toks"), 4)
+                 .alias("dup_frac")))
