@@ -315,3 +315,68 @@ def split_leakage_check(spark, sf_dir):
             .join(train_g, "gram")
             .groupBy(F.col("doc_id").alias("test_doc_id"))
             .agg(F.count("*").cast("int").alias("n_leaked_grams")))
+
+
+# ---------------------------------------------------------------------------
+# Training-sequence packing (concat-and-chunk, the T5/GPT pretraining
+# idiom): the corpus is one global token stream in doc_id order, chunked
+# into fixed context windows of PACK_L tokens; each document reports the
+# window range it lands in. Documents spanning >1 bin are the ones a
+# packer either splits or pads around — n_bins is the knob both
+# strategies read. The global prefix sum is THE scale hazard here: a
+# naive sum() OVER (ORDER BY doc_id) plans a single-task window over the
+# whole corpus. The Spark side runs the classic two-level scan instead:
+# per-block sums (block = doc_id div PACK_BLOCK), an offset cumsum over
+# the BLOCK table (corpus/1024 rows — itself hierarchically chunkable at
+# 10^12 docs), then a per-block window + broadcast offset. The DuckDB
+# oracle keeps the naive one-liner — single-node, same numbers.
+# ---------------------------------------------------------------------------
+
+PACK_L = 512       # tokens per training sequence
+PACK_BLOCK = 1024  # docs per prefix-sum block
+
+_PACK_TOKS = "filter(split(lower(text), '[^a-z0-9]+'), x -> x != '')"
+
+
+@register("pack_training_sequences", sql=f"""
+    WITH tok AS (
+      SELECT doc_id,
+             len(list_filter(regexp_split_to_array(lower(text),
+                                                   '[^a-z0-9]+'),
+                             x -> x <> '')) AS n
+      FROM documents
+    ), c AS (
+      SELECT doc_id, n, sum(n) OVER (ORDER BY doc_id) AS cum
+      FROM tok WHERE n >= 1
+    )
+    SELECT doc_id, CAST(n AS INT) AS n_toks,
+           CAST((cum - n) // {PACK_L} AS BIGINT) AS first_bin,
+           CAST((cum - 1) // {PACK_L} AS BIGINT) AS last_bin,
+           CAST((cum - 1) // {PACK_L} - (cum - n) // {PACK_L} + 1 AS INT)
+             AS n_bins
+    FROM c
+""")
+def pack_training_sequences(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    toks = (read_testdata(spark, sf_dir, "documents")
+            .select("doc_id", F.size(F.expr(_PACK_TOKS)).alias("n"))
+            .filter(F.col("n") >= 1)
+            .withColumn("blk", F.expr(f"doc_id div {PACK_BLOCK}")))
+    bsum = toks.groupBy("blk").agg(F.sum("n").alias("bn"))
+    # The ONLY unpartitioned window runs over the block table (bounded:
+    # corpus / PACK_BLOCK rows); its result is small enough to broadcast.
+    woff = (Window.orderBy("blk")
+            .rowsBetween(Window.unboundedPreceding, -1))
+    offs = bsum.select(
+        "blk", F.coalesce(F.sum("bn").over(woff), F.lit(0)).alias("off"))
+    win = Window.partitionBy("blk").orderBy("doc_id")
+    c = (toks.join(F.broadcast(offs), "blk")
+         .withColumn("cum", F.col("off") + F.sum("n").over(win)))
+    start_bin = F.expr(f"(cum - n) div {PACK_L}")
+    end_bin = F.expr(f"(cum - 1) div {PACK_L}")
+    return c.select(
+        "doc_id", F.col("n").cast("int").alias("n_toks"),
+        start_bin.cast("bigint").alias("first_bin"),
+        end_bin.cast("bigint").alias("last_bin"),
+        (end_bin - start_bin + 1).cast("int").alias("n_bins"))

@@ -212,3 +212,54 @@ def test_snapshot_diff_partitions_the_union(spark, sf_dir):
     assert got["changed"] == n13
     assert got["unchanged"] == n - n17 - n13
     assert sum(got.values()) == n + n19  # old ∪ new
+
+
+def test_pack_training_sequences_matches_python_replay(spark, sf_dir):
+    # The two-level distributed prefix sum must equal a plain sequential
+    # scan: recompute the token stream in Python from the raw parquet and
+    # compare every doc's bin range bit-for-bit.
+    import re as _re
+
+    from crawspark.operators.sampling import PACK_L, pack_training_sequences
+
+    got = {r.doc_id: (r.n_toks, r.first_bin, r.last_bin, r.n_bins)
+           for r in pack_training_sequences(spark, sf_dir).collect()}
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""SELECT doc_id, text FROM
+            read_parquet('{sf_dir}/documents.parquet') ORDER BY doc_id"""
+    ).fetchall()
+    con.close()
+    cum = 0
+    n_checked = 0
+    for doc_id, text in rows:
+        n = len([t for t in _re.split(r"[^a-z0-9]+", text.lower()) if t])
+        if n < 1:
+            assert doc_id not in got
+            continue
+        start, cum = cum, cum + n
+        first, last = start // PACK_L, (cum - 1) // PACK_L
+        assert got[doc_id] == (n, first, last, last - first + 1), doc_id
+        n_checked += 1
+    assert n_checked == len(got) > 0
+
+
+def test_pack_window_only_over_block_table(spark, sf_dir):
+    # Scale guard: the only UNPARTITIONED window (global order) must sit
+    # on the block-sum table, never the per-doc table — the per-doc pass
+    # is partitioned by blk.
+    from crawspark.operators.sampling import pack_training_sequences
+
+    plan = executed_plan(pack_training_sequences(spark, sf_dir))
+    windows = [l for l in plan.splitlines()
+               if l.strip().lstrip(":+- ").startswith("Window ")]
+    assert len(windows) == 2, plan
+    # A partitioned Window prints THREE bracket groups (functions,
+    # partition spec, order spec); an unpartitioned one prints two.
+    import re as _re
+    unpartitioned = [w for w in windows
+                     if not _re.search(r"\], \[blk#\d+L?\], \[", w)]
+    # exactly one window lacks a partition spec, and it aggregates bn
+    # (the block sums), not n (the doc tokens)
+    assert len(unpartitioned) == 1, windows
+    assert "sum(bn#" in unpartitioned[0], unpartitioned
