@@ -1005,3 +1005,86 @@ def site_template_fingerprints(spark, sf_dir):
             .agg(F.any_value("n_docs").cast("int").alias("n_docs"),
                  F.count("*").cast("int").alias("n_template_fps"),
                  F.min("h").alias("sample_fp")))
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup: the production shape. A daily crawl increment (here:
+# doc_id % 10 == 0, ~10% of the corpus) must be deduplicated against the
+# EXISTING corpus without ever re-running the corpus x corpus pair join.
+# The persisted artifact a real pipeline keeps between runs is the band
+# table (doc_id, band_id, band_hash) — the increment's bands join against
+# that index (new x old) plus a small self-join (new x new); the old x old
+# quadrant, which dominates the naive join as the corpus outgrows the
+# increment, is never formed. Same 16x2 banding as dedup_minhash_resolve,
+# so the candidate set provably contains every capped-jaccard >= 0.8 pair
+# touching the increment, and the exact-verify output equals the all-pairs
+# oracle restricted to new-side pairs.
+# ---------------------------------------------------------------------------
+
+@register("dedup_incremental_minhash", sql=f"""
+    WITH {_DDB_TOK_CTES}, sizes AS (
+      SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+    ), overlap AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM sh a JOIN sh b USING (shingle)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY doc_a, doc_b
+    ), verified AS (
+      SELECT doc_a, doc_b,
+             CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) AS j
+      FROM overlap
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+    )
+    SELECT doc_a, doc_b, round(j, 4) AS jaccard,
+           CASE WHEN doc_a % 10 = 0 AND doc_b % 10 = 0
+                THEN 'new_new' ELSE 'new_old' END AS pair_type
+    FROM verified
+    WHERE j >= 0.8 AND (doc_a % 10 = 0 OR doc_b % 10 = 0)
+""")
+def dedup_incremental_minhash(spark, sf_dir):
+    sh = _shingle_table(spark, sf_dir)
+    h = sh.withColumn("h", F.xxhash64("shingle"))
+    mh_aggs = [F.min(F.xxhash64(F.col("h"), F.lit(i))).alias(f"mh{i}")
+               for i in range(RESOLVE_N_HASHES)]
+    combined = (h.groupBy("doc_id")
+                .agg(*mh_aggs, F.collect_set("shingle").alias("shingles"))
+                .localCheckpoint(eager=True))
+    bt = _band_table_from_sig(combined, RESOLVE_N_HASHES, RESOLVE_BANDS)
+    is_new = F.col("doc_id") % 10 == 0
+    newb = bt.filter(is_new)
+    oldb = bt.filter(~is_new)
+    # new x old: the increment probes the persisted index. Band equality
+    # only — doc order is normalized after the join (a new doc can be on
+    # either side of the < relation).
+    n = newb.alias("n")
+    o = oldb.alias("o")
+    no = (n.join(o, (F.col("n.band_id") == F.col("o.band_id"))
+                 & (F.col("n.band_hash") == F.col("o.band_hash")))
+          .select(F.least("n.doc_id", "o.doc_id").alias("doc_a"),
+                  F.greatest("n.doc_id", "o.doc_id").alias("doc_b")))
+    # new x new: the increment's own self-join (small side squared).
+    a = newb.alias("a")
+    b = newb.alias("b")
+    nn = (a.join(b, (F.col("a.band_id") == F.col("b.band_id"))
+                 & (F.col("a.band_hash") == F.col("b.band_hash"))
+                 & (F.col("a.doc_id") < F.col("b.doc_id")))
+          .select(F.col("a.doc_id").alias("doc_a"),
+                  F.col("b.doc_id").alias("doc_b")))
+    cands = no.unionByName(nn).distinct()
+    sets = combined.select("doc_id", "shingles")
+    sa = sets.select(F.col("doc_id").alias("doc_a"),
+                     F.col("shingles").alias("sh_a"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"),
+                     F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    jac = F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
+    return (cands.join(sa, "doc_a").join(sb, "doc_b")
+            .withColumn("jaccard_raw", jac)
+            .filter(F.col("jaccard_raw") >= 0.8)
+            .select("doc_a", "doc_b",
+                    F.round("jaccard_raw", 4).alias("jaccard"),
+                    F.when((F.col("doc_a") % 10 == 0)
+                           & (F.col("doc_b") % 10 == 0), "new_new")
+                    .otherwise("new_old").alias("pair_type")))

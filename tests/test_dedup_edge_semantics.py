@@ -113,3 +113,35 @@ def test_ngram_expr_short_and_null_arrays(spark):
     assert rows[0] == [] and rows[1] == [] and rows[2] == []
     assert rows[3] == ["a b c"]
     assert rows[4] is None
+
+
+def test_incremental_minhash_never_pairs_old_with_old(spark, tmp_path):
+    # The incrementality contract: doc_id % 10 == 0 is "new"; an exact
+    # duplicate pair entirely inside the OLD corpus must NOT appear (that
+    # quadrant is never joined), while new x old and new x new duplicate
+    # pairs of the same text must.
+    dup = ("the report of the market was ready and the cluster had a "
+           "signal for all of the readers there in the morning")
+    filler = [(i, f"the unrelated story number {i} about the village of "
+                  f"topic {i} was very long and detailed and different")
+              for i in (2, 3, 7, 13, 27)]
+    rows = filler + [
+        (1, dup), (11, dup),          # old x old duplicate — must be absent
+        (10, dup + " x"),             # new, near-dup of 1/11 — must pair
+        (20, dup), (30, dup),         # new x new duplicate — must pair
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet"))
+    from crawspark.registry import load_all
+    got = {(r.doc_a, r.doc_b): r.pair_type
+           for r in load_all()["dedup_incremental_minhash"]
+           .spark(spark, str(tmp_path)).collect()}
+    assert (1, 11) not in got, "old x old quadrant leaked into the output"
+    assert got.get((20, 30)) == "new_new"
+    assert got.get((1, 10)) == "new_old"
+    assert got.get((10, 11)) == "new_old"
+    for (a, b), t in got.items():
+        assert a % 10 == 0 or b % 10 == 0, (a, b)
+        assert t == ("new_new" if a % 10 == 0 and b % 10 == 0
+                     else "new_old"), (a, b, t)
