@@ -416,23 +416,43 @@ def dedup_minhash_resolve(spark, sf_dir):
     # banding the candidate set provably contains every capped-jaccard
     # >=0.8 pair (see RESOLVE_* constants), so the verified edge set —
     # and hence the components — equal the exact all-pairs oracle.
+    combined = _resolve_combined(spark, sf_dir)
+    cands = _candidates_from_bands(_band_table_from_sig(
+        combined, RESOLVE_N_HASHES, RESOLVE_BANDS))
+    # verified is consumed twice downstream (count + collect/propagate) —
+    # materialize the tiny edge list so the verify join runs once.
+    verified = (_verify_exact(cands, combined)
+                .select("doc_a", "doc_b")
+                .localCheckpoint(eager=True))
+    comp = connected_components(verified)
+    return comp.select(F.col("node").alias("doc_id"),
+                       F.col("label").alias("keep_id"))
+
+
+def _resolve_combined(spark, sf_dir) -> DataFrame:
+    """ONE doc_id aggregation computes the RESOLVE_N_HASHES minhashes AND
+    the distinct post-cap shingle set (r4: signatures and verify-sets
+    previously ran two separate groupBys over the same checkpointed
+    shingle table — same key, same rows, double shuffle). Checkpointed
+    once; feeds band generation AND the exact-verify join. Shared by
+    dedup_minhash_resolve and dedup_incremental_minhash."""
     sh = _shingle_table(spark, sf_dir)
-    # ONE doc_id aggregation computes the 32 minhashes AND the distinct
-    # shingle set (r4: signatures and verify-sets previously ran two
-    # separate groupBys over the same checkpointed shingle table — same
-    # key, same rows, double shuffle). The combined table is checkpointed
-    # once and feeds both the band self-join and the verify join.
     h = sh.withColumn("h", F.xxhash64("shingle"))
     mh_aggs = [F.min(F.xxhash64(F.col("h"), F.lit(i))).alias(f"mh{i}")
                for i in range(RESOLVE_N_HASHES)]
-    combined = (h.groupBy("doc_id")
-                .agg(*mh_aggs, F.collect_set("shingle").alias("shingles"))
-                .localCheckpoint(eager=True))
-    cands = _candidates_from_bands(_band_table_from_sig(
-        combined, RESOLVE_N_HASHES, RESOLVE_BANDS))
-    # Exact verify on candidates only: join each side to its (small,
-    # post-cap) distinct-shingle array and intersect in-memory — the
-    # heavy inverted-index self-join never runs here.
+    return (h.groupBy("doc_id")
+            .agg(*mh_aggs, F.collect_set("shingle").alias("shingles"))
+            .localCheckpoint(eager=True))
+
+
+def _verify_exact(cands: DataFrame, combined: DataFrame) -> DataFrame:
+    """Exact post-cap Jaccard on candidate pairs ONLY: join each side to
+    its (small, post-cap) distinct-shingle array and intersect in-memory
+    — the heavy inverted-index self-join never runs here. Returns
+    (doc_a, doc_b, jaccard_raw) filtered to >= 0.8. when() guards the
+    ANSI division: a candidate pair whose post-cap shingle sets are BOTH
+    empty (all-boilerplate docs — possible once DF_CAP fires) has
+    union=0 and is not a verifiable dup."""
     sets = combined.select("doc_id", "shingles")
     sa = sets.select(F.col("doc_id").alias("doc_a"),
                      F.col("shingles").alias("sh_a"))
@@ -440,19 +460,10 @@ def dedup_minhash_resolve(spark, sf_dir):
                      F.col("shingles").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
-    # when() guards the ANSI division: a candidate pair whose post-cap
-    # shingle sets are BOTH empty (all-boilerplate docs — possible once
-    # DF_CAP fires) has union=0 and is not a verifiable dup.
     jac = F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
-    # verified is consumed twice downstream (count + collect/propagate) —
-    # materialize the tiny edge list so the verify join runs once.
-    verified = (cands.join(sa, "doc_a").join(sb, "doc_b")
-                .filter(jac >= 0.8)
-                .select("doc_a", "doc_b")
-                .localCheckpoint(eager=True))
-    comp = connected_components(verified)
-    return comp.select(F.col("node").alias("doc_id"),
-                       F.col("label").alias("keep_id"))
+    return (cands.join(sa, "doc_a").join(sb, "doc_b")
+            .withColumn("jaccard_raw", jac)
+            .filter(F.col("jaccard_raw") >= 0.8))
 
 
 @register("dedup_lsh_containment", sql=f"""
@@ -802,10 +813,15 @@ def _winnow_selected_pred() -> str:
 # Planted reuse: WINNOW_PLANT_WORDS-word excerpt docs under negative
 # doc_ids — the same idiom as dedup_containment_pairs. 16 words = 13
 # k-grams = 9 full windows; a selected position serves at most w windows,
-# so the excerpt (and hence each (excerpt, source) pair) carries at least
-# ceil(9/5) = 2 guaranteed shared fingerprints — enough to clear the
-# resolve query's WINNOW_MIN_SHARED edge threshold, not just the pair
-# query's >= 1.
+# so the excerpt carries at least ceil(9/5) = 2 selected POSITIONS. Two
+# positions collapse to one DISTINCT fingerprint only when the excerpt
+# repeats a 4-gram (and all its shared fingerprints survive the df cap);
+# tests/test_winnowing.py therefore computes each plant's expected
+# distinct-fingerprint count with the textbook reference rather than
+# assuming 2, and asserts the resolve edge only where the count clears
+# WINNOW_MIN_SHARED. Every fingerprint of the excerpt doc is guaranteed
+# selected in the source too (the excerpt's full windows exist verbatim
+# inside the source), so n_shared == |fp(excerpt)| up to the cap.
 WINNOW_PLANT_WORDS = 16
 WINNOW_MIN_SHARED = 2   # resolve: edges need >= 2 shared fingerprints
 
@@ -860,8 +876,13 @@ def _winnow_fp(aug):
     """Spark mirror of _WINNOW_FP_CTES: DISTINCT (doc_id, h) winnowing
     fingerprints of an augmented (doc_id, text) frame. All w disjuncts
     share one window spec -> Catalyst plans a single Window node (one
-    doc_id shuffle); pinned in tests/test_winnowing.py."""
-    grams = (aug.selectExpr("doc_id", f"{_TOKS} AS toks")
+    doc_id shuffle); pinned in tests/test_winnowing.py. The input is
+    repartitioned first — same hazard as _raw_shingle_rows: a small
+    single-file parquet scan yields ONE partition, serializing the
+    CPU-heavy gram+md5 map onto one core."""
+    sc = aug.sparkSession.sparkContext
+    grams = (aug.repartition(sc.defaultParallelism)
+             .selectExpr("doc_id", f"{_TOKS} AS toks")
              .filter(F.expr(f"size(toks) >= {WINNOW_K}"))
              .selectExpr("doc_id",
                          f"posexplode({_WINNOW_GRAMS}) AS (pos, gram)")
@@ -870,6 +891,19 @@ def _winnow_fp(aug):
     sel = (grams.withColumn("selected", F.expr(_winnow_selected_pred()))
            .filter("selected"))
     return sel.select("doc_id", "h").distinct()
+
+
+def _winnow_pairs(fpc):
+    """(doc_a < doc_b, n_shared) candidate pairs from a capped
+    fingerprint table — the one pair-join definition both registered
+    winnowing queries (and their shared SQL fragment) rely on."""
+    a = fpc.alias("a")
+    b = fpc.alias("b")
+    return (a.join(b, (F.col("a.h") == F.col("b.h"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .groupBy(F.col("a.doc_id").alias("doc_a"),
+                     F.col("b.doc_id").alias("doc_b"))
+            .agg(F.count("*").alias("n_shared")))
 
 
 def _winnow_fpc(spark, sf_dir):
@@ -901,14 +935,9 @@ def _winnow_fpc(spark, sf_dir):
     GROUP BY doc_a, doc_b
 """)
 def dedup_winnowing(spark, sf_dir):
-    fpc = _winnow_fpc(spark, sf_dir)
-    a = fpc.alias("a")
-    b = fpc.alias("b")
-    return (a.join(b, (F.col("a.h") == F.col("b.h"))
-                   & (F.col("a.doc_id") < F.col("b.doc_id")))
-            .groupBy(F.col("a.doc_id").alias("doc_a"),
-                     F.col("b.doc_id").alias("doc_b"))
-            .agg(F.count("*").cast("int").alias("n_shared")))
+    return (_winnow_pairs(_winnow_fpc(spark, sf_dir))
+            .select("doc_a", "doc_b",
+                    F.col("n_shared").cast("int").alias("n_shared")))
 
 
 @register("dedup_winnowing_resolve", sql=f"""
@@ -940,14 +969,7 @@ def dedup_winnowing_resolve(spark, sf_dir):
     # Jaccard never crosses a set-similarity bar. 100 TB: the pair join is
     # capped-df fingerprint keyed; components run the hybrid union-find /
     # large-star-small-star path (edge volumes are tiny vs the corpus).
-    fpc = _winnow_fpc(spark, sf_dir)
-    a = fpc.alias("a")
-    b = fpc.alias("b")
-    edges = (a.join(b, (F.col("a.h") == F.col("b.h"))
-                    & (F.col("a.doc_id") < F.col("b.doc_id")))
-             .groupBy(F.col("a.doc_id").alias("doc_a"),
-                      F.col("b.doc_id").alias("doc_b"))
-             .agg(F.count("*").alias("n_shared"))
+    edges = (_winnow_pairs(_winnow_fpc(spark, sf_dir))
              .filter(F.col("n_shared") >= WINNOW_MIN_SHARED)
              .select("doc_a", "doc_b")
              .localCheckpoint(eager=True))
@@ -1015,10 +1037,12 @@ def site_template_fingerprints(spark, sf_dir):
 # table (doc_id, band_id, band_hash) — the increment's bands join against
 # that index (new x old) plus a small self-join (new x new); the old x old
 # quadrant, which dominates the naive join as the corpus outgrows the
-# increment, is never formed. Same 16x2 banding as dedup_minhash_resolve,
-# so the candidate set provably contains every capped-jaccard >= 0.8 pair
-# touching the increment, and the exact-verify output equals the all-pairs
-# oracle restricted to new-side pairs.
+# increment, is never formed. Same 16x2 banding as dedup_minhash_resolve
+# — the candidate set contains every capped-jaccard >= 0.8 pair touching
+# the increment up to the documented ~8e-8 per-pair band-miss odds (see
+# the RESOLVE_* constants comment: PROBABILISTIC, not certain), so the
+# exact-verify output equals the all-pairs oracle restricted to new-side
+# pairs; a one-row parity mismatch here means that tail fired.
 # ---------------------------------------------------------------------------
 
 @register("dedup_incremental_minhash", sql=f"""
@@ -1043,13 +1067,7 @@ def site_template_fingerprints(spark, sf_dir):
     WHERE j >= 0.8 AND (doc_a % 10 = 0 OR doc_b % 10 = 0)
 """)
 def dedup_incremental_minhash(spark, sf_dir):
-    sh = _shingle_table(spark, sf_dir)
-    h = sh.withColumn("h", F.xxhash64("shingle"))
-    mh_aggs = [F.min(F.xxhash64(F.col("h"), F.lit(i))).alias(f"mh{i}")
-               for i in range(RESOLVE_N_HASHES)]
-    combined = (h.groupBy("doc_id")
-                .agg(*mh_aggs, F.collect_set("shingle").alias("shingles"))
-                .localCheckpoint(eager=True))
+    combined = _resolve_combined(spark, sf_dir)
     bt = _band_table_from_sig(combined, RESOLVE_N_HASHES, RESOLVE_BANDS)
     is_new = F.col("doc_id") % 10 == 0
     newb = bt.filter(is_new)
@@ -1064,25 +1082,9 @@ def dedup_incremental_minhash(spark, sf_dir):
           .select(F.least("n.doc_id", "o.doc_id").alias("doc_a"),
                   F.greatest("n.doc_id", "o.doc_id").alias("doc_b")))
     # new x new: the increment's own self-join (small side squared).
-    a = newb.alias("a")
-    b = newb.alias("b")
-    nn = (a.join(b, (F.col("a.band_id") == F.col("b.band_id"))
-                 & (F.col("a.band_hash") == F.col("b.band_hash"))
-                 & (F.col("a.doc_id") < F.col("b.doc_id")))
-          .select(F.col("a.doc_id").alias("doc_a"),
-                  F.col("b.doc_id").alias("doc_b")))
+    nn = _candidates_from_bands(newb)
     cands = no.unionByName(nn).distinct()
-    sets = combined.select("doc_id", "shingles")
-    sa = sets.select(F.col("doc_id").alias("doc_a"),
-                     F.col("shingles").alias("sh_a"))
-    sb = sets.select(F.col("doc_id").alias("doc_b"),
-                     F.col("shingles").alias("sh_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size("sh_a") + F.size("sh_b") - inter
-    jac = F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
-    return (cands.join(sa, "doc_a").join(sb, "doc_b")
-            .withColumn("jaccard_raw", jac)
-            .filter(F.col("jaccard_raw") >= 0.8)
+    return (_verify_exact(cands, combined)
             .select("doc_a", "doc_b",
                     F.round("jaccard_raw", 4).alias("jaccard"),
                     F.when((F.col("doc_a") % 10 == 0)

@@ -335,8 +335,6 @@ def split_leakage_check(spark, sf_dir):
 PACK_L = 512       # tokens per training sequence
 PACK_BLOCK = 1024  # docs per prefix-sum block
 
-_PACK_TOKS = "filter(split(lower(text), '[^a-z0-9]+'), x -> x != '')"
-
 
 @register("pack_training_sequences", sql=f"""
     WITH tok AS (
@@ -359,10 +357,17 @@ _PACK_TOKS = "filter(split(lower(text), '[^a-z0-9]+'), x -> x != '')"
 def pack_training_sequences(spark, sf_dir):
     from pyspark.sql.window import Window
 
+    # the one [^a-z0-9] tokenizer definition (cannot drift from the
+    # other token-counting queries or this query's own oracle)
+    from crawspark.operators.textops import _WORD_TOKS
+
+    # toks feeds the block-sum branch AND the main join side —
+    # materialize once or the tokenization scan runs twice.
     toks = (read_testdata(spark, sf_dir, "documents")
-            .select("doc_id", F.size(F.expr(_PACK_TOKS)).alias("n"))
+            .select("doc_id", F.size(F.expr(_WORD_TOKS)).alias("n"))
             .filter(F.col("n") >= 1)
-            .withColumn("blk", F.expr(f"doc_id div {PACK_BLOCK}")))
+            .withColumn("blk", F.expr(f"doc_id div {PACK_BLOCK}"))
+            .localCheckpoint(eager=True))
     bsum = toks.groupBy("blk").agg(F.sum("n").alias("bn"))
     # The ONLY unpartitioned window runs over the block table (bounded:
     # corpus / PACK_BLOCK rows); its result is small enough to broadcast.

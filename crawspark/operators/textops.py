@@ -848,13 +848,19 @@ def dedup_substring_coverage(spark, sf_dir):
     # the gram key — the join-back side can carry a bloom filter of dup
     # grams at extreme scale; no pair join ever forms, so hot template
     # grams cost counts, not postings^2.
+    # The gram table feeds BOTH the dup-count aggregation and the
+    # join-back side — repartition (single-file scan = one partition,
+    # see _raw_shingle_rows) and materialize once, or the tokenize +
+    # 8-gram explode subtree executes twice.
     docs = (read_testdata(spark, sf_dir, "documents")
+            .repartition(spark.sparkContext.defaultParallelism)
             .withColumn("text", F.expr(_SLOGAN_SPARK))
             .withColumn("toks", F.expr(_WORD_TOKS))
             .filter(F.size("toks") >= SUBSTR_K)
             .select("doc_id", F.size("toks").alias("n_toks"),
                     F.posexplode(F.expr(ngram_expr(SUBSTR_K)))
-                    .alias("pos", "gram")))
+                    .alias("pos", "gram"))
+            .localCheckpoint(eager=True))
     dup = (docs.groupBy("gram").agg(F.count("*").alias("n"))
            .filter(F.col("n") >= 2).select("gram"))
     occ = docs.join(dup, "gram").select("doc_id", "n_toks", "pos")

@@ -5,9 +5,6 @@ invariants."""
 
 from __future__ import annotations
 
-import pytest
-
-
 def union_len_brute(positions: list[int], k: int) -> int:
     covered: set[int] = set()
     for p in positions:
@@ -42,7 +39,6 @@ def test_planted_slogan_is_covered(spark, sf_dir):
     # Every 17th doc carries the shared 11-word slogan; with >= 2 planted
     # docs all slogan-internal 8-grams are corpus-duplicated, so each
     # planted doc reports covered_toks >= 11.
-    from pyspark.sql import functions as F
     from crawspark.registry import load_all
     reg = load_all()
     rows = reg["dedup_substring_coverage"].spark(spark, sf_dir).collect()
@@ -60,7 +56,6 @@ def test_planted_slogan_is_covered(spark, sf_dir):
 
 
 def test_politeness_bounds_invariants(spark, sf_dir):
-    from pyspark.sql import functions as F
     from crawspark.registry import load_all
     reg = load_all()
     rows = reg["frontier_politeness_schedule"].spark(spark, sf_dir).collect()

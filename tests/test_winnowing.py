@@ -102,44 +102,71 @@ def test_sql_predicate_agrees_with_python_reference():
 
 
 def _plant_sources(spark, sf_dir):
+    """(doc_id, text) of the plant cohort's source documents."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     from pyspark.sql import functions as F
-    return [r.doc_id for r in
+    return [(r.doc_id, r.text) for r in
             docs.filter((F.col("doc_id") % 29 == 0)
                         & (F.size(F.split("text", " ")) >= 40))
-            .select("doc_id").collect()]
+            .select("doc_id", "text").collect()]
 
 
-def test_planted_excerpt_pair_guaranteed(spark, sf_dir):
-    # The winnowing theorem: a shared run of >= t = w + k - 1 = 8 words
-    # yields >= 1 shared fingerprint. The plants share WINNOW_PLANT_WORDS
-    # = 16 words with their source doc (13 grams -> 9 full windows, so in
-    # fact >= ceil(9/5) = 2 shared fingerprints), so every (plant, source)
-    # pair must appear with n_shared >= WINNOW_MIN_SHARED.
-    from crawspark.operators.dedup import WINNOW_MIN_SHARED
+def _ref_excerpt_fps(text: str) -> set[str]:
+    """The excerpt doc's DISTINCT winnowing fingerprints, computed with
+    the textbook reference on a faithful replica of the pipeline's
+    tokenization (space-split first 16 words, then the [^a-z] token
+    rule). Two selected positions can hold the same gram text, so this
+    is the exact expectation — not the >= 2 position bound."""
+    import re
+
+    from crawspark.operators.dedup import WINNOW_PLANT_WORDS
+
+    words = text.split(" ")[:WINNOW_PLANT_WORDS]
+    toks = [t for t in re.split("[^a-z]+", " ".join(words).lower()) if t]
+    grams = [" ".join(toks[i:i + WINNOW_K])
+             for i in range(len(toks) - WINNOW_K + 1)]
+    hs = [hashlib.md5(g.encode()).hexdigest()[:16] for g in grams]
+    return {hs[i] for i in winnow_reference(hs, WINNOW_W)}
+
+
+def test_planted_excerpt_pair_matches_reference_exactly(spark, sf_dir):
+    # Every fingerprint of the excerpt doc is also selected in its source
+    # (the excerpt's full windows exist verbatim inside the source), so
+    # n_shared for each (plant, source) pair equals the excerpt's
+    # distinct-fingerprint count — computed per plant with the textbook
+    # reference rather than assumed (two selected positions may repeat a
+    # gram; a tokens-with-digits word shrinks the excerpt).
     from crawspark.registry import load_all
     reg = load_all()
     rows = reg["dedup_winnowing"].spark(spark, sf_dir).collect()
     shared = {(r.doc_a, r.doc_b): r.n_shared for r in rows}
     planted = _plant_sources(spark, sf_dir)
     assert planted, "plant cohort empty at this SF — test is vacuous"
-    for s in planted:
-        assert shared.get((-s - 1, s), 0) >= WINNOW_MIN_SHARED, s
+    for s, text in planted:
+        exp = len(_ref_excerpt_fps(text))
+        assert shared.get((-s - 1, s), 0) == exp, (s, exp)
 
 
 def test_resolve_groups_plants_with_sources(spark, sf_dir):
-    # End-to-end resolve: every planted excerpt lands in the same
-    # component as its source, and labels are component minima (a label
-    # is itself a member doc with label == itself).
+    # End-to-end resolve: every planted excerpt whose reference-computed
+    # fingerprint count clears the edge threshold lands in the same
+    # component as its source; labels are component minima (a label is
+    # itself a member doc with label == itself).
+    from crawspark.operators.dedup import WINNOW_MIN_SHARED
     from crawspark.registry import load_all
     reg = load_all()
     rows = reg["dedup_winnowing_resolve"].spark(spark, sf_dir).collect()
     label = {r.doc_id: r.keep_id for r in rows}
     planted = _plant_sources(spark, sf_dir)
     assert planted
-    for s in planted:
+    checked = 0
+    for s, text in planted:
+        if len(_ref_excerpt_fps(text)) < WINNOW_MIN_SHARED:
+            continue  # guarantee doesn't apply (repeated-gram excerpt)
         assert -s - 1 in label and s in label, s
         assert label[-s - 1] == label[s], s
+        checked += 1
+    assert checked > 0, "no plant clears the edge threshold — vacuous"
     for doc, lbl in label.items():
         assert lbl <= doc
         assert label[lbl] == lbl, (doc, lbl)
@@ -178,9 +205,7 @@ def test_fingerprint_density_near_expectation(spark, sf_dir):
              .selectExpr("doc_id",
                          f"posexplode({_WINNOW_GRAMS}) AS (pos, gram)")
              .selectExpr("doc_id", "pos", "substring(md5(gram), 1, 16) AS h"))
-    sel = grams.withColumn("s", __import__("pyspark.sql.functions",
-                                           fromlist=["expr"])
-                           .expr(_winnow_selected_pred()))
+    sel = grams.withColumn("s", F.expr(_winnow_selected_pred()))
     total, selected = sel.agg(
         F.count("*"), F.sum(F.col("s").cast("int"))).first()
     density = selected / total
