@@ -97,6 +97,13 @@ def main() -> None:
         "quality_kn_perplexity": "documents",
         "quality_classifier_score": "documents",
         "join_asof_versions": "events",
+        # r5 session-7 additions: position-aware winnowing dedup (pair
+        # join + CC resolve), increment-vs-index minhash, substring-level
+        # duplication coverage, and the two-level prefix-sum packer
+        "dedup_winnowing_resolve": "documents",
+        "dedup_incremental_minhash": "documents",
+        "dedup_substring_coverage": "documents",
+        "pack_context_windows": "documents",
     }
     NAMES = tuple(DRIVING)
     table_rows = {t: read_testdata(spark, SF_DIR, t).count()

@@ -283,18 +283,6 @@ def grouping_size_buckets(spark, sf_dir):
             .groupBy("bucket").agg(F.count("*").alias("n_docs")))
 
 
-@register("cube_lang_source", sql="""
-    SELECT lang, source, count(*) AS n_docs,
-           CAST(sum(n_chars) AS BIGINT) AS total_chars
-    FROM documents GROUP BY CUBE (lang, source)
-""")
-def cube_lang_source(spark, sf_dir):
-    return (_t(spark, sf_dir, "documents")
-            .cube("lang", "source")
-            .agg(F.count("*").alias("n_docs"),
-                 F.sum("n_chars").cast("long").alias("total_chars")))
-
-
 @register("string_funcs_showcase", sql="""
     SELECT doc_id,
            upper(substr(text, 1, 10)) AS head_upper,

@@ -318,25 +318,27 @@ def split_leakage_check(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# Training-sequence packing (concat-and-chunk, the T5/GPT pretraining
-# idiom): the corpus is one global token stream in doc_id order, chunked
-# into fixed context windows of PACK_L tokens; each document reports the
-# window range it lands in. Documents spanning >1 bin are the ones a
-# packer either splits or pads around — n_bins is the knob both
-# strategies read. The global prefix sum is THE scale hazard here: a
-# naive sum() OVER (ORDER BY doc_id) plans a single-task window over the
-# whole corpus. The Spark side runs the classic two-level scan instead:
-# per-block sums (block = doc_id div PACK_BLOCK), an offset cumsum over
-# the BLOCK table (corpus/1024 rows — itself hierarchically chunkable at
-# 10^12 docs), then a per-block window + broadcast offset. The DuckDB
-# oracle keeps the naive one-liner — single-node, same numbers.
+# Context-window packing over ONE GLOBAL token stream (concat-and-chunk):
+# the corpus in doc_id order is chunked into fixed windows of PACK_L
+# tokens; each document reports the window range it lands in. Documents
+# spanning >1 bin are the ones a packer either splits or pads around —
+# n_bins is the knob both strategies read. Companion to lmquality.py's
+# pack_training_sequences, which packs per (lang, shard) stream and so
+# never needs a global order; THIS query keeps the single-stream
+# semantics and instead makes the global prefix sum scale: a naive
+# sum() OVER (ORDER BY doc_id) plans a single-task window over the whole
+# corpus, so the Spark side runs the classic two-level scan — per-block
+# sums (block = doc_id div PACK_BLOCK), an offset cumsum over the BLOCK
+# table (corpus/1024 rows — itself hierarchically chunkable at 10^12
+# docs), then a per-block window + broadcast offset. The DuckDB oracle
+# keeps the naive one-liner — single-node, same numbers.
 # ---------------------------------------------------------------------------
 
 PACK_L = 512       # tokens per training sequence
 PACK_BLOCK = 1024  # docs per prefix-sum block
 
 
-@register("pack_training_sequences", sql=f"""
+@register("pack_context_windows", sql=f"""
     WITH tok AS (
       SELECT doc_id,
              len(list_filter(regexp_split_to_array(lower(text),
@@ -354,7 +356,7 @@ PACK_BLOCK = 1024  # docs per prefix-sum block
              AS n_bins
     FROM c
 """)
-def pack_training_sequences(spark, sf_dir):
+def pack_context_windows(spark, sf_dir):
     from pyspark.sql.window import Window
 
     # the one [^a-z0-9] tokenizer definition (cannot drift from the

@@ -33,6 +33,12 @@ REGISTRY: dict[str, QuerySpec] = {}
 
 def register(name: str, sql: str | None = None):
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        # A duplicate name would SILENTLY shadow the earlier query (dict
+        # overwrite) and drop it from every driver/oracle surface — found
+        # the hard way when a second pack_training_sequences replaced the
+        # first for a whole session. Fail loudly at import instead.
+        if name in REGISTRY:
+            raise ValueError(f"duplicate registry name: {name!r}")
         REGISTRY[name] = QuerySpec(spark=fn, sql=sql)
         return fn
     return deco

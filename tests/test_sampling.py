@@ -214,16 +214,16 @@ def test_snapshot_diff_partitions_the_union(spark, sf_dir):
     assert sum(got.values()) == n + n19  # old ∪ new
 
 
-def test_pack_training_sequences_matches_python_replay(spark, sf_dir):
+def test_pack_context_windows_matches_python_replay(spark, sf_dir):
     # The two-level distributed prefix sum must equal a plain sequential
     # scan: recompute the token stream in Python from the raw parquet and
     # compare every doc's bin range bit-for-bit.
     import re as _re
 
-    from crawspark.operators.sampling import PACK_L, pack_training_sequences
+    from crawspark.operators.sampling import PACK_L, pack_context_windows
 
     got = {r.doc_id: (r.n_toks, r.first_bin, r.last_bin, r.n_bins)
-           for r in pack_training_sequences(spark, sf_dir).collect()}
+           for r in pack_context_windows(spark, sf_dir).collect()}
     con = duckdb.connect()
     rows = con.execute(
         f"""SELECT doc_id, text FROM
@@ -248,9 +248,9 @@ def test_pack_window_only_over_block_table(spark, sf_dir):
     # Scale guard: the only UNPARTITIONED window (global order) must sit
     # on the block-sum table, never the per-doc table — the per-doc pass
     # is partitioned by blk.
-    from crawspark.operators.sampling import pack_training_sequences
+    from crawspark.operators.sampling import pack_context_windows
 
-    plan = executed_plan(pack_training_sequences(spark, sf_dir))
+    plan = executed_plan(pack_context_windows(spark, sf_dir))
     windows = [l for l in plan.splitlines()
                if l.strip().lstrip(":+- ").startswith("Window ")]
     assert len(windows) == 2, plan
