@@ -118,6 +118,30 @@ AUDIT = [
     ("dedup_containment_pairs",
      "undirected a<b inverted-index join (half the pair rows); both "
      "directed containments emitted post-agg via explode"),
+    ("dedup_winnowing",
+     "fingerprint table checkpointed once (single-Window selection pass "
+     "audited by tests/test_winnowing.py); pair join keyed on the capped "
+     "16-hex fingerprint, hot list BROADCAST"),
+    ("dedup_winnowing_resolve",
+     "winnowing pairs >= MIN_SHARED feed connected components; "
+     "post-checkpoint remainder is the CC output only"),
+    ("site_template_fingerprints",
+     "UNCAPPED fingerprints are safe here — two aggregations (per-"
+     "(source,h) df, per-source counts), broadcast host table, no pair "
+     "join ever forms"),
+    ("dedup_incremental_minhash",
+     "increment bands probe the corpus band index (new x old) + small "
+     "new x new self-join; the old x old quadrant is never formed"),
+    ("dedup_substring_coverage",
+     "gram table materialized once for the dup-count agg AND the "
+     "join-back; interval union is one doc_id window — no pair join"),
+    ("frontier_politeness_schedule",
+     "one frontier agg, then host-table-only math (bounded) with a "
+     "16-group final agg"),
+    ("pack_context_windows",
+     "two-level prefix sum: the only UNPARTITIONED window runs on the "
+     "block table (corpus/1024 rows), offsets broadcast back; per-doc "
+     "pass partitioned by blk"),
 ]
 
 
