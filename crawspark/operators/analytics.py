@@ -626,3 +626,69 @@ def length_lognormal_params(spark, sf_dir):
                  F.round(F.stddev_pop("l"), 4).alias("sigma"),
                  F.round(F.exp(F.avg("l") + 2 * F.stddev_pop("l")), 1)
                  .alias("p97_model_chars")))
+
+
+# ---------------------------------------------------------------------------
+# Community detection by synchronous label propagation (Raghavan, Albert
+# & Kumara 2007) over the UNDIRECTED host graph: every node starts as its
+# own community; each round it adopts the most frequent label among its
+# neighbours (ties: lexicographically smallest). A fixed iteration count
+# with a deterministic tie rule makes the algorithm a pure function of
+# the edge set — the property the unrolled-CTE oracle replays (the
+# pagerank/HITS/k-means pattern). Communities are a DIFFERENT signal from
+# connected components: CC answers "reachable at all", LPA splits a
+# connected web neighbourhood into densely-linked clusters — the
+# crawl-prioritization / spam-farm grouping view of the host graph.
+# ---------------------------------------------------------------------------
+
+LPA_ITERS = 4
+
+
+def _lpa_oracle_sql(sf_dir: str) -> str:
+    base = _host_edges_cte(sf_dir) + """,
+    und AS MATERIALIZED (
+      SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+    lab0 AS (SELECT node, node AS label FROM nodes)"""
+    steps = []
+    for k in range(LPA_ITERS):
+        steps.append(f"""
+    cnt{k} AS (
+      SELECT u.dst AS node, l.label, count(*) AS c
+      FROM und u JOIN lab{k} l ON l.node = u.src
+      GROUP BY u.dst, l.label),
+    lab{k + 1} AS (
+      SELECT node, label FROM (
+        SELECT node, label,
+               row_number() OVER (PARTITION BY node
+                                  ORDER BY c DESC, label ASC) AS rk
+        FROM cnt{k}) WHERE rk = 1)""")
+    return (base + "," + ",".join(steps)
+            + f"\n    SELECT node, label AS community FROM lab{LPA_ITERS}")
+
+
+@register("communities_label_propagation", sql=_lpa_oracle_sql)
+def communities_label_propagation(spark, sf_dir):
+    # 100 TB: each round is one join keyed on the edge src + one
+    # (node, label) agg + one per-node window — all partitioned by node,
+    # never global; lineage cut per round like pagerank. In the
+    # undirected graph every node has >= 1 neighbour (nodes are defined
+    # by edge membership), so the count table covers all nodes each
+    # round and no carry-forward branch is needed.
+    from pyspark.sql.window import Window
+
+    edges, nodes = _host_edges(spark, sf_dir)
+    und = (edges.select("src", "dst")
+           .union(edges.select(F.col("dst").alias("src"),
+                               F.col("src").alias("dst")))
+           .distinct().localCheckpoint(eager=True))
+    labels = nodes.select("node", F.col("node").alias("label"))
+    w = Window.partitionBy("node").orderBy(F.desc("c"), F.asc("label"))
+    for _ in range(LPA_ITERS):
+        cnt = (und.join(labels.withColumnRenamed("node", "src"), "src")
+               .groupBy(F.col("dst").alias("node"), "label")
+               .agg(F.count("*").alias("c")))
+        labels = (cnt.withColumn("rk", F.row_number().over(w))
+                  .filter(F.col("rk") == 1)
+                  .select("node", "label")
+                  .localCheckpoint(eager=True))
+    return labels.select("node", F.col("label").alias("community"))

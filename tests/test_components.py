@@ -147,3 +147,41 @@ def test_hits_scores_are_l1_normalized(spark):
         any(r["hub"] > 0 and r["authority"] == 0 for r in rows)
     # scores differentiate (not a uniform fixed point)
     assert len({round(r["authority"], 9) for r in rows}) > 3
+
+
+def test_label_propagation_refines_connected_components(spark):
+    # LPA invariants at sf0.001: every host labeled exactly once, labels
+    # are node ids, >1 community exists (the algorithm discriminates),
+    # and every community lies inside ONE connected component of the
+    # undirected host graph (LPA can only refine reachability, never
+    # merge across components).
+    from crawspark.operators.analytics import _host_edges
+    from crawspark.registry import load_all
+
+    sf = "/root/testdata/sf0.001"
+    reg = load_all()
+    rows = reg["communities_label_propagation"].spark(spark, sf).collect()
+    community = {r["node"]: r["community"] for r in rows}
+    assert len(rows) == len(community)  # one row per node
+
+    edges, nodes = _host_edges(spark, sf)
+    node_set = {r["node"] for r in nodes.collect()}
+    assert set(community) == node_set
+    assert set(community.values()) <= node_set
+
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for e in edges.collect():
+        a, b = find(e["src"]), find(e["dst"])
+        if a != b:
+            parent[a] = b
+    comp_of = {n: find(n) for n in node_set}
+    for node, lbl in community.items():
+        assert comp_of[node] == comp_of[lbl], (node, lbl)
+    assert len(set(community.values())) > 1
