@@ -692,3 +692,89 @@ def communities_label_propagation(spark, sf_dir):
                   .select("node", "label")
                   .localCheckpoint(eager=True))
     return labels.select("node", F.col("label").alias("community"))
+
+
+# ---------------------------------------------------------------------------
+# Personalized (topic-sensitive) PageRank — the focused-crawl relevance
+# loop: instead of teleporting uniformly, all teleport AND dangling mass
+# returns to the crawl's SEED hosts (the `source` domains the crawl was
+# launched from), so rank measures proximity-to-seeds rather than global
+# popularity — the signal a focused crawler uses to keep its frontier on
+# topic [Haveliwala, WWW 2002]. Same unrolled-CTE oracle pattern as
+# pagerank_hosts; per-node formula r = (1-d)*v + d*(A^T r + dangling*v)
+# with v uniform over seeds and zero elsewhere.
+# ---------------------------------------------------------------------------
+
+
+def _ppr_oracle_sql(sf_dir: str) -> str:
+    base = _host_edges_cte(sf_dir) + f""",
+    seeds AS MATERIALIZED (
+      SELECT DISTINCT d.source AS node FROM documents d
+      JOIN nodes n ON n.node = d.source),
+    ns AS (SELECT CAST(count(*) AS DOUBLE) AS s FROM seeds),
+    outdeg AS (SELECT src, CAST(count(*) AS DOUBLE) AS d
+               FROM edges GROUP BY src),
+    v AS (SELECT n.node,
+                 CASE WHEN s.node IS NULL THEN 0.0
+                      ELSE 1.0 / (SELECT s FROM ns) END AS v
+          FROM nodes n LEFT JOIN seeds s ON s.node = n.node),
+    ppr0 AS (SELECT node, v AS rank FROM v)"""
+    steps = []
+    for k in range(PR_ITERS):
+        steps.append(f"""
+    pdang{k} AS (
+      SELECT coalesce(sum(p.rank), 0) AS s
+      FROM ppr{k} p LEFT JOIN outdeg o ON o.src = p.node
+      WHERE o.src IS NULL),
+    ppr{k + 1} AS (
+      SELECT v.node,
+             (1 - {PR_DAMPING}) * v.v
+             + {PR_DAMPING} * (coalesce(c.acc, 0)
+                               + (SELECT s FROM pdang{k}) * v.v) AS rank
+      FROM v LEFT JOIN (
+        SELECT e.dst AS node, sum(p.rank / o.d) AS acc
+        FROM edges e
+        JOIN ppr{k} p ON p.node = e.src
+        JOIN outdeg o ON o.src = e.src
+        GROUP BY e.dst
+      ) c ON c.node = v.node)""")
+    return (base + "," + ",".join(steps)
+            + f"\n    SELECT node, rank FROM ppr{PR_ITERS}")
+
+
+@register("pagerank_personalized", sql=_ppr_oracle_sql)
+def pagerank_personalized(spark, sf_dir):
+    # 100 TB shape identical to pagerank_hosts (edges/nodes materialized
+    # once, per-iteration lineage cut); the personalization vector is a
+    # per-node column carried through the loop, and the dangling scalar
+    # is a 1-row broadcast cross join — no extra driver action.
+    edges, nodes = _host_edges(spark, sf_dir)
+    docs = read_testdata(spark, sf_dir, "documents")
+    seeds = (docs.select(F.col("source").alias("node")).distinct()
+             .join(nodes, "node"))
+    ns = seeds.count()
+    v = (nodes.join(seeds.withColumn("is_seed", F.lit(1)), "node", "left")
+         .select("node",
+                 F.when(F.col("is_seed").isNotNull(), 1.0 / ns)
+                 .otherwise(0.0).alias("v"))
+         .localCheckpoint(eager=True))
+    outdeg = edges.groupBy("src").agg(F.count("*").cast("double").alias("d"))
+    ranks = v.select("node", F.col("v").alias("rank"))
+    for _ in range(PR_ITERS):
+        contrib = (edges.join(ranks, edges["src"] == ranks["node"])
+                   .join(outdeg, "src")
+                   .select(F.col("dst").alias("node"),
+                           (F.col("rank") / F.col("d")).alias("c"))
+                   .groupBy("node").agg(F.sum("c").alias("acc")))
+        dang = (ranks.join(outdeg, ranks["node"] == outdeg["src"],
+                           "left_anti")
+                .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dsum")))
+        ranks = (v.join(contrib, "node", "left")
+                 .crossJoin(F.broadcast(dang))
+                 .select("node",
+                         ((1 - PR_DAMPING) * F.col("v")
+                          + PR_DAMPING * (F.coalesce("acc", F.lit(0.0))
+                                          + F.col("dsum") * F.col("v")))
+                         .alias("rank"))
+                 .localCheckpoint(eager=True))
+    return ranks

@@ -185,3 +185,50 @@ def test_label_propagation_refines_connected_components(spark):
     for node, lbl in community.items():
         assert comp_of[node] == comp_of[lbl], (node, lbl)
     assert len(set(community.values())) > 1
+
+
+def test_personalized_pagerank_mass_and_locality(spark):
+    # PPR invariants at sf0.001: mass is conserved (teleport AND dangling
+    # return to the seed set, so ranks sum to 1), rank is non-negative,
+    # and a node carries rank iff it is a seed or reachable from one —
+    # unreachable non-seeds are EXACTLY zero (no uniform teleport floor,
+    # unlike pagerank_hosts).
+    from crawspark.operators.analytics import _host_edges
+    from crawspark.registry import load_all
+
+    sf = "/root/testdata/sf0.001"
+    reg = load_all()
+    rows = reg["pagerank_personalized"].spark(spark, sf).collect()
+    rank = {r["node"]: r["rank"] for r in rows}
+    assert abs(sum(rank.values()) - 1.0) < 1e-9
+    assert all(v >= 0 for v in rank.values())
+
+    edges, _nodes = _host_edges(spark, sf)
+    adj: dict = {}
+    for e in edges.collect():
+        adj.setdefault(e["src"], []).append(e["dst"])
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    seeds = {r["source"] for r in docs.select("source").distinct().collect()}
+    seeds &= set(rank)
+    # within-PR_ITERS-hops reach MUST carry rank; rank implies reachable
+    # at all (a node 6+ hops out is legitimately still zero after 5
+    # iterations, so the two directions use different horizons)
+    from crawspark.operators.analytics import PR_ITERS
+    reach_k = set(seeds)
+    frontier = list(seeds)
+    for _ in range(PR_ITERS):
+        nxt = [d for s in frontier for d in adj.get(s, ())
+               if d not in reach_k]
+        reach_k.update(nxt)
+        frontier = nxt
+    reach_all = set(reach_k)
+    while frontier:
+        nxt = [d for s in frontier for d in adj.get(s, ())
+               if d not in reach_all]
+        reach_all.update(nxt)
+        frontier = nxt
+    for node, v in rank.items():
+        if node in reach_k:
+            assert v > 0, node
+        if v > 0:
+            assert node in reach_all, node
