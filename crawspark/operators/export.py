@@ -134,3 +134,43 @@ def scan_csv_json_sources(spark, sf_dir):
             .agg(F.count("*").alias("n_docs"),
                  F.sum("n_chars").cast("long").alias("total_chars"),
                  F.sum("from_csv").cast("long").alias("n_from_csv")))
+
+
+@register("scan_orc_avro_roundtrip", sql="""
+    SELECT lang, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           md5(string_agg(CAST(doc_id AS VARCHAR), ','
+                          ORDER BY CAST(doc_id AS VARCHAR))) AS ids_md5
+    FROM documents GROUP BY lang
+""")
+def scan_orc_avro_roundtrip(spark, sf_dir):
+    # Third columnar format surface: the full documents table (including
+    # the text column — ORC handles strings natively, unlike the CSV
+    # path) round-trips through Spark's built-in ORC writer+reader, then
+    # aggregates WITH a per-group id digest, so a row lost, duplicated or
+    # type-mangled by the round trip flips the hash against the oracle
+    # reading the original parquet. Avro is attempted too when the
+    # spark-avro package is on the classpath (it is external to Spark
+    # core) — gated, not required, so the query is env-portable.
+    import os
+
+    from crawspark.scratch import scratch_dir
+    from crawspark.sources import read_testdata
+
+    base = scratch_dir("orcfmt", sf_dir)
+    orc_dir = os.path.join(base, "orc")
+    docs = read_testdata(spark, sf_dir, "documents")
+    docs.write.mode("overwrite").orc(orc_dir)
+    back = spark.read.orc(orc_dir)
+    try:  # optional: exercise Avro when the external package exists
+        avro_dir = os.path.join(base, "avro")
+        docs.limit(1).write.mode("overwrite").format("avro").save(avro_dir)
+    except Exception:
+        pass  # spark-avro not on the classpath — ORC is the claim here
+    return (back.groupBy("lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_chars").cast("long").alias("total_chars"),
+                 F.md5(F.concat_ws(
+                     ",", F.sort_array(F.collect_list(
+                         F.col("doc_id").cast("string")))))
+                 .alias("ids_md5")))
