@@ -210,67 +210,84 @@ def _host_edges(spark, sf_dir):
     return edges, nodes
 
 
+def _pr_steps_sql(prefix: str) -> str:
+    """Unrolled power-iteration steps r = (1-d)*v + d*(A^T r + dangling*v)
+    over a `v(node, v)` teleport CTE and `edges`/`outdeg` — ONE step
+    template shared by the uniform (pagerank_hosts, v = 1/n everywhere)
+    and seed-teleport (pagerank_personalized) oracles, so a damping /
+    dangling-handling fix cannot diverge the two. dang{k}: rank mass
+    sitting on nodes with no outlinks this iteration — returned to the
+    teleport vector (textbook PageRank; VERDICT r4 "what's wrong" #3:
+    dropping it made ranks not sum to 1)."""
+    steps = []
+    for k in range(PR_ITERS):
+        steps.append(f"""
+    {prefix}dang{k} AS (
+      SELECT coalesce(sum(p.rank), 0) AS s
+      FROM {prefix}{k} p LEFT JOIN outdeg o ON o.src = p.node
+      WHERE o.src IS NULL),
+    {prefix}{k + 1} AS (
+      SELECT v.node,
+             (1 - {PR_DAMPING}) * v.v
+             + {PR_DAMPING} * (coalesce(c.acc, 0)
+                               + (SELECT s FROM {prefix}dang{k}) * v.v)
+               AS rank
+      FROM v LEFT JOIN (
+        SELECT e.dst AS node, sum(p.rank / o.d) AS acc
+        FROM edges e
+        JOIN {prefix}{k} p ON p.node = e.src
+        JOIN outdeg o ON o.src = e.src
+        GROUP BY e.dst
+      ) c ON c.node = v.node)""")
+    return ",".join(steps)
+
+
 def _pagerank_oracle_sql(sf_dir: str) -> str:
     base = _host_edges_cte(sf_dir) + """,
     nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
     outdeg AS (SELECT src, CAST(count(*) AS DOUBLE) AS d
                FROM edges GROUP BY src),
-    pr0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes)"""
-    steps = []
-    for k in range(PR_ITERS):
-        # dang{k}: rank mass sitting on nodes with no outlinks this
-        # iteration — redistributed uniformly (textbook PageRank; VERDICT
-        # r4 "what's wrong" #3: dropping it made ranks not sum to 1).
-        steps.append(f"""
-    dang{k} AS (
-      SELECT coalesce(sum(p.rank), 0) AS s
-      FROM pr{k} p LEFT JOIN outdeg o ON o.src = p.node
-      WHERE o.src IS NULL),
-    pr{k + 1} AS (
-      SELECT n.node,
-             (1 - {PR_DAMPING}) / (SELECT n FROM nn)
-             + {PR_DAMPING} * (coalesce(c.acc, 0)
-                               + (SELECT s FROM dang{k})
-                                 / (SELECT n FROM nn)) AS rank
-      FROM nodes n LEFT JOIN (
-        SELECT e.dst AS node, sum(p.rank / o.d) AS acc
-        FROM edges e
-        JOIN pr{k} p ON p.node = e.src
-        JOIN outdeg o ON o.src = e.src
-        GROUP BY e.dst
-      ) c ON c.node = n.node)""")
-    return (base + "," + ",".join(steps)
+    v AS (SELECT node, 1.0 / (SELECT n FROM nn) AS v FROM nodes),
+    pr0 AS (SELECT node, v AS rank FROM v)"""
+    return (base + "," + _pr_steps_sql("pr")
             + f"\n    SELECT node, rank FROM pr{PR_ITERS}")
 
 
-@register("pagerank_hosts", sql=_pagerank_oracle_sql)
-def pagerank_hosts(spark, sf_dir):
-    edges, nodes = _host_edges(spark, sf_dir)  # reused every iteration
-    n = nodes.count()
+def _pr_power_iterations(edges, v):
+    """Spark twin of _pr_steps_sql: PR_ITERS rounds of
+    r = (1-d)*v + d*(A^T r + dangling*v) over a (node, v) teleport
+    frame. The dangling scalar is a 1-row broadcast cross join (no extra
+    driver action per iteration); lineage is cut per round."""
     outdeg = edges.groupBy("src").agg(F.count("*").cast("double").alias("d"))
-    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    ranks = v.select("node", F.col("v").alias("rank"))
     for _ in range(PR_ITERS):
         contrib = (edges.join(ranks, edges["src"] == ranks["node"])
                    .join(outdeg, "src")
                    .select(F.col("dst").alias("node"),
                            (F.col("rank") / F.col("d")).alias("c"))
                    .groupBy("node").agg(F.sum("c").alias("acc")))
-        # Dangling mass: rank on nodes with no outlinks, redistributed
-        # uniformly so total rank stays 1 (textbook PageRank). A 1-row
-        # broadcast cross join keeps the scalar in-plan — no extra
-        # driver action per iteration.
         dang = (ranks.join(outdeg, ranks["node"] == outdeg["src"],
                            "left_anti")
                 .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dsum")))
-        ranks = (nodes.join(contrib, "node", "left")
+        ranks = (v.join(contrib, "node", "left")
                  .crossJoin(F.broadcast(dang))
                  .select("node",
-                         (F.lit((1 - PR_DAMPING) / n)
+                         ((1 - PR_DAMPING) * F.col("v")
                           + PR_DAMPING * (F.coalesce("acc", F.lit(0.0))
-                                          + F.col("dsum") / n))
+                                          + F.col("dsum") * F.col("v")))
                          .alias("rank"))
-                 .localCheckpoint(eager=True))  # cut the growing lineage
+                 .localCheckpoint(eager=True))
     return ranks
+
+
+@register("pagerank_hosts", sql=_pagerank_oracle_sql)
+def pagerank_hosts(spark, sf_dir):
+    # Uniform teleport: v = 1/n everywhere; the loop body lives in
+    # _pr_power_iterations, shared with pagerank_personalized.
+    edges, nodes = _host_edges(spark, sf_dir)  # reused every iteration
+    n = nodes.count()
+    v = nodes.select("node", F.lit(1.0 / n).alias("v"))
+    return _pr_power_iterations(edges, v)
 
 
 @register("approx_quantile_bound", sql="""
@@ -719,62 +736,29 @@ def _ppr_oracle_sql(sf_dir: str) -> str:
                       ELSE 1.0 / (SELECT s FROM ns) END AS v
           FROM nodes n LEFT JOIN seeds s ON s.node = n.node),
     ppr0 AS (SELECT node, v AS rank FROM v)"""
-    steps = []
-    for k in range(PR_ITERS):
-        steps.append(f"""
-    pdang{k} AS (
-      SELECT coalesce(sum(p.rank), 0) AS s
-      FROM ppr{k} p LEFT JOIN outdeg o ON o.src = p.node
-      WHERE o.src IS NULL),
-    ppr{k + 1} AS (
-      SELECT v.node,
-             (1 - {PR_DAMPING}) * v.v
-             + {PR_DAMPING} * (coalesce(c.acc, 0)
-                               + (SELECT s FROM pdang{k}) * v.v) AS rank
-      FROM v LEFT JOIN (
-        SELECT e.dst AS node, sum(p.rank / o.d) AS acc
-        FROM edges e
-        JOIN ppr{k} p ON p.node = e.src
-        JOIN outdeg o ON o.src = e.src
-        GROUP BY e.dst
-      ) c ON c.node = v.node)""")
-    return (base + "," + ",".join(steps)
+    return (base + "," + _pr_steps_sql("ppr")
             + f"\n    SELECT node, rank FROM ppr{PR_ITERS}")
 
 
 @register("pagerank_personalized", sql=_ppr_oracle_sql)
 def pagerank_personalized(spark, sf_dir):
     # 100 TB shape identical to pagerank_hosts (edges/nodes materialized
-    # once, per-iteration lineage cut); the personalization vector is a
-    # per-node column carried through the loop, and the dangling scalar
-    # is a 1-row broadcast cross join — no extra driver action.
+    # once; the power-iteration loop is _pr_power_iterations, shared);
+    # the personalization vector is a per-node column carried through
+    # the loop. seeds feeds BOTH the count and the v join — checkpoint
+    # it once. A link-free corpus (no edges -> no nodes -> no seeds)
+    # returns the oracle's empty result instead of dividing by zero.
     edges, nodes = _host_edges(spark, sf_dir)
     docs = read_testdata(spark, sf_dir, "documents")
     seeds = (docs.select(F.col("source").alias("node")).distinct()
-             .join(nodes, "node"))
+             .join(nodes, "node")
+             .localCheckpoint(eager=True))
     ns = seeds.count()
+    if ns == 0:
+        return spark.createDataFrame([], "node string, rank double")
     v = (nodes.join(seeds.withColumn("is_seed", F.lit(1)), "node", "left")
          .select("node",
                  F.when(F.col("is_seed").isNotNull(), 1.0 / ns)
                  .otherwise(0.0).alias("v"))
          .localCheckpoint(eager=True))
-    outdeg = edges.groupBy("src").agg(F.count("*").cast("double").alias("d"))
-    ranks = v.select("node", F.col("v").alias("rank"))
-    for _ in range(PR_ITERS):
-        contrib = (edges.join(ranks, edges["src"] == ranks["node"])
-                   .join(outdeg, "src")
-                   .select(F.col("dst").alias("node"),
-                           (F.col("rank") / F.col("d")).alias("c"))
-                   .groupBy("node").agg(F.sum("c").alias("acc")))
-        dang = (ranks.join(outdeg, ranks["node"] == outdeg["src"],
-                           "left_anti")
-                .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dsum")))
-        ranks = (v.join(contrib, "node", "left")
-                 .crossJoin(F.broadcast(dang))
-                 .select("node",
-                         ((1 - PR_DAMPING) * F.col("v")
-                          + PR_DAMPING * (F.coalesce("acc", F.lit(0.0))
-                                          + F.col("dsum") * F.col("v")))
-                         .alias("rank"))
-                 .localCheckpoint(eager=True))
-    return ranks
+    return _pr_power_iterations(edges, v)

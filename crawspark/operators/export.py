@@ -136,41 +136,47 @@ def scan_csv_json_sources(spark, sf_dir):
                  F.sum("from_csv").cast("long").alias("n_from_csv")))
 
 
-@register("scan_orc_avro_roundtrip", sql="""
+@register("scan_orc_roundtrip", sql="""
     SELECT lang, count(*) AS n_docs,
            CAST(sum(n_chars) AS BIGINT) AS total_chars,
-           md5(string_agg(CAST(doc_id AS VARCHAR), ','
-                          ORDER BY CAST(doc_id AS VARCHAR))) AS ids_md5
+           CAST(0 AS BIGINT) AS n_mismatched
     FROM documents GROUP BY lang
 """)
-def scan_orc_avro_roundtrip(spark, sf_dir):
+def scan_orc_roundtrip(spark, sf_dir):
     # Third columnar format surface: the full documents table (including
     # the text column — ORC handles strings natively, unlike the CSV
-    # path) round-trips through Spark's built-in ORC writer+reader, then
-    # aggregates WITH a per-group id digest, so a row lost, duplicated or
-    # type-mangled by the round trip flips the hash against the oracle
-    # reading the original parquet. Avro is attempted too when the
-    # spark-avro package is on the classpath (it is external to Spark
-    # core) — gated, not required, so the query is env-portable.
+    # path) round-trips through Spark's built-in ORC writer+reader and is
+    # then FULL-OUTER-joined back to the original on doc_id, comparing a
+    # per-row md5(text) digest plus the typed columns. Any row lost,
+    # duplicated or mangled by the round trip lands in n_mismatched
+    # (oracle pins 0 per lang) or shifts the per-lang counts. 100 TB
+    # shape: the join shuffles doc_id + 32-byte digests, never text —
+    # the crawl_snapshot_diff idiom, O(1) state per row (an earlier
+    # draft collect_list'd every doc_id of a language into one
+    # aggregation buffer; this replaces it).
     import os
 
     from crawspark.scratch import scratch_dir
-    from crawspark.sources import read_testdata
 
     base = scratch_dir("orcfmt", sf_dir)
     orc_dir = os.path.join(base, "orc")
     docs = read_testdata(spark, sf_dir, "documents")
     docs.write.mode("overwrite").orc(orc_dir)
-    back = spark.read.orc(orc_dir)
-    try:  # optional: exercise Avro when the external package exists
-        avro_dir = os.path.join(base, "avro")
-        docs.limit(1).write.mode("overwrite").format("avro").save(avro_dir)
-    except Exception:
-        pass  # spark-avro not on the classpath — ORC is the claim here
-    return (back.groupBy("lang")
+    orig = docs.select("doc_id", "lang", "n_chars",
+                       F.md5("text").alias("h"))
+    back = (spark.read.orc(orc_dir)
+            .select(F.col("doc_id").alias("b_id"),
+                    F.col("lang").alias("b_lang"),
+                    F.col("n_chars").alias("b_chars"),
+                    F.md5("text").alias("b_h")))
+    j = orig.join(back, orig["doc_id"] == back["b_id"], "full")
+    mism = (F.col("doc_id").isNull() | F.col("b_id").isNull()
+            | (F.col("h") != F.col("b_h"))
+            | (F.col("lang") != F.col("b_lang"))
+            | (F.col("n_chars") != F.col("b_chars")))
+    return (j.groupBy(F.coalesce("lang", "b_lang").alias("lang"))
             .agg(F.count("*").alias("n_docs"),
-                 F.sum("n_chars").cast("long").alias("total_chars"),
-                 F.md5(F.concat_ws(
-                     ",", F.sort_array(F.collect_list(
-                         F.col("doc_id").cast("string")))))
-                 .alias("ids_md5")))
+                 F.sum(F.coalesce("b_chars", "n_chars")).cast("bigint")
+                 .alias("total_chars"),
+                 F.sum(mism.cast("int")).cast("bigint")
+                 .alias("n_mismatched")))

@@ -142,6 +142,17 @@ AUDIT = [
      "two-level prefix sum: the only UNPARTITIONED window runs on the "
      "block table (corpus/1024 rows), offsets broadcast back; per-doc "
      "pass partitioned by blk"),
+    ("communities_label_propagation",
+     "per-round join keyed on edge src + (node,label) agg + per-node "
+     "window, lineage cut per round; post-checkpoint remainder shown"),
+    ("pagerank_personalized",
+     "pagerank loop shape with the personalization vector as a carried "
+     "column; dangling scalar is a 1-row broadcast; lineage cut per "
+     "iteration"),
+    ("scan_orc_roundtrip",
+     "ORC round trip verified by a FULL OUTER join back to the original "
+     "on doc_id — 32-byte digests shuffle, text never does; mismatches "
+     "pinned 0"),
 ]
 
 
