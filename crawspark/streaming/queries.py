@@ -301,3 +301,56 @@ def stream_score_quality(spark, sf_dir):
     if not query.awaitTermination(600):
         raise RuntimeError("score stream did not complete within timeout")
     return spark.read.parquet(out)
+
+
+@register("stream_join_left_outer", sql="""
+    SELECT l.user_id AS user_id, count(*) AS n_rows,
+           CAST(sum(CASE WHEN r.event_id IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_unmatched
+    FROM events l LEFT JOIN events r
+      ON l.user_id = r.user_id AND r.event_id % 2 = 1
+     AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 10 MINUTE
+    WHERE l.event_id % 2 = 0
+    GROUP BY l.user_id
+""")
+def stream_join_left_outer(spark, sf_dir):
+    """LEFT OUTER watermarked interval join, drained end to end: even
+    events stream left, odd events right; matched pairs emit like the
+    inner join and every left event whose partner never arrives inside
+    the interval emits once with a NULL right id — but ONLY after the
+    min-of-both-streams watermark passes its expiry, which a plain
+    availableNow drain never reaches. run_left_join_drained appends two
+    far-future sentinel events per stream (mtime-ordered into trailing
+    microbatches, maxFilesPerTrigger=1) so the first pair advances both
+    watermarks and the second pair forces the flush batches. Parity vs
+    the DuckDB batch LEFT JOIN is the correctness claim (right-side
+    predicate in the ON clause, as left-join semantics require)."""
+    from crawspark.scratch import scratch_dir
+    from crawspark.sources import read_testdata
+    from crawspark.streaming.joined import run_left_join_drained
+
+    base = scratch_dir("sljoin", sf_dir, clean=("out", "ck"))
+    left, right, out, ck = (os.path.join(base, d)
+                            for d in ("left", "right", "out", "ck"))
+    events = read_testdata(spark, sf_dir, "events")
+    (events.filter(F.col("event_id") % 2 == 0)
+     .repartition(2).write.mode("overwrite").parquet(left))
+    (events.filter(F.col("event_id") % 2 == 1)
+     .repartition(2).write.mode("overwrite").parquet(right))
+    import datetime as _dt
+
+    mn, mx = events.agg(F.min("ts"), F.max("ts")).first()
+    span_days = int(((mx - mn).total_seconds()) / 86400.0) + 2
+    # sentinel must clear max_ts + watermark delay + interval
+    sentinel_ts = mx + _dt.timedelta(days=span_days + 1)
+    if not run_left_join_drained(spark, left, right, out, ck,
+                                 sentinel_ts=sentinel_ts,
+                                 watermark=f"{span_days} days",
+                                 timeout_sec=600):
+        raise RuntimeError("left-outer stream join did not drain in time")
+    return (spark.read.parquet(out)
+            .filter(F.col("left_id") >= 0)
+            .groupBy("user_id")
+            .agg(F.count("*").alias("n_rows"),
+                 F.sum(F.col("right_id").isNull().cast("int")).cast("long")
+                 .alias("n_unmatched")))

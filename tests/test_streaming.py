@@ -96,3 +96,42 @@ def test_stream_score_exactly_once_redrain(spark, tmp_path):
         assert got[d] == pytest.approx(batch[d], abs=1e-4), d
     drain()  # checkpoint kept: no new files, nothing appended
     assert spark.read.parquet(out).count() == 500
+
+
+def test_left_outer_interval_join_emits_unmatched(spark, tmp_path):
+    # The sentinel-drain protocol (run_left_join_drained): matched pairs
+    # stream like the inner join; left events with no partner inside the
+    # 10-minute interval emit with a NULL right_id once both watermarks
+    # pass their expiry. Hand-built case covers all three outcomes:
+    # matched, partner-outside-interval, no-partner-at-all.
+    from datetime import datetime, timedelta
+
+    from crawspark.streaming.joined import run_left_join_drained
+
+    t0 = datetime(2026, 1, 1, 12, 0, 0)
+    left_rows = [
+        (1, t0, 100, "l", 0.0, ""),                        # matched
+        (2, t0 + timedelta(minutes=5), 101, "l", 0.0, ""),  # partner late
+        (3, t0 + timedelta(minutes=1), 102, "l", 0.0, ""),  # no partner
+    ]
+    right_rows = [
+        (11, t0 + timedelta(minutes=2), 100, "r", 0.0, ""),   # pairs w/ 1
+        (12, t0 + timedelta(minutes=20), 101, "r", 0.0, ""),  # 15min gap
+    ]
+    schema = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    left, right, out, ck = (str(tmp_path / d)
+                            for d in ("left", "right", "out", "ck"))
+    spark.createDataFrame(left_rows, schema).repartition(2) \
+        .write.mode("overwrite").parquet(left)
+    spark.createDataFrame(right_rows, schema).repartition(2) \
+        .write.mode("overwrite").parquet(right)
+    # watermark 1h covers the 20-minute span; sentinel beyond
+    # max_ts + 1h + 10min with margin
+    sentinel_ts = t0 + timedelta(hours=3)
+    assert run_left_join_drained(spark, left, right, out, ck,
+                                 sentinel_ts=sentinel_ts,
+                                 watermark="1 hour", timeout_sec=300)
+    got = {(r.user_id, r.left_id, r.right_id)
+           for r in spark.read.parquet(out).filter("left_id >= 0").collect()}
+    assert got == {(100, 1, 11), (101, 2, None), (102, 3, None)}, got
