@@ -107,3 +107,19 @@ def test_curate_job_v4_classifier_gate(tmp_path):
     assert 0 < stats["docs_out"] < 500
     assert 0 < stats["mean_clf_score"] < 1
     assert stats["total_tokens"] > 0
+
+
+def test_dedup_job_mainline(tmp_path):
+    # winnowing strategy end to end as a subprocess from a foreign cwd:
+    # the planted excerpts guarantee duplicate groups exist, so the
+    # resolution table is non-empty and every group drops >= 1 doc.
+    out = _run([f"{REPO}/jobs/dedup.py",
+                "--sf-dir", "/root/testdata/sf0.001",
+                "--out", str(tmp_path / "dedup"),
+                "--strategy", "winnowing",
+                "--master", "local[4]"])
+    stats = json.loads(out)
+    assert stats["docs_in"] == 500
+    assert stats["rows_out"] > 0
+    assert 0 < stats["n_groups"] < stats["rows_out"]
+    assert stats["docs_dropped"] == stats["rows_out"] - stats["n_groups"]
