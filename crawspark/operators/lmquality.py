@@ -811,3 +811,63 @@ def quality_kn_perplexity(spark, sf_dir):
             .groupBy("doc_id", "lang")
             .agg(F.count("*").cast("int").alias("n_bigrams"),
                  F.round(F.avg(-F.log(p)), 4).alias("avg_neg_logp")))
+
+
+@register("text_char_entropy", sql="""
+    -- Per-document character-level Shannon entropy — the cheap
+    -- gibberish/binary-junk gate (low entropy = repeated-char spam,
+    -- near-log2(alphabet) = random noise; prose sits ~4.0-4.3 bits).
+    -- Independent implementations: numpy bincount over codepoints on
+    -- the Spark side vs a character unnest + aggregate here. The
+    -- identity H = log2(N) - sum(c*log2(c))/N avoids materializing
+    -- per-char probabilities; round(4) absorbs summation-order ulps.
+    WITH cnt AS (
+      SELECT doc_id, c, count(*) AS n FROM (
+        SELECT doc_id, unnest(string_split(text, '')) AS c
+        FROM documents WHERE length(text) > 0
+      ) GROUP BY doc_id, c
+    )
+    SELECT doc_id,
+           CAST(sum(n) AS INT) AS n_chars,
+           CAST(count(*) AS INT) AS n_distinct,
+           CAST(max(n) AS INT) AS max_char_count,
+           CAST(round(log2(sum(n)) - sum(n * log2(n)) / sum(n), 4)
+                AS DOUBLE) AS char_entropy
+    FROM cnt GROUP BY doc_id
+""")
+def text_char_entropy(spark, sf_dir):
+    """Character-entropy quality gate (Shannon over codepoints). The
+    Spark side never explodes characters into rows — each document is
+    decoded to a uint32 codepoint vector (utf-32-le view, zero-copy C)
+    and counted with np.unique inside mapInPandas: map-only, no shuffle,
+    per-doc Python overhead only. At 100 TB the explode-to-rows
+    formulation the oracle uses would shuffle ~100x the corpus; this
+    one rides the scan."""
+    from collections.abc import Iterator as _Iter
+
+    import numpy as np
+    import pandas as pd
+
+    docs = (read_testdata(spark, sf_dir, "documents")
+            .filter(F.length("text") > 0).select("doc_id", "text"))
+
+    def entropy(batches: _Iter[pd.DataFrame]) -> _Iter[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                cp = np.frombuffer(text.encode("utf-32-le"),
+                                   dtype=np.uint32)
+                _, counts = np.unique(cp, return_counts=True)
+                n = cp.size
+                ent = np.log2(n) - float(
+                    (counts * np.log2(counts)).sum()) / n
+                rows.append((doc_id, n, counts.size, int(counts.max()),
+                             round(ent, 4)))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "n_chars", "n_distinct", "max_char_count",
+                "char_entropy"])
+
+    return docs.mapInPandas(
+        entropy,
+        "doc_id long, n_chars int, n_distinct int, max_char_count int, "
+        "char_entropy double")

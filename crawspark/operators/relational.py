@@ -1420,3 +1420,92 @@ def frontier_politeness_schedule(spark, sf_dir):
                  F.max("finish_s").cast("bigint").alias("chain_bound_s"),
                  F.greatest(F.sum("n_urls"), F.max("finish_s"))
                  .cast("bigint").alias("lower_bound_s")))
+
+
+@register("surt_url_index", sql=_sf_sql("""
+    -- SURT canonical keys (Sort-friendly URI Reordering Transform — the
+    -- CDX index key every web archive sorts on: host labels reversed
+    -- and comma-joined, scheme dropped, www. stripped, default ports
+    -- dropped, fragment dropped, query params sorted). The corpus
+    -- outlinks are uniformly clean, so every outlink whose path ends in
+    -- 'p1' also contributes three MESSY TWINS: a collapse twin
+    -- (https://WWW.<host>:443<path>#frag) whose surt must EQUAL the
+    -- clean original's (proving scheme-drop, www-strip, port-drop,
+    -- fragment-drop), and two query twins (?b=2&a=1 vs ?a=1&b=2) that
+    -- must land in ONE group (proving param sorting). Shared step order
+    -- both engines.
+    WITH links AS (
+      SELECT unnest(outlinks) AS url FROM __ORACLE_PQ__
+    ), aug AS (
+      SELECT url FROM links
+      UNION ALL
+      SELECT regexp_replace(url, '^http://([^/?#]+)',
+                            'https://WWW.\\1:443') || '#frag'
+      FROM links WHERE url LIKE '%p1'
+      UNION ALL
+      SELECT url || '?b=2&a=1' FROM links WHERE url LIKE '%p1'
+      UNION ALL
+      SELECT url || '?a=1&b=2' FROM links WHERE url LIKE '%p1'
+    ), parts AS (
+      SELECT url,
+             regexp_replace(regexp_replace(lower(regexp_extract(u,
+               '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)),
+               ':(80|443)$', ''), '^www\\.', '') AS host,
+             regexp_extract(u,
+               '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^?#]*)', 1) AS path,
+             regexp_extract(u, '\\?([^#]*)', 1) AS q
+      FROM (SELECT url, regexp_replace(url, '#.*$', '') AS u FROM aug)
+    )
+    SELECT array_to_string(list_reverse(string_split(host, '.')), ',')
+           || ')'
+           || CASE WHEN path = '' THEN '/' ELSE path END
+           || CASE WHEN q = '' THEN ''
+                   ELSE '?' || array_to_string(
+                          list_sort(string_split(q, '&')), '&') END
+             AS surt,
+           CAST(count(*) AS BIGINT) AS n_urls,
+           min(url) AS first_url
+    FROM parts WHERE host <> '' GROUP BY surt
+"""))
+def surt_url_index(spark, sf_dir):
+    """SURT index keys for a CDX-style capture index [public: Heritrix /
+    OpenWayback SURT + CDXJ canonicalization]. All JVM string/array
+    built-ins — at 100 TB this is the map side of the global CDX sort;
+    the only shuffle is the final groupBy on the 32-byte-ish key. The
+    collapse twin (scheme/www/port/fragment) must join its clean
+    original's group; the two query twins must sort into one shared
+    group — both collapses surface as n_urls >= 2 in the driver hash."""
+    from crawspark.operators.extraction_queries import _extracted
+
+    links = (_extracted(spark, sf_dir)
+             .select(F.explode("outlinks").alias("url")))
+    p1 = links.filter(F.col("url").like("%p1"))
+    collapse = p1.select(F.concat(
+        F.regexp_replace("url", r"^http://([^/?#]+)",
+                         "https://WWW.$1:443"),
+        F.lit("#frag")).alias("url"))
+    q_ba = p1.select(F.concat("url", F.lit("?b=2&a=1")).alias("url"))
+    q_ab = p1.select(F.concat("url", F.lit("?a=1&b=2")).alias("url"))
+    aug = links.unionByName(collapse).unionByName(q_ba).unionByName(q_ab)
+    u = F.regexp_replace(F.col("url"), r"#.*$", "")
+    host = F.regexp_replace(
+        F.regexp_replace(
+            F.lower(F.regexp_extract(
+                u, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)", 1)),
+            r":(80|443)$", ""),
+        r"^www\.", "")
+    path = F.regexp_extract(
+        u, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^?#]*)", 1)
+    q = F.regexp_extract(u, r"\?([^#]*)", 1)
+    surt = F.concat(
+        F.array_join(F.reverse(F.split(host, r"\.")), ","),
+        F.lit(")"),
+        F.when(path == "", "/").otherwise(path),
+        F.when(q == "", "").otherwise(
+            F.concat(F.lit("?"),
+                     F.array_join(F.array_sort(F.split(q, "&")), "&"))))
+    return (aug.select(surt.alias("surt"), F.col("url"))
+            .filter(host != "")
+            .groupBy("surt")
+            .agg(F.count("*").alias("n_urls"),
+                 F.min("url").alias("first_url")))

@@ -875,3 +875,157 @@ def dedup_substring_coverage(spark, sf_dir):
                  F.sum("c").cast("int").alias("covered_toks"),
                  F.round(F.sum("c") / F.any_value("n_toks"), 4)
                  .alias("dup_frac")))
+
+
+# ---------------------------------------------------------------------------
+# Encoding hygiene: mojibake repair + Unicode NFC audit.
+#
+# Real crawl corpora carry two classic encoding defects the extraction
+# pipeline must clean before tokenization:
+#   1. MOJIBAKE — UTF-8 bytes mis-decoded as Windows-1252 somewhere
+#      upstream ('é' -> 'Ã©', '’' -> 'â€™'); the ftfy repair everyone
+#      runs, here as a broadcast-free chained-replace over the ten most
+#      common UTF-8-through-cp1252 sequences (all JVM regexp/replace —
+#      no Python in the hot path, map-only, zero shuffle until the agg).
+#   2. NON-NFC text — decomposed combining sequences ('e' + U+0301) that
+#      break exact-match dedup and tokenizer merges; audited per doc
+#      with Python's unicodedata (C implementation) vs DuckDB's
+#      independent utf8proc nfc_normalize — two unrelated Unicode
+#      implementations must agree on every per-doc NFC md5.
+#
+# The driver corpus is pure ASCII, so both queries carry deterministic
+# PLANTS under negative doc_ids (the dedup_containment_pairs idiom):
+# clean docs prove the no-op path (n_fixed = 0 / is_nfc = true), planted
+# twins prove the repair/normalization path, at every SF.
+# ---------------------------------------------------------------------------
+
+# (clean, mojibake) pairs = the clean char's UTF-8 bytes viewed through
+# cp1252. Verified by tests/test_encoding_hygiene.py with a REAL
+# .encode('utf-8').decode('cp1252') round trip, so the table cannot
+# drift from the defect it claims to undo. Every byte of every pattern
+# is defined in cp1252 (0x81/8D/8F/90/9D carriers excluded by choice of
+# clean chars).
+MOJIBAKE_PAIRS: list[tuple[str, str]] = [
+    ("é", "Ã©"), ("ü", "Ã¼"), ("ï", "Ã¯"), ("ç", "Ã§"), ("ñ", "Ã±"),
+    ("’", "â€™"), ("“", "â€œ"), ("–", "â€“"), ("—", "â€”"), ("…", "â€¦"),
+]
+# cp1252 round trip of 'Café naïve façade über mañana “quote’ – dash — em …'
+_MOJI_PREFIX = "CafÃ© naÃ¯ve faÃ§ade Ã¼ber maÃ±ana â€œquoteâ€™ â€“ dash â€” em â€¦"
+
+_MOJI_COUNT_SQL = " + ".join(
+    f"(length(text) - length(replace(text, '{bad}', ''))) // {len(bad)}"
+    for _, bad in MOJIBAKE_PAIRS)
+_MOJI_FIX_SQL = "text"
+for _good, _bad in MOJIBAKE_PAIRS:
+    _MOJI_FIX_SQL = f"replace({_MOJI_FIX_SQL}, '{_bad}', '{_good}')"
+
+
+@register("fix_mojibake", sql=f"""
+    -- UTF-8-through-cp1252 repair over the corpus + planted mojibake
+    -- twins (every 23rd doc under -doc_id - 1). n_fixed counts
+    -- replacements per pattern on the PRE-repair text (pattern
+    -- occurrences are mutually disjoint — no substring/suffix-prefix
+    -- sharing, pinned by test — so the sequential replace chain sees
+    -- exactly those occurrences); fixed_md5 pins the repaired text.
+    WITH docs_aug AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT -doc_id - 1 AS doc_id,
+             '{_MOJI_PREFIX} ' || substr(text, 1, 120) AS text
+      FROM documents WHERE doc_id % 23 = 0
+    )
+    SELECT doc_id,
+           CAST({_MOJI_COUNT_SQL} AS BIGINT) AS n_fixed,
+           md5({_MOJI_FIX_SQL}) AS fixed_md5
+    FROM docs_aug
+""")
+def fix_mojibake(spark, sf_dir):
+    """Targeted mojibake repair (the ftfy-core case: UTF-8 bytes decoded
+    as Windows-1252 upstream). Chained JVM ``replace`` over the ten
+    dominant sequences — map-only, no shuffle, no Python; at 100 TB this
+    is a free rider on the first scan of the corpus. Clean docs are
+    proven untouched (n_fixed = 0 and md5(text) unchanged participate in
+    the driver hash)."""
+    from functools import reduce
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    plants = (docs.filter(F.col("doc_id") % 23 == 0)
+              .select((-F.col("doc_id") - 1).alias("doc_id"),
+                      F.concat(F.lit(_MOJI_PREFIX + " "),
+                               F.substring("text", 1, 120)).alias("text")))
+    aug = docs.select("doc_id", "text").unionByName(plants)
+    t = F.col("text")
+    n_fixed = None
+    for _good, bad in MOJIBAKE_PAIRS:
+        c = ((F.length(t) - F.length(F.replace(t, F.lit(bad), F.lit(""))))
+             / F.lit(len(bad))).cast("long")
+        n_fixed = c if n_fixed is None else n_fixed + c
+    fixed = reduce(lambda col, p: F.replace(col, F.lit(p[1]), F.lit(p[0])),
+                   MOJIBAKE_PAIRS, t)
+    return aug.select("doc_id", n_fixed.alias("n_fixed"),
+                      F.md5(fixed.cast("binary")).alias("fixed_md5"))
+
+
+@register("unicode_nfc_stats", sql="""
+    -- NFC audit: Python unicodedata (Spark side) vs DuckDB utf8proc —
+    -- two independent Unicode normalization implementations must agree
+    -- on every per-doc NFC md5. Plants: every 17th doc gets a DECOMPOSED
+    -- twin ('e' -> 'e' + combining acute U+0301, NFC recomposes to 'é'),
+    -- every 19th a PRECOMPOSED twin ('a' -> 'ä', already NFC) — the
+    -- audit must flag the first and pass the second.
+    WITH docs_aug AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT -doc_id - 1 AS doc_id, replace(text, 'e', 'e' || chr(769))
+      FROM documents WHERE doc_id % 17 = 0
+      UNION ALL
+      SELECT -doc_id - 1000000001 AS doc_id, replace(text, 'a', chr(228))
+      FROM documents WHERE doc_id % 19 = 0
+    )
+    SELECT doc_id,
+           text = nfc_normalize(text) AS is_nfc,
+           CAST(length(text) AS INT) AS orig_len,
+           CAST(length(nfc_normalize(text)) AS INT) AS nfc_len,
+           md5(nfc_normalize(text)) AS nfc_md5
+    FROM docs_aug
+""")
+def unicode_nfc_stats(spark, sf_dir):
+    """Unicode NFC normalization audit: per-doc is-normalized flag,
+    codepoint lengths before/after, and the md5 of the NFC form.
+    unicodedata.normalize is a C routine; the batch loop is per-DOC (not
+    per-char) inside mapInPandas — the same cost shape as the robots
+    decisions. 100 TB: map-only, no shuffle; the NFC pass would fuse
+    into the extraction scan."""
+    import hashlib
+    import unicodedata
+    from collections.abc import Iterator as _Iter
+
+    import pandas as pd
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    plants_dec = (docs.filter(F.col("doc_id") % 17 == 0)
+                  .select((-F.col("doc_id") - 1).alias("doc_id"),
+                          F.replace("text", F.lit("e"),
+                                    F.lit("e\u0301")).alias("text")))
+    plants_pre = (docs.filter(F.col("doc_id") % 19 == 0)
+                  .select((-F.col("doc_id") - 1000000001).alias("doc_id"),
+                          F.replace("text", F.lit("a"),
+                                    F.lit("\u00e4")).alias("text")))
+    aug = (docs.select("doc_id", "text")
+           .unionByName(plants_dec).unionByName(plants_pre))
+
+    def audit(batches: _Iter[pd.DataFrame]) -> _Iter[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                text = text or ""
+                nfc = unicodedata.normalize("NFC", text)
+                rows.append((doc_id, nfc == text, len(text), len(nfc),
+                             hashlib.md5(nfc.encode("utf-8")).hexdigest()))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "is_nfc", "orig_len", "nfc_len", "nfc_md5"])
+
+    return aug.mapInPandas(
+        audit,
+        "doc_id long, is_nfc boolean, orig_len int, nfc_len int, "
+        "nfc_md5 string")

