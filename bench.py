@@ -104,6 +104,11 @@ def main() -> None:
         "dedup_incremental_minhash": "documents",
         "dedup_substring_coverage": "documents",
         "pack_context_windows": "documents",
+        # r5 session-8 additions: encoding hygiene (chained-replace
+        # mojibake repair, numpy char-entropy gate) and SURT key build
+        "fix_mojibake": "documents",
+        "text_char_entropy": "documents",
+        "surt_url_index": "documents",
     }
     NAMES = tuple(DRIVING)
     table_rows = {t: read_testdata(spark, SF_DIR, t).count()

@@ -838,8 +838,9 @@ def quality_kn_perplexity(spark, sf_dir):
 def text_char_entropy(spark, sf_dir):
     """Character-entropy quality gate (Shannon over codepoints). The
     Spark side never explodes characters into rows — each document is
-    decoded to a uint32 codepoint vector (utf-32-le view, zero-copy C)
-    and counted with np.unique inside mapInPandas: map-only, no shuffle,
+    encoded once to utf-32-le (C speed) and viewed as a uint32
+    codepoint vector with np.frombuffer (zero-copy over that buffer),
+    then counted with np.unique inside mapInPandas: map-only, no shuffle,
     per-doc Python overhead only. At 100 TB the explode-to-rows
     formulation the oracle uses would shuffle ~100x the corpus; this
     one rides the scan."""
