@@ -1029,3 +1029,52 @@ def unicode_nfc_stats(spark, sf_dir):
         audit,
         "doc_id long, is_nfc boolean, orig_len int, nfc_len int, "
         "nfc_md5 string")
+
+
+# FineWeb/RefinedWeb-style blocklist gate: corpora are filtered by the
+# fraction of tokens hitting a curated blocklist (UT1-style). The corpus
+# is benign word soup, so three mid-frequency vocabulary words stand in
+# for the list; the MACHINERY (token-level word match, ratio, threshold
+# gate) is what the query pins. Threshold 0.04 sits inside the corpus
+# ratio distribution (median 0.031, p75 0.050 at sf0.01), so both gate
+# outcomes are populated at every SF by construction.
+BLOCK_TERMS = ("slow", "stale", "skew")
+BLOCK_RATIO_MAX = 0.04
+
+
+@register("quality_blocklist_gate", sql=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS ts
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(ts) AS INT) AS n_tokens,
+           CAST(len(list_filter(ts, x -> x IN
+                 {BLOCK_TERMS!r})) AS INT) AS n_blocked,
+           CAST(round(CAST(len(list_filter(ts, x -> x IN
+                 {BLOCK_TERMS!r})) AS DOUBLE)
+                 / greatest(len(ts), 1), 4) AS DOUBLE) AS blocked_ratio,
+           CAST(len(list_filter(ts, x -> x IN {BLOCK_TERMS!r})) AS DOUBLE)
+             / greatest(len(ts), 1) < {BLOCK_RATIO_MAX} AS keep
+    FROM toks
+""")
+def quality_blocklist_gate(spark, sf_dir):
+    """Blocklist-fraction quality gate [public: UT1 blocklist filtering
+    in RefinedWeb/FineWeb pipelines]: per-doc count and ratio of tokens
+    on a blocklist, keep = ratio under threshold. Shares the corpus word
+    tokenizer (_WORD_TOKS). All JVM array ops — map-only, no shuffle; at
+    100 TB the real multi-thousand-term list would broadcast and the
+    membership test would stay a hash probe inside codegen."""
+    in_list = ", ".join(f"'{t}'" for t in BLOCK_TERMS)
+    docs = (read_testdata(spark, sf_dir, "documents")
+            .withColumn("ts", F.expr(_WORD_TOKS)))
+    nb = F.expr(f"size(filter(ts, x -> x IN ({in_list})))")
+    nt = F.greatest(F.size("ts"), F.lit(1))
+    return docs.select(
+        "doc_id",
+        F.size("ts").cast("int").alias("n_tokens"),
+        nb.cast("int").alias("n_blocked"),
+        F.round(nb.cast("double") / nt, 4).alias("blocked_ratio"),
+        (nb.cast("double") / nt < BLOCK_RATIO_MAX).alias("keep"))
