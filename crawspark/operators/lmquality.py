@@ -820,7 +820,11 @@ def quality_kn_perplexity(spark, sf_dir):
     -- Independent implementations: numpy bincount over codepoints on
     -- the Spark side vs a character unnest + aggregate here. The
     -- identity H = log2(N) - sum(c*log2(c))/N avoids materializing
-    -- per-char probabilities; round(4) absorbs summation-order ulps.
+    -- per-char probabilities; both sides round half-away-from-zero at
+    -- 4dp (the Python side floors x*1e4+0.5 to match DuckDB's round —
+    -- banker's rounding would diverge on ties; a summation-order ulp
+    -- straddling a .00005 boundary remains the one theoretical
+    -- divergence, as in every float-chain oracle in this registry).
     WITH cnt AS (
       SELECT doc_id, c, count(*) AS n FROM (
         SELECT doc_id, unnest(string_split(text, '')) AS c
@@ -846,7 +850,6 @@ def text_char_entropy(spark, sf_dir):
     one rides the scan."""
     from collections.abc import Iterator as _Iter
 
-    import numpy as np
     import pandas as pd
 
     docs = (read_testdata(spark, sf_dir, "documents")
@@ -854,21 +857,31 @@ def text_char_entropy(spark, sf_dir):
 
     def entropy(batches: _Iter[pd.DataFrame]) -> _Iter[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                cp = np.frombuffer(text.encode("utf-32-le"),
-                                   dtype=np.uint32)
-                _, counts = np.unique(cp, return_counts=True)
-                n = cp.size
-                ent = np.log2(n) - float(
-                    (counts * np.log2(counts)).sum()) / n
-                rows.append((doc_id, n, counts.size, int(counts.max()),
-                             round(ent, 4)))
-            yield pd.DataFrame(rows, columns=[
-                "doc_id", "n_chars", "n_distinct", "max_char_count",
-                "char_entropy"])
+            yield pd.DataFrame(
+                [(doc_id,) + char_entropy_stats(text)
+                 for doc_id, text in zip(pdf["doc_id"], pdf["text"])],
+                columns=["doc_id", "n_chars", "n_distinct",
+                         "max_char_count", "char_entropy"])
 
     return docs.mapInPandas(
         entropy,
         "doc_id long, n_chars int, n_distinct int, max_char_count int, "
         "char_entropy double")
+
+
+def char_entropy_stats(text: str) -> tuple[int, int, int, float]:
+    """(n_chars, n_distinct, max_char_count, entropy@4dp) for one doc —
+    the per-document kernel of text_char_entropy, exposed so the unit
+    test drives the SAME code the UDF runs. Rounding is half-away-from-
+    zero (entropy >= 0, so floor(x*1e4 + 0.5)) to match DuckDB's round()
+    — Python's round() is banker's and would diverge on exact ties."""
+    import math
+
+    import numpy as np
+
+    cp = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32)
+    _, counts = np.unique(cp, return_counts=True)
+    n = cp.size
+    ent = np.log2(n) - float((counts * np.log2(counts)).sum()) / n
+    return (n, counts.size, int(counts.max()),
+            math.floor(ent * 1e4 + 0.5) / 1e4)

@@ -1487,7 +1487,20 @@ def surt_url_index(spark, sf_dir):
     q_ba = p1.select(F.concat("url", F.lit("?b=2&a=1")).alias("url"))
     q_ab = p1.select(F.concat("url", F.lit("?a=1&b=2")).alias("url"))
     aug = links.unionByName(collapse).unionByName(q_ba).unionByName(q_ab)
-    u = F.regexp_replace(F.col("url"), r"#.*$", "")
+    host, surt = surt_exprs(F.col("url"))
+    return (aug.select(surt.alias("surt"), F.col("url"))
+            .filter(host != "")
+            .groupBy("surt")
+            .agg(F.count("*").alias("n_urls"),
+                 F.min("url").alias("first_url")))
+
+
+def surt_exprs(url):
+    """(host, surt) Column pair for a URL column — the ONE SURT
+    canonicalization chain, shared by surt_url_index and its hand-case
+    test (inlining a copy in the test would let the chain drift while
+    the test stays green)."""
+    u = F.regexp_replace(url, r"#.*$", "")
     host = F.regexp_replace(
         F.regexp_replace(
             F.lower(F.regexp_extract(
@@ -1504,11 +1517,7 @@ def surt_url_index(spark, sf_dir):
         F.when(q == "", "").otherwise(
             F.concat(F.lit("?"),
                      F.array_join(F.array_sort(F.split(q, "&")), "&"))))
-    return (aug.select(surt.alias("surt"), F.col("url"))
-            .filter(host != "")
-            .groupBy("surt")
-            .agg(F.count("*").alias("n_urls"),
-                 F.min("url").alias("first_url")))
+    return host, surt
 
 
 # Public-suffix handling (the PSL rule: the registrable domain — eTLD+1
@@ -1532,7 +1541,8 @@ PSL_ONE_LABEL = ("org", "com", "net", "uk", "au", "jp", "io")
     ), aug AS (
       SELECT url FROM links
       UNION ALL
-      SELECT regexp_replace(url, '\\.example\\.org/', '.example.co.uk/')
+      SELECT regexp_replace(url, '^http://([^/]*)\\.example\\.org/',
+                            'http://\\1.example.co.uk/')
       FROM links WHERE url LIKE '%p2'
       UNION ALL
       SELECT regexp_replace(url, '^http://[^/]+', 'http://co.uk')
@@ -1574,17 +1584,30 @@ def registered_domain_stats(spark, sf_dir):
              .select(F.explode("outlinks").alias("url")))
     tw_co = (links.filter(F.col("url").like("%p2"))
              .select(F.regexp_replace(
-                 "url", r"\.example\.org/", ".example.co.uk/")
-                 .alias("url")))
+                 "url", r"^http://([^/]*)\.example\.org/",
+                 "http://$1.example.co.uk/").alias("url")))
     tw_bare = (links.filter(F.col("url").like("%p4"))
                .select(F.regexp_replace(
                    "url", r"^http://[^/]+", "http://co.uk").alias("url")))
     aug = links.unionByName(tw_co).unionByName(tw_bare)
     ls = F.split(F.lower(F.regexp_extract(
         "url", r"^[a-z][a-z0-9+.-]*://([^/?#:]+)", 1)), r"\.")
+    hosts = aug.select(ls.alias("ls"), F.size(ls).alias("n"))
+    k, etld1 = psl_exprs()
+    return (hosts.withColumn("k", k)
+            .select(etld1.alias("etld1"), "k")
+            .groupBy("etld1")
+            .agg(F.min("k").cast("int").alias("suffix_labels"),
+                 F.count("*").alias("n_urls")))
+
+
+def psl_exprs():
+    """(k, etld1) Column pair over a frame with ``ls`` (host labels) and
+    ``n`` (label count) — the ONE PSL longest-match chain, shared by
+    registered_domain_stats and its hand-case test. k must be resolved
+    as a column named ``k`` before etld1 is evaluated."""
     two_list = ", ".join(f"'{s}'" for s in PSL_TWO_LABEL)
     one_list = ", ".join(f"'{s}'" for s in PSL_ONE_LABEL)
-    hosts = aug.select(ls.alias("ls"), F.size(ls).alias("n"))
     k = F.expr(
         f"CASE WHEN n >= 2 AND concat(element_at(ls, -2), '.', "
         f"element_at(ls, -1)) IN ({two_list}) THEN 2 "
@@ -1594,8 +1617,4 @@ def registered_domain_stats(spark, sf_dir):
         "element_at(ls, -3), element_at(ls, -2), element_at(ls, -1)) "
         "WHEN k = 1 AND n >= 2 THEN concat_ws('.', "
         "element_at(ls, -2), element_at(ls, -1)) ELSE '(none)' END")
-    return (hosts.withColumn("k", k)
-            .select(etld1.alias("etld1"), "k")
-            .groupBy("etld1")
-            .agg(F.min("k").cast("int").alias("suffix_labels"),
-                 F.count("*").alias("n_urls")))
+    return k, etld1

@@ -906,8 +906,16 @@ def dedup_substring_coverage(spark, sf_dir):
 # is defined in cp1252 (0x81/8D/8F/90/9D carriers excluded by choice of
 # clean chars).
 MOJIBAKE_PAIRS: list[tuple[str, str]] = [
+    # ORDER MATTERS: a repaired (clean) char may itself occur inside a
+    # later pattern — '“' (cp1252 0x93) is the final char of '–'-mojibake
+    # 'â€“' — and a stray 'â€' just before a repaired '“' would then
+    # assemble a NEW 'â€“' occurrence for a later pass to consume,
+    # making n_fixed (counted on the pre-repair text) undercount. So any
+    # pair whose clean char occurs in another pair's pattern runs AFTER
+    # that pair: '–' before '“'. Pinned by
+    # tests/test_encoding_hygiene.py::test_mojibake_chain_order_safe.
     ("é", "Ã©"), ("ü", "Ã¼"), ("ï", "Ã¯"), ("ç", "Ã§"), ("ñ", "Ã±"),
-    ("’", "â€™"), ("“", "â€œ"), ("–", "â€“"), ("—", "â€”"), ("…", "â€¦"),
+    ("’", "â€™"), ("–", "â€“"), ("“", "â€œ"), ("—", "â€”"), ("…", "â€¦"),
 ]
 # cp1252 round trip of 'Café naïve façade über mañana “quote’ – dash — em …'
 _MOJI_PREFIX = "CafÃ© naÃ¯ve faÃ§ade Ã¼ber maÃ±ana â€œquoteâ€™ â€“ dash â€” em â€¦"
@@ -974,12 +982,17 @@ def fix_mojibake(spark, sf_dir):
     -- every 19th a PRECOMPOSED twin ('a' -> 'ä', already NFC) — the
     -- audit must flag the first and pass the second.
     WITH docs_aug AS (
-      SELECT doc_id, text FROM documents
+      -- coalesce matches the Spark side's null coercion in the audit
+      -- UDF (a NULL text row would otherwise produce NULL is_nfc/md5
+      -- here but ''-stats there)
+      SELECT doc_id, coalesce(text, '') AS text FROM documents
       UNION ALL
-      SELECT -doc_id - 1 AS doc_id, replace(text, 'e', 'e' || chr(769))
+      SELECT -doc_id - 1 AS doc_id,
+             replace(coalesce(text, ''), 'e', 'e' || chr(769))
       FROM documents WHERE doc_id % 17 = 0
       UNION ALL
-      SELECT -doc_id - 1000000001 AS doc_id, replace(text, 'a', chr(228))
+      SELECT -doc_id - 1000000001 AS doc_id,
+             replace(coalesce(text, ''), 'a', chr(228))
       FROM documents WHERE doc_id % 19 = 0
     )
     SELECT doc_id,
@@ -1018,7 +1031,7 @@ def unicode_nfc_stats(spark, sf_dir):
         for pdf in batches:
             rows = []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                text = text or ""
+                text = text or ""  # mirrored by coalesce in the oracle
                 nfc = unicodedata.normalize("NFC", text)
                 rows.append((doc_id, nfc == text, len(text), len(nfc),
                              hashlib.md5(nfc.encode("utf-8")).hexdigest()))

@@ -1,26 +1,11 @@
 """PSL eTLD+1 semantics and the blocklist gate: the branches the shared
-closed-form oracles replay but cannot independently justify."""
+closed-form oracles replay but cannot independently justify. The hand
+cases drive the PRODUCTION expression builders exported by
+relational.py (psl_exprs) — not a private copy that could drift."""
 
 from __future__ import annotations
 
 from pyspark.sql import functions as F
-
-
-def _etld1_expr():
-    from crawspark.operators.relational import PSL_ONE_LABEL, PSL_TWO_LABEL
-    two_list = ", ".join(f"'{s}'" for s in PSL_TWO_LABEL)
-    one_list = ", ".join(f"'{s}'" for s in PSL_ONE_LABEL)
-    k = F.expr(
-        f"CASE WHEN n >= 2 AND concat(element_at(ls, -2), '.', "
-        f"element_at(ls, -1)) IN ({two_list}) THEN 2 "
-        f"WHEN element_at(ls, -1) IN ({one_list}) THEN 1 ELSE 0 END")
-    etld1 = F.expr(
-        "CASE WHEN k = 2 AND n >= 3 THEN concat_ws('.', "
-        "element_at(ls, -3), element_at(ls, -2), element_at(ls, -1)) "
-        "WHEN k = 1 AND n >= 2 THEN concat_ws('.', "
-        "element_at(ls, -2), element_at(ls, -1)) ELSE '(none)' END")
-    return k, etld1
-
 
 PSL_CASES = [
     # (host, expected eTLD+1) — the PSL rule: longest matching suffix
@@ -36,10 +21,11 @@ PSL_CASES = [
 
 
 def test_psl_longest_match_hand_cases(spark):
+    from crawspark.operators.relational import psl_exprs
     df = spark.createDataFrame([(h,) for h, _ in PSL_CASES], ["host"])
     ls = F.split("host", r"\.")
     hosts = df.select("host", ls.alias("ls"), F.size(ls).alias("n"))
-    k, etld1 = _etld1_expr()
+    k, etld1 = psl_exprs()
     got = {r.host: r.e for r in
            hosts.withColumn("k", k).select("host", etld1.alias("e"))
            .collect()}

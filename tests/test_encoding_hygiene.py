@@ -54,6 +54,29 @@ def test_mojibake_pattern_occurrences_disjoint():
                 assert a[-k:] != b[:k], (a, b, k)
 
 
+def test_mojibake_chain_order_safe():
+    # A repaired clean char can occur INSIDE another pattern ('“' is the
+    # final char of 'â€“'): replacing it next to a stray partial
+    # sequence could assemble a new occurrence of that other pattern.
+    # Safe iff any such other pattern has ALREADY been replaced when the
+    # creating pair runs: if good_i occurs in bad_j, then j before i.
+    for i, (good_i, _) in enumerate(MOJIBAKE_PAIRS):
+        for j, (_, bad_j) in enumerate(MOJIBAKE_PAIRS):
+            if good_i in bad_j:
+                assert j < i, (good_i, bad_j)
+    # and the concrete scenario: a stray 'â€' before a '“'-mojibake must
+    # NOT trigger a second (chain-created) repair
+    stray = "â€" + "â€œ"
+    fixed = stray
+    n_expected = sum(stray.count(bad) for _, bad in MOJIBAKE_PAIRS)
+    n_done = 0
+    for good, bad in MOJIBAKE_PAIRS:
+        n_done += fixed.count(bad)
+        fixed = fixed.replace(bad, good)
+    assert n_expected == n_done == 1
+    assert fixed == "â€" + "“"
+
+
 def test_mojibake_query_plants_and_cleans(spark, sf_dir):
     from crawspark.registry import load_all
     rows = load_all()["fix_mojibake"].spark(spark, sf_dir).collect()
@@ -87,14 +110,17 @@ def test_nfc_plant_transform_matches_unicodedata():
         "e", "\u00e9")
 
 
-def test_char_entropy_hand_case(spark):
-    import pandas as pd
-    from crawspark.operators.lmquality import text_char_entropy  # noqa: F401
-    # drive the registered query on a tiny synthetic table via a temp dir
-    # is overkill — check the formula directly instead: 'aab' has
+def test_char_entropy_hand_cases():
+    # Drive the SAME kernel the UDF runs (char_entropy_stats), against
+    # hand-computed values: 'aab' has
     # H = log2(3) - (2*log2(2) + 1*log2(1))/3 = 1.58496 - 0.66667
-    h = math.log2(3) - (2 * math.log2(2) + 1 * math.log2(1)) / 3
-    assert round(h, 4) == pytest.approx(0.9183, abs=1e-4)
+    from crawspark.operators.lmquality import char_entropy_stats
+    assert char_entropy_stats("aab") == (3, 2, 2, 0.9183)
+    assert char_entropy_stats("aaaa") == (4, 1, 4, 0.0)
+    n, d, m, h = char_entropy_stats("abcd")
+    assert (n, d, m) == (4, 4, 1) and h == pytest.approx(2.0)
+    # non-BMP codepoint counted as ONE char (utf-32 view, not utf-16)
+    assert char_entropy_stats("\U0001F600a")[0] == 2
 
 
 def test_char_entropy_bounds_on_corpus(spark, sf_dir):
@@ -102,8 +128,10 @@ def test_char_entropy_bounds_on_corpus(spark, sf_dir):
     rows = load_all()["text_char_entropy"].spark(spark, sf_dir).collect()
     assert rows
     for r in rows:
-        # 0 <= H <= log2(n_distinct), with equality only at uniform
-        assert -1e-9 <= r.char_entropy <= math.log2(r.n_distinct) + 1e-9
+        # 0 <= H <= log2(n_distinct); the value was rounded at 4dp so
+        # the upper bound may legitimately overshoot by half an ulp of
+        # that grid (5e-5), not by a float epsilon
+        assert -5e-5 <= r.char_entropy <= math.log2(r.n_distinct) + 5e-5
         assert r.max_char_count <= r.n_chars
 
 
@@ -119,26 +147,12 @@ SURT_CASES = [
 def test_surt_hand_cases(spark):
     from pyspark.sql import functions as F
 
-    from crawspark.operators.relational import surt_url_index  # noqa: F401
-    # Rebuild the same expression chain the query uses, over literals.
+    from crawspark.operators.relational import surt_exprs
+    # Drive the PRODUCTION chain (surt_exprs) over hand-written cases —
+    # an inlined copy here would let the operator drift while the test
+    # stayed green.
     df = spark.createDataFrame([(u,) for u, _ in SURT_CASES], ["url"])
-    u = F.regexp_replace(F.col("url"), r"#.*$", "")
-    host = F.regexp_replace(
-        F.regexp_replace(
-            F.lower(F.regexp_extract(
-                u, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)", 1)),
-            r":(80|443)$", ""),
-        r"^www\.", "")
-    path = F.regexp_extract(
-        u, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^?#]*)", 1)
-    q = F.regexp_extract(u, r"\?([^#]*)", 1)
-    surt = F.concat(
-        F.array_join(F.reverse(F.split(host, r"\.")), ","),
-        F.lit(")"),
-        F.when(path == "", "/").otherwise(path),
-        F.when(q == "", "").otherwise(
-            F.concat(F.lit("?"),
-                     F.array_join(F.array_sort(F.split(q, "&")), "&"))))
+    _, surt = surt_exprs(F.col("url"))
     got = [r.surt for r in df.select(surt.alias("surt")).collect()]
     assert got == [want for _, want in SURT_CASES]
 
