@@ -1477,8 +1477,13 @@ def surt_url_index(spark, sf_dir):
     group — both collapses surface as n_urls >= 2 in the driver hash."""
     from crawspark.operators.extraction_queries import _extracted
 
+    # One extraction pass: every union branch below derives from links,
+    # and without the checkpoint each branch would re-run the whole
+    # mapInArrow extraction subtree (4x the dominant cost — caught by
+    # the plan pin in tests/test_scale_plans.py).
     links = (_extracted(spark, sf_dir)
-             .select(F.explode("outlinks").alias("url")))
+             .select(F.explode("outlinks").alias("url"))
+             .localCheckpoint(eager=True))
     p1 = links.filter(F.col("url").like("%p1"))
     collapse = p1.select(F.concat(
         F.regexp_replace("url", r"^http://([^/?#]+)",
@@ -1580,8 +1585,10 @@ def registered_domain_stats(spark, sf_dir):
     wrong)."""
     from crawspark.operators.extraction_queries import _extracted
 
+    # materialized once — the twin branches must not re-run extraction
     links = (_extracted(spark, sf_dir)
-             .select(F.explode("outlinks").alias("url")))
+             .select(F.explode("outlinks").alias("url"))
+             .localCheckpoint(eager=True))
     tw_co = (links.filter(F.col("url").like("%p2"))
              .select(F.regexp_replace(
                  "url", r"^http://([^/]*)\.example\.org/",

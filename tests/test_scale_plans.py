@@ -364,3 +364,29 @@ def test_range_join_avoids_nested_loop(spark):
     """).fetchone()[0]
     con.close()
     assert straddle > 0  # the second-bin path is actually on the data
+
+
+def test_encoding_hygiene_queries_are_map_only(spark):
+    # The hygiene passes (mojibake repair, NFC audit, char entropy,
+    # blocklist gate) must ride the scan: zero exchanges, zero joins —
+    # at 100 TB they are free riders on the first pass over the corpus.
+    from crawspark.registry import load_all
+    reg = load_all()
+    for name in ("fix_mojibake", "unicode_nfc_stats",
+                 "text_char_entropy", "quality_blocklist_gate"):
+        plan = executed_plan(reg[name].spark(spark, "/root/testdata/sf0.001"))
+        assert "Exchange" not in plan, (name, plan[:1200])
+        assert "Join" not in plan, (name, plan[:1200])
+
+
+def test_url_index_queries_single_agg_exchange(spark):
+    # SURT keys and eTLD+1 aggregate once on the derived key — the
+    # post-checkpoint plan (links materialized ONCE; without the
+    # checkpoint every twin union branch re-ran the whole extraction
+    # subtree) shows exactly the final groupBy exchange and no join.
+    from crawspark.registry import load_all
+    reg = load_all()
+    for name in ("surt_url_index", "registered_domain_stats"):
+        plan = executed_plan(reg[name].spark(spark, "/root/testdata/sf0.001"))
+        assert plan.count("Exchange") == 1, (name, plan[:1200])
+        assert "Join" not in plan, (name, plan[:1200])

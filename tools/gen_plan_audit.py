@@ -153,6 +153,24 @@ AUDIT = [
      "ORC round trip verified by a FULL OUTER join back to the original "
      "on doc_id — 32-byte digests shuffle, text never does; mismatches "
      "pinned 0"),
+    ("fix_mojibake",
+     "chained JVM replace, map-only: zero exchanges, rides the corpus "
+     "scan"),
+    ("unicode_nfc_stats",
+     "union + ONE mapInPandas audit hop, zero exchanges"),
+    ("text_char_entropy",
+     "ONE mapInPandas numpy-count hop, zero exchanges — never explodes "
+     "chars to rows (the oracle's formulation would shuffle ~100x the "
+     "corpus)"),
+    ("quality_blocklist_gate",
+     "JVM array membership filter, map-only: zero exchanges"),
+    ("surt_url_index",
+     "links checkpointed ONCE (twin branches must not re-run "
+     "extraction); post-checkpoint plan is the single surt groupBy "
+     "exchange, no join"),
+    ("registered_domain_stats",
+     "links checkpointed ONCE; single etld1 groupBy exchange, suffix "
+     "probes are codegen CASEs (the real PSL would broadcast)"),
 ]
 
 
