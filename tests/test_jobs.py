@@ -123,3 +123,32 @@ def test_dedup_job_mainline(tmp_path):
     assert stats["rows_out"] > 0
     assert 0 < stats["n_groups"] < stats["rows_out"]
     assert stats["docs_dropped"] == stats["rows_out"] - stats["n_groups"]
+
+
+def test_index_job_global_surt_order(tmp_path):
+    # CDX index: run as a subprocess from a foreign cwd, then prove the
+    # GLOBAL sort contract — every part file internally sorted by surt
+    # AND part-file key ranges non-overlapping in file order (so binary
+    # search over (file, row) needs no merge).
+    out = _run([f"{REPO}/jobs/index.py",
+                "--sf-dir", "/root/testdata/sf0.001",
+                "--out", str(tmp_path / "cdx"),
+                "--shards", "4",
+                "--master", "local[4]"])
+    stats = json.loads(out)
+    assert stats["n_urls"] > 0
+    assert stats["n_shards"] >= 1
+    import pyarrow.parquet as pq
+    parts = sorted((tmp_path / "cdx").glob("part-*.parquet"))
+    prev_max = None
+    saw_rows = 0
+    for p in parts:
+        surts = pq.read_table(p, columns=["surt"]).column("surt").to_pylist()
+        if not surts:
+            continue
+        assert surts == sorted(surts), f"{p.name} not sorted"
+        if prev_max is not None:
+            assert prev_max <= surts[0], "part ranges overlap"
+        prev_max = surts[-1]
+        saw_rows += len(surts)
+    assert saw_rows == stats["n_urls"]
