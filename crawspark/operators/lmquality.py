@@ -54,6 +54,31 @@ _LINE_W = 3
 # size while Zipf-head boilerplate exceeds it at any size.
 _BOILER_MIN_DOCS = 3
 _BOILER_FREQ_MULT = 3.0
+
+# Shared DuckDB CTE chain toks -> lines(doc_id, i, line) -> freq -> thr:
+# ONE definition of the pseudo-line decomposition and the corpus-relative
+# boilerplate threshold, used verbatim by boilerplate_corpus_lines AND
+# rewrite_drop_boilerplate (a drifting copy would let the flag query and
+# the rewrite query disagree about what boilerplate IS).
+_BOILER_CTES = f"""toks AS (
+      SELECT doc_id, text, string_split(text, ' ') AS ts FROM documents
+    ), lines AS (
+      SELECT doc_id, i,
+             array_to_string(ts[(i - 1) * {_LINE_W} + 1 :
+                                (i - 1) * {_LINE_W} + {_LINE_W}], ' ')
+               AS line
+      FROM (SELECT doc_id, ts,
+                   unnest(generate_series(1, len(ts) // {_LINE_W})) AS i
+            FROM toks WHERE len(ts) >= {_LINE_W})
+    ), freq AS (
+      SELECT line, count(DISTINCT doc_id) AS ndocs
+      FROM lines GROUP BY line
+    ), thr AS (
+      SELECT greatest({_BOILER_MIN_DOCS},
+                      CAST(ceil({_BOILER_FREQ_MULT} * avg(ndocs))
+                           AS BIGINT)) AS t
+      FROM freq
+    )"""
 # training context window (tokens) and shard fan-out for packing
 _CTX = 256
 _PACK_SHARDS = 16
@@ -132,26 +157,39 @@ def quality_lm_perplexity(spark, sf_dir):
                  F.round(F.avg(nl), 4).alias("avg_neg_logp")))
 
 
+def _lines_and_boiler(docs):
+    """(lines(doc_id, j, line), boiler(line, ndocs)) — the ONE Spark-side
+    pseudo-line decomposition + corpus-relative boilerplate set, the twin
+    of the _BOILER_CTES SQL fragment. j is the 0-based line position
+    (ordering only — never value-compared across engines). freq feeds
+    BOTH the scalar threshold and the boiler filter; Spark has no
+    common-subplan elimination across those branches, so without the
+    lineage cut the full line-frequency shuffle runs twice (observed in
+    the plan audit: 3 -> 6 exchanges). Same fix as the HITS matvec:
+    materialize once, both consumers read the checkpointed result."""
+    lines = (docs
+             .select("doc_id", F.split("text", " ").alias("ts"))
+             .filter(F.size("ts") >= _LINE_W)
+             .select("doc_id", F.posexplode(F.expr(
+                 f"transform(sequence(0, (size(ts) div {_LINE_W}) - 1),"
+                 f" j -> array_join(slice(ts, j * {_LINE_W} + 1,"
+                 f" {_LINE_W}), ' '))")).alias("j", "line")))
+    freq = (lines.groupBy("line")
+            .agg(F.countDistinct("doc_id").alias("ndocs"))
+            .localCheckpoint())
+    thr = freq.agg(F.greatest(
+        F.lit(_BOILER_MIN_DOCS).cast("long"),
+        F.ceil(_BOILER_FREQ_MULT * F.avg("ndocs"))).alias("thr"))
+    boiler = (freq.crossJoin(F.broadcast(thr))
+              .filter(F.col("ndocs") >= F.col("thr"))
+              .select("line", "ndocs"))
+    return lines, boiler
+
+
+
+
 @register("boilerplate_corpus_lines", sql=f"""
-    WITH toks AS (
-      SELECT doc_id, string_split(text, ' ') AS ts FROM documents
-    ), lines AS (
-      SELECT doc_id,
-             array_to_string(ts[(i - 1) * {_LINE_W} + 1 :
-                                (i - 1) * {_LINE_W} + {_LINE_W}], ' ')
-               AS line
-      FROM (SELECT doc_id, ts,
-                   unnest(generate_series(1, len(ts) // {_LINE_W})) AS i
-            FROM toks WHERE len(ts) >= {_LINE_W})
-    ), freq AS (
-      SELECT line, count(DISTINCT doc_id) AS ndocs
-      FROM lines GROUP BY line
-    ), thr AS (
-      SELECT greatest({_BOILER_MIN_DOCS},
-                      CAST(ceil({_BOILER_FREQ_MULT} * avg(ndocs))
-                           AS BIGINT)) AS t
-      FROM freq
-    )
+    WITH {_BOILER_CTES}
     SELECT l.doc_id,
            CAST(count(*) AS INT) AS n_lines,
            CAST(sum(CASE WHEN f.ndocs >= (SELECT t FROM thr)
@@ -176,28 +214,7 @@ def boilerplate_corpus_lines(spark, sf_dir):
     # instead of re-shuffling the corpus, which is exactly CCNet's
     # frequent-paragraph hash set.
     docs = read_testdata(spark, sf_dir, "documents")
-    lines = (docs
-             .select("doc_id", F.split("text", " ").alias("ts"))
-             .filter(F.size("ts") >= _LINE_W)
-             .select("doc_id", F.explode(F.expr(
-                 f"transform(sequence(0, (size(ts) div {_LINE_W}) - 1),"
-                 f" j -> array_join(slice(ts, j * {_LINE_W} + 1,"
-                 f" {_LINE_W}), ' '))")).alias("line")))
-    # freq feeds BOTH the scalar threshold and the boiler filter; Spark
-    # has no common-subplan elimination across those branches, so
-    # without the lineage cut the full line-frequency shuffle runs
-    # twice (observed in the plan audit: 3 -> 6 exchanges). Same fix as
-    # the HITS matvec: materialize once, both consumers read the
-    # checkpointed result.
-    freq = (lines.groupBy("line")
-            .agg(F.countDistinct("doc_id").alias("ndocs"))
-            .localCheckpoint())
-    thr = freq.agg(F.greatest(
-        F.lit(_BOILER_MIN_DOCS).cast("long"),
-        F.ceil(_BOILER_FREQ_MULT * F.avg("ndocs"))).alias("thr"))
-    boiler = (freq.crossJoin(F.broadcast(thr))
-              .filter(F.col("ndocs") >= F.col("thr"))
-              .select("line", "ndocs"))
+    lines, boiler = _lines_and_boiler(docs)
     flagged = lines.join(F.broadcast(boiler), "line", "left")
     is_boiler = F.when(F.col("ndocs").isNotNull(), 1).otherwise(0)
     return (flagged.groupBy("doc_id")
@@ -885,3 +902,83 @@ def char_entropy_stats(text: str) -> tuple[int, int, int, float]:
     ent = np.log2(n) - float((counts * np.log2(counts)).sum()) / n
     return (n, counts.size, int(counts.max()),
             math.floor(ent * 1e4 + 0.5) / 1e4)
+
+
+@register("rewrite_drop_boilerplate", sql=f"""
+    -- CCNet's actual REWRITE step (boilerplate_corpus_lines only
+    -- FLAGS): drop every boilerplate pseudo-line from each document,
+    -- reassemble the text in original line order (+ the sub-line tail
+    -- of tokens the decomposition leaves), and pin the rewritten text
+    -- by md5. Short docs (< one full line) pass through unchanged.
+    WITH {_BOILER_CTES}, joined AS (
+      SELECT l.doc_id, l.i, l.line,
+             f.ndocs >= (SELECT t FROM thr) AS is_b
+      FROM lines l JOIN freq f USING (line)
+    ), agg AS (
+      SELECT doc_id,
+             CAST(count(*) AS INT) AS n_lines,
+             CAST(sum(CASE WHEN is_b THEN 1 ELSE 0 END) AS INT)
+               AS n_dropped,
+             string_agg(CASE WHEN NOT is_b THEN line END, ' '
+                        ORDER BY i) AS kept
+      FROM joined GROUP BY doc_id
+    ), rem AS (
+      SELECT doc_id,
+             array_to_string(ts[(len(ts) // {_LINE_W}) * {_LINE_W} + 1 :
+                                len(ts)], ' ') AS tail
+      FROM toks WHERE len(ts) >= {_LINE_W}
+    )
+    SELECT a.doc_id, n_lines, n_dropped,
+           CAST(length(trim(concat(coalesce(kept, ''), ' ',
+                                   coalesce(tail, '')))) AS INT)
+             AS cleaned_len,
+           md5(trim(concat(coalesce(kept, ''), ' ',
+                           coalesce(tail, '')))) AS cleaned_md5
+    FROM agg a JOIN rem USING (doc_id)
+    UNION ALL
+    SELECT doc_id, 0 AS n_lines, 0 AS n_dropped,
+           CAST(length(text) AS INT) AS cleaned_len,
+           md5(text) AS cleaned_md5
+    FROM toks WHERE len(ts) < {_LINE_W}
+""")
+def rewrite_drop_boilerplate(spark, sf_dir):
+    """Materialize CCNet's paragraph-dedup rewrite: the per-doc text
+    with corpus-boilerplate lines removed, order preserved, hashed.
+    100 TB shape: the boilerplate SET broadcasts back over the lines
+    (never a corpus self-join); the rebuild is one doc_id aggregation —
+    collect_list is bounded by a document's own line count, the same
+    per-doc bound every formatter stage already carries."""
+    docs = read_testdata(spark, sf_dir, "documents")
+    lines, boiler = _lines_and_boiler(docs)
+    joined = (lines.join(F.broadcast(boiler), "line", "left")
+              .select("doc_id", "j", "line",
+                      F.col("ndocs").isNotNull().alias("is_b")))
+    agg = (joined.groupBy("doc_id")
+           .agg(F.count("*").cast("int").alias("n_lines"),
+                F.sum(F.col("is_b").cast("int")).cast("int")
+                .alias("n_dropped"),
+                F.array_join(F.transform(
+                    F.array_sort(F.collect_list(
+                        F.when(~F.col("is_b"),
+                               F.struct("j", "line")))),
+                    lambda s: s["line"]), " ").alias("kept")))
+    toks = docs.select("doc_id", "text", F.split("text", " ").alias("ts"))
+    rem = (toks.filter(F.size("ts") >= _LINE_W)
+           .select("doc_id", F.expr(
+               f"array_join(slice(ts, (size(ts) div {_LINE_W})"
+               f" * {_LINE_W} + 1, size(ts)), ' ')").alias("tail")))
+    cleaned = F.trim(F.concat(F.coalesce(F.col("kept"), F.lit("")),
+                              F.lit(" "),
+                              F.coalesce(F.col("tail"), F.lit(""))))
+    long_docs = (agg.join(rem, "doc_id")
+                 .select("doc_id", "n_lines", "n_dropped",
+                         F.length(cleaned).cast("int").alias("cleaned_len"),
+                         F.md5(cleaned.cast("binary")).alias("cleaned_md5")))
+    short_docs = (toks.filter(F.size("ts") < _LINE_W)
+                  .select("doc_id",
+                          F.lit(0).cast("int").alias("n_lines"),
+                          F.lit(0).cast("int").alias("n_dropped"),
+                          F.length("text").cast("int").alias("cleaned_len"),
+                          F.md5(F.col("text").cast("binary"))
+                          .alias("cleaned_md5")))
+    return long_docs.unionByName(short_docs)

@@ -474,3 +474,36 @@ def test_curate_v4_classifier_gate_composes(spark):
         # tercile arithmetic: ntile(3) makes tile 3 exactly n // 3 rows
         n = len(ds) + len(kept[lang])
         assert len(ds) == n // 3, lang
+
+
+def test_rewrite_drop_boilerplate_semantics(spark, sf_dir):
+    # The rewrite must agree with the flag query doc by doc (same
+    # boilerplate definition — shared _BOILER_CTES / _lines_and_boiler),
+    # touch exactly the docs with boilerplate, and only ever shrink.
+    import hashlib
+
+    from crawspark.registry import load_all
+    from crawspark.sources import read_testdata
+    reg = load_all()
+    flags = {r.doc_id: r for r in
+             reg["boilerplate_corpus_lines"].spark(spark, sf_dir)
+             .collect()}
+    rewrites = {r.doc_id: r for r in
+                reg["rewrite_drop_boilerplate"].spark(spark, sf_dir)
+                .collect()}
+    texts = {r.doc_id: r.text for r in
+             read_testdata(spark, sf_dir, "documents")
+             .select("doc_id", "text").collect()}
+    assert set(rewrites) == set(texts)
+    touched = 0
+    for doc_id, f in flags.items():
+        rw = rewrites[doc_id]
+        assert rw.n_dropped == f.n_boiler_lines, doc_id
+        orig_md5 = hashlib.md5(texts[doc_id].encode()).hexdigest()
+        if f.n_boiler_lines == 0:
+            assert rw.cleaned_md5 == orig_md5, doc_id
+        else:
+            touched += 1
+            assert rw.cleaned_md5 != orig_md5, doc_id
+            assert rw.cleaned_len < len(texts[doc_id]), doc_id
+    assert touched > 0
