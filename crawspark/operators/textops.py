@@ -928,7 +928,9 @@ for _good, _bad in MOJIBAKE_PAIRS:
     _MOJI_FIX_SQL = f"replace({_MOJI_FIX_SQL}, '{_bad}', '{_good}')"
 
 
-@register("fix_mojibake", sql=f"""
+# Exported so the streaming twin (stream_fix_mojibake) can reuse the
+# identical oracle — streamed repairs must hash-equal batch repairs.
+FIX_MOJIBAKE_SQL = f"""
     -- UTF-8-through-cp1252 repair over the corpus + planted mojibake
     -- twins (every 23rd doc under -doc_id - 1). n_fixed counts
     -- replacements per pattern on the PRE-repair text (pattern
@@ -946,22 +948,24 @@ for _good, _bad in MOJIBAKE_PAIRS:
            CAST({_MOJI_COUNT_SQL} AS BIGINT) AS n_fixed,
            md5({_MOJI_FIX_SQL}) AS fixed_md5
     FROM docs_aug
-""")
-def fix_mojibake(spark, sf_dir):
-    """Targeted mojibake repair (the ftfy-core case: UTF-8 bytes decoded
-    as Windows-1252 upstream). Chained JVM ``replace`` over the ten
-    dominant sequences — map-only, no shuffle, no Python; at 100 TB this
-    is a free rider on the first scan of the corpus. Clean docs are
-    proven untouched (n_fixed = 0 and md5(text) unchanged participate in
-    the driver hash)."""
-    from functools import reduce
+"""
 
-    docs = read_testdata(spark, sf_dir, "documents")
+
+def moji_augment(docs):
+    """documents(doc_id, text) -> the corpus + planted mojibake twins —
+    the ONE plant definition, shared by the batch and streaming paths."""
     plants = (docs.filter(F.col("doc_id") % 23 == 0)
               .select((-F.col("doc_id") - 1).alias("doc_id"),
                       F.concat(F.lit(_MOJI_PREFIX + " "),
                                F.substring("text", 1, 120)).alias("text")))
-    aug = docs.select("doc_id", "text").unionByName(plants)
+    return docs.select("doc_id", "text").unionByName(plants)
+
+
+def moji_repair(df):
+    """(doc_id, text) -> (doc_id, n_fixed, fixed_md5): the chained-
+    replace repair, stateless per row — safe inside any microbatch."""
+    from functools import reduce
+
     t = F.col("text")
     n_fixed = None
     for _good, bad in MOJIBAKE_PAIRS:
@@ -970,8 +974,20 @@ def fix_mojibake(spark, sf_dir):
         n_fixed = c if n_fixed is None else n_fixed + c
     fixed = reduce(lambda col, p: F.replace(col, F.lit(p[1]), F.lit(p[0])),
                    MOJIBAKE_PAIRS, t)
-    return aug.select("doc_id", n_fixed.alias("n_fixed"),
-                      F.md5(fixed.cast("binary")).alias("fixed_md5"))
+    return df.select("doc_id", n_fixed.alias("n_fixed"),
+                     F.md5(fixed.cast("binary")).alias("fixed_md5"))
+
+
+@register("fix_mojibake", sql=FIX_MOJIBAKE_SQL)
+def fix_mojibake(spark, sf_dir):
+    """Targeted mojibake repair (the ftfy-core case: UTF-8 bytes decoded
+    as Windows-1252 upstream). Chained JVM ``replace`` over the ten
+    dominant sequences — map-only, no shuffle, no Python; at 100 TB this
+    is a free rider on the first scan of the corpus. Clean docs are
+    proven untouched (n_fixed = 0 and md5(text) unchanged participate in
+    the driver hash)."""
+    docs = read_testdata(spark, sf_dir, "documents")
+    return moji_repair(moji_augment(docs))
 
 
 @register("unicode_nfc_stats", sql="""

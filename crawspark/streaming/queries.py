@@ -354,3 +354,45 @@ def stream_join_left_outer(spark, sf_dir):
             .agg(F.count("*").alias("n_rows"),
                  F.sum(F.col("right_id").isNull().cast("int")).cast("long")
                  .alias("n_unmatched")))
+
+
+def _fix_moji_sql():
+    from crawspark.operators.textops import FIX_MOJIBAKE_SQL
+    return FIX_MOJIBAKE_SQL
+
+
+@register("stream_fix_mojibake", sql=_fix_moji_sql())
+def stream_fix_mojibake(spark, sf_dir):
+    """Encoding hygiene in the stream: the crawl increment (corpus +
+    mojibake plants, the SAME augment as batch) drains through an
+    AvailableNow file stream and every microbatch runs the identical
+    chained-replace repair (stateless per row — no watermark, no state
+    store). The oracle is the BATCH fix_mojibake SQL: streamed repairs
+    must hash-equal batch repairs row for row, the same batch-parity
+    contract as stream_extract_incremental / stream_score_quality."""
+    from crawspark.bundle import ensure_shipped
+    from crawspark.operators.textops import moji_augment, moji_repair
+    from crawspark.scratch import scratch_dir
+    from crawspark.sources import read_testdata
+
+    ensure_shipped(spark)
+    base = scratch_dir("smoji", sf_dir, clean=("out", "ck"))
+    inp, out, ck = (os.path.join(base, d) for d in ("in", "out", "ck"))
+    docs = read_testdata(spark, sf_dir, "documents")
+    (moji_augment(docs)
+     .repartition(4).write.mode("overwrite").parquet(inp))
+
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", 1).parquet(inp))
+
+    def process(batch_df, batch_id: int) -> None:
+        moji_repair(batch_df).write.mode("append").parquet(out)
+
+    query = (stream.writeStream
+             .foreachBatch(process)
+             .option("checkpointLocation", ck)
+             .trigger(availableNow=True)
+             .start())
+    if not query.awaitTermination(600):
+        raise RuntimeError("mojibake stream did not complete within timeout")
+    return spark.read.parquet(out)
