@@ -109,6 +109,7 @@ def main() -> None:
         "fix_mojibake": "documents",
         "text_char_entropy": "documents",
         "surt_url_index": "documents",
+        "rewrite_drop_boilerplate": "documents",
     }
     NAMES = tuple(DRIVING)
     table_rows = {t: read_testdata(spark, SF_DIR, t).count()

@@ -135,3 +135,42 @@ def test_left_outer_interval_join_emits_unmatched(spark, tmp_path):
     got = {(r.user_id, r.left_id, r.right_id)
            for r in spark.read.parquet(out).filter("left_id >= 0").collect()}
     assert got == {(100, 1, 11), (101, 2, None), (102, 3, None)}, got
+
+
+def test_stream_moji_exactly_once_redrain(spark, tmp_path):
+    # The streamed mojibake repair: multi-microbatch drain equals the
+    # batch repair row for row (hashes are exact string md5s — no float
+    # tolerance needed), and a re-drain with the checkpoint KEPT
+    # appends nothing.
+    import os
+
+    from crawspark.operators.textops import moji_augment, moji_repair
+    from crawspark.sources import read_testdata
+
+    sf = "/root/testdata/sf0.001"
+    inp, out, ck = (str(tmp_path / d) for d in ("in", "out", "ck"))
+    docs = read_testdata(spark, sf, "documents")
+    moji_augment(docs).repartition(4).write.parquet(inp)
+
+    def drain() -> None:
+        stream = (spark.readStream.schema("doc_id long, text string")
+                  .option("maxFilesPerTrigger", 1).parquet(inp))
+        q = (stream.writeStream
+             .foreachBatch(lambda b, _i:
+                           moji_repair(b).write.mode("append").parquet(out))
+             .option("checkpointLocation", ck)
+             .trigger(availableNow=True).start())
+        assert q.awaitTermination(600)
+
+    drain()
+    n_batches = len([f for f in os.listdir(os.path.join(ck, "offsets"))
+                     if not f.startswith(".")])
+    assert n_batches >= 2, n_batches
+    got = {r["doc_id"]: (r["n_fixed"], r["fixed_md5"])
+           for r in spark.read.parquet(out).collect()}
+    batch = {r["doc_id"]: (r["n_fixed"], r["fixed_md5"])
+             for r in moji_repair(moji_augment(docs)).collect()}
+    assert got == batch
+    n = len(got)
+    drain()  # checkpoint kept: no new files, nothing appended
+    assert spark.read.parquet(out).count() == n
