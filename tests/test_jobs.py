@@ -152,3 +152,18 @@ def test_index_job_global_surt_order(tmp_path):
         prev_max = surts[-1]
         saw_rows += len(surts)
     assert saw_rows == stats["n_urls"]
+
+
+def test_dedup_job_incremental(tmp_path):
+    # incremental strategy: pair table with new_old/new_new accounting —
+    # the old x old quadrant must be absent by construction.
+    out = _run([f"{REPO}/jobs/dedup.py",
+                "--sf-dir", "/root/testdata/sf0.001",
+                "--out", str(tmp_path / "inc"),
+                "--strategy", "incremental",
+                "--master", "local[4]"])
+    stats = json.loads(out)
+    assert stats["docs_in"] == 500
+    assert stats["rows_out"] == (stats["n_new_old_pairs"]
+                                 + stats["n_new_new_pairs"])
+    assert stats["n_new_old_pairs"] > 0
