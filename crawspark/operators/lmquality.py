@@ -186,8 +186,6 @@ def _lines_and_boiler(docs):
     return lines, boiler
 
 
-
-
 @register("boilerplate_corpus_lines", sql=f"""
     WITH {_BOILER_CTES}
     SELECT l.doc_id,

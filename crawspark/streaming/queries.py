@@ -17,6 +17,7 @@ import os
 from pyspark.sql import functions as F
 
 from crawspark.operators.extraction_queries import ORACLE_PQ, _sf_sql
+from crawspark.operators.textops import FIX_MOJIBAKE_SQL
 from crawspark.registry import register
 
 
@@ -356,12 +357,7 @@ def stream_join_left_outer(spark, sf_dir):
                  .alias("n_unmatched")))
 
 
-def _fix_moji_sql():
-    from crawspark.operators.textops import FIX_MOJIBAKE_SQL
-    return FIX_MOJIBAKE_SQL
-
-
-@register("stream_fix_mojibake", sql=_fix_moji_sql())
+@register("stream_fix_mojibake", sql=FIX_MOJIBAKE_SQL)
 def stream_fix_mojibake(spark, sf_dir):
     """Encoding hygiene in the stream: the crawl increment (corpus +
     mojibake plants, the SAME augment as batch) drains through an

@@ -52,7 +52,7 @@ def main() -> None:
     n_in = read_testdata(spark, args.sf_dir, "documents").count()
     result = load_all()[query].spark(spark, args.sf_dir)
     result.write.mode("overwrite").parquet(args.out)
-    back = spark.read.parquet(args.out)
+    back = spark.read.parquet(args.out).cache()
     rec = {"strategy": args.strategy, "query": query,
            "docs_in": n_in, "rows_out": back.count(), "out": args.out}
     if args.strategy in ("minhash", "winnowing"):
