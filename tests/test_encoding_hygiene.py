@@ -176,3 +176,48 @@ def test_surt_twins_collapse(spark, sf_dir):
         assert ":443" not in r.surt and ":80" not in r.surt
         host_part = r.surt.split(")", 1)[0]
         assert "www" not in host_part
+
+
+def test_mojibake_roundtrip_property():
+    # For ANY text of ASCII + mapped clean chars: the cp1252 mis-decode
+    # of its UTF-8 bytes is exactly repaired by the chain, and the
+    # repair count equals the number of non-ASCII chars. This pins the
+    # whole table AND the chain order against the real defect across a
+    # seeded sample, not just the fixed prefix.
+    import random
+
+    rng = random.Random(20260820)
+    cleans = [g for g, _ in MOJIBAKE_PAIRS]
+    alphabet = list("abc XYZ.,!0129") + cleans
+    for _ in range(300):
+        s = "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 40)))
+        moji = s.encode("utf-8").decode("cp1252")
+        fixed, n = moji, 0
+        for good, bad in MOJIBAKE_PAIRS:
+            n += fixed.count(bad)
+            fixed = fixed.replace(bad, good)
+        assert fixed == s, repr(s)
+        assert n == sum(1 for ch in s if ord(ch) > 127), repr(s)
+
+
+def test_char_entropy_kernel_vs_naive_reference():
+    # The numpy utf-32 kernel against an independent Counter-based
+    # formula, over random strings including astral codepoints.
+    import math
+    import random
+    from collections import Counter
+
+    from crawspark.operators.lmquality import char_entropy_stats
+
+    rng = random.Random(20260821)
+    pool = "aabbbc xyéé世界" + "\U0001F600\U0001F680"
+    for _ in range(300):
+        s = "".join(rng.choice(pool) for _ in range(rng.randint(1, 60)))
+        n, d, m, h = char_entropy_stats(s)
+        cnt = Counter(s)
+        assert n == len(s) and d == len(cnt) and m == max(cnt.values())
+        ref = -sum((c / n) * math.log2(c / n) for c in cnt.values())
+        ref4 = math.floor(ref * 1e4 + 0.5) / 1e4
+        # two float formulations may straddle the same 4dp boundary by
+        # one grid step at most
+        assert abs(h - ref4) <= 1e-4 + 1e-12, (s, h, ref4)
