@@ -313,3 +313,66 @@ def curate_corpus_v4(spark, sf_dir):
             .filter(F.col("ct") <= 2)
             .select("doc_id", "lang", "n_tokens", "log_weight",
                     "clf_score"))
+
+
+def _funnel_sql(sf_dir: str) -> str:
+    # Composed from the REGISTERED gate oracles (the curate_v3/v4
+    # no-drift rule): each gate's SQL is inlined verbatim, so this
+    # report can never disagree with the gates it summarizes.
+    from crawspark.registry import REGISTRY
+
+    c4 = REGISTRY["quality_c4_gates"].render_sql(sf_dir)
+    gopher = REGISTRY["quality_gopher_gates"].render_sql(sf_dir)
+    block = REGISTRY["quality_blocklist_gate"].render_sql(sf_dir)
+    return f"""
+    -- keep columns are INT (c4/gopher) or BOOLEAN (blocklist): cast
+    -- everything to INT so both engines aggregate identically
+    SELECT d.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CAST(c.keep AS INT)) AS BIGINT) AS n_pass_c4,
+           CAST(sum(CAST(g.keep AS INT)) AS BIGINT) AS n_pass_gopher,
+           CAST(sum(CAST(b.keep AS INT)) AS BIGINT) AS n_pass_blocklist,
+           CAST(sum(CAST(c.keep AS INT) * CAST(g.keep AS INT)
+                    * CAST(b.keep AS INT)) AS BIGINT) AS n_pass_all
+    FROM documents d
+    JOIN ({c4}) c ON c.doc_id = d.doc_id
+    JOIN ({gopher}) g ON g.doc_id = d.doc_id
+    JOIN ({block}) b ON b.doc_id = d.doc_id
+    GROUP BY d.source
+    """
+
+
+@register("quality_gate_funnel", sql=_funnel_sql)
+def quality_gate_funnel(spark, sf_dir):
+    """Pipeline-observability funnel: per source, how many docs survive
+    each heuristic gate (C4 line rules, Gopher document stats, the
+    blocklist-fraction gate) and their intersection — the dashboard row
+    a curation operator watches per crawl. Composed from the SAME
+    registered gate queries (no reimplementation, no drift). 100 TB:
+    three doc_id-keyed joins of map-side gate outputs, one small
+    per-source agg."""
+    from crawspark.operators.textops import (
+        quality_blocklist_gate,
+        quality_c4_gates,
+        quality_gopher_gates,
+    )
+
+    docs = read_testdata(spark, sf_dir, "documents").select(
+        "doc_id", "source")
+    c4 = quality_c4_gates(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("k_c4"))
+    gopher = quality_gopher_gates(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("k_go"))
+    block = quality_blocklist_gate(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("k_bl"))
+    joined = (docs.join(c4, "doc_id").join(gopher, "doc_id")
+              .join(block, "doc_id"))
+    return (joined.groupBy("source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum(F.col("k_c4").cast("int")).alias("n_pass_c4"),
+                 F.sum(F.col("k_go").cast("int")).alias("n_pass_gopher"),
+                 F.sum(F.col("k_bl").cast("int"))
+                 .alias("n_pass_blocklist"),
+                 F.sum(F.col("k_c4").cast("int")
+                       * F.col("k_go").cast("int")
+                       * F.col("k_bl").cast("int")).alias("n_pass_all")))
