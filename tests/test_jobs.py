@@ -167,3 +167,19 @@ def test_dedup_job_incremental(tmp_path):
     assert stats["rows_out"] == (stats["n_new_old_pairs"]
                                  + stats["n_new_new_pairs"])
     assert stats["n_new_old_pairs"] > 0
+
+
+def test_hygiene_job_mainline(tmp_path):
+    # hygiene chain end to end from a foreign cwd: the clean ASCII
+    # corpus needs no repairs (plants are excluded by the negative-id
+    # convention) and survives the gates mostly intact.
+    out = _run([f"{REPO}/jobs/hygiene.py",
+                "--sf-dir", "/root/testdata/sf0.001",
+                "--out", str(tmp_path / "clean"),
+                "--master", "local[4]"])
+    stats = json.loads(out)
+    assert stats["docs_in"] == 500
+    assert 0 < stats["docs_out"] <= 500
+    assert stats["docs_repaired"] == 0
+    assert stats["docs_non_nfc"] == 0
+    assert stats["docs_deboilered"] > 0
