@@ -804,8 +804,11 @@ _SLOGAN_SQL = ("CASE WHEN doc_id % 17 = 0 THEN text || '"
                + _SLOGAN + "' ELSE text END")
 
 
-@register("dedup_substring_coverage", sql=f"""
-    WITH tok AS (
+# Shared DuckDB CTE chain tok -> gl -> g -> dup -> occ: ONE definition
+# of the duplicated-8-gram occurrence table, used verbatim by
+# dedup_substring_coverage (the metric) AND rewrite_drop_dup_substrings
+# (the actual dedup rewrite) — the _BOILER_CTES no-drift rule.
+_SUBSTR_CTES = f"""tok AS (
       SELECT doc_id,
              list_filter(regexp_split_to_array(lower({_SLOGAN_SQL}),
                                                '[^a-z0-9]+'),
@@ -825,7 +828,11 @@ _SLOGAN_SQL = ("CASE WHEN doc_id % 17 = 0 THEN text || '"
       SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2
     ), occ AS (
       SELECT doc_id, n_toks, pos FROM g JOIN dup USING (gram)
-    ), contrib AS (
+    )"""
+
+
+@register("dedup_substring_coverage", sql=f"""
+    WITH {_SUBSTR_CTES}, contrib AS (
       SELECT doc_id, n_toks,
              coalesce(least({SUBSTR_K},
                             pos - lag(pos) OVER (PARTITION BY doc_id
@@ -1107,3 +1114,68 @@ def quality_blocklist_gate(spark, sf_dir):
         nb.cast("int").alias("n_blocked"),
         F.round(nb.cast("double") / nt, 4).alias("blocked_ratio"),
         (nb.cast("double") / nt < BLOCK_RATIO_MAX).alias("keep"))
+
+
+@register("rewrite_drop_dup_substrings", sql=f"""
+    -- The Lee et al. 2022 dedup REWRITE (dedup_substring_coverage only
+    -- measures): remove every token covered by a corpus-duplicated
+    -- {SUBSTR_K}-gram run and rebuild the document in TOKEN space
+    -- (lowercased word tokens — the space the paper's suffix-array
+    -- dedup operates in), md5-pinned. A gram at pos covers tokens
+    -- [pos, pos+K); token t is covered iff a dup-gram starts in
+    -- (t-K, t]. Docs shorter than one gram pass through whole.
+    WITH {_SUBSTR_CTES}, ps AS (
+      SELECT doc_id, list_sort(list(pos)) AS ps FROM occ GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(t.toks) AS INT) AS n_toks,
+           CAST(len(kept) AS INT) AS n_kept,
+           -- coalesce: DuckDB stringifies an EMPTY kept list to NULL
+           -- where Spark's array_join gives '' (fully-covered docs)
+           md5(coalesce(array_to_string(kept, ' '), '')) AS dedup_md5
+    FROM (
+      SELECT tok.doc_id, tok.toks,
+             list_transform(
+               list_filter(range(1, len(tok.toks) + 1),
+                 t -> len(list_filter(coalesce(ps.ps, []),
+                       p -> p > t - {SUBSTR_K} AND p <= t)) = 0),
+               i -> tok.toks[i]) AS kept
+      FROM tok LEFT JOIN ps ON ps.doc_id = tok.doc_id
+    ) t
+""")
+def rewrite_drop_dup_substrings(spark, sf_dir):
+    """Materialize the substring-level dedup (Lee et al. 2022): tokens
+    covered by corpus-duplicated 8-gram runs are cut out, the rest
+    rejoined in order. 100 TB shape: the dup-gram table is the same
+    map-side-combined count agg as the coverage metric; per-doc the
+    covered-position test is array lambdas bounded by the doc's own
+    occurrence count — no pair join, no UDF, all codegen."""
+    docs = (read_testdata(spark, sf_dir, "documents")
+            .repartition(spark.sparkContext.defaultParallelism)
+            .withColumn("text", F.expr(_SLOGAN_SPARK))
+            .withColumn("toks", F.expr(_WORD_TOKS)))
+    grams = (docs.filter(F.size("toks") >= SUBSTR_K)
+             .select("doc_id",
+                     F.posexplode(F.expr(ngram_expr(SUBSTR_K)))
+                     .alias("pos0", "gram"))
+             # 1-based positions to mirror the oracle's range(1, ...)
+             .select("doc_id", (F.col("pos0") + 1).alias("pos"), "gram")
+             .localCheckpoint(eager=True))
+    dup = (grams.groupBy("gram").agg(F.count("*").alias("n"))
+           .filter(F.col("n") >= 2).select("gram"))
+    ps = (grams.join(dup, "gram")
+          .groupBy("doc_id")
+          .agg(F.array_sort(F.collect_list("pos")).alias("ps")))
+    joined = (docs.select("doc_id", "toks")
+              .join(ps, "doc_id", "left")
+              .withColumn("ps", F.coalesce(
+                  F.col("ps"), F.expr("CAST(array() AS array<int>)"))))
+    kept = F.expr(
+        f"transform(filter(sequence(1, size(toks)),"
+        f" t -> size(filter(ps, p -> p > t - {SUBSTR_K} AND p <= t)) = 0),"
+        f" i -> element_at(toks, i))")
+    return joined.select(
+        "doc_id",
+        F.size("toks").cast("int").alias("n_toks"),
+        F.size(kept).cast("int").alias("n_kept"),
+        F.md5(F.array_join(kept, " ").cast("binary")).alias("dedup_md5"))

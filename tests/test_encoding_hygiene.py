@@ -221,3 +221,27 @@ def test_char_entropy_kernel_vs_naive_reference():
         # two float formulations may straddle the same 4dp boundary by
         # one grid step at most
         assert abs(h - ref4) <= 1e-4 + 1e-12, (s, h, ref4)
+
+
+def test_substring_rewrite_agrees_with_coverage_metric(spark, sf_dir):
+    # Two independent formulations of the same covered-token set — the
+    # coverage metric's lag-window interval union vs the rewrite's
+    # per-token exists-test — must agree doc for doc: tokens dropped by
+    # the rewrite == covered_toks counted by the metric. Docs with no
+    # duplicated run keep every token and appear only in the rewrite.
+    from crawspark.registry import load_all
+    reg = load_all()
+    cov = {r.doc_id: (r.n_toks, r.covered_toks) for r in
+           reg["dedup_substring_coverage"].spark(spark, sf_dir).collect()}
+    rw = {r.doc_id: (r.n_toks, r.n_kept) for r in
+          reg["rewrite_drop_dup_substrings"].spark(spark, sf_dir)
+          .collect()}
+    assert set(cov) <= set(rw)
+    assert cov, "planted slogans must produce coverage rows"
+    for doc_id, (n, covered) in cov.items():
+        rn, kept = rw[doc_id]
+        assert rn == n, doc_id
+        assert n - kept == covered, (doc_id, n, kept, covered)
+    for doc_id, (n, kept) in rw.items():
+        if doc_id not in cov:
+            assert kept == n, doc_id
