@@ -171,6 +171,15 @@ AUDIT = [
     ("registered_domain_stats",
      "links checkpointed ONCE; single etld1 groupBy exchange, suffix "
      "probes are codegen CASEs (the real PSL would broadcast)"),
+    ("rewrite_drop_boilerplate",
+     "boilerplate set broadcast back over the lines; rebuild is one "
+     "doc_id agg (collect_list bounded by the doc's own line count)"),
+    ("rewrite_drop_dup_substrings",
+     "gram table checkpointed once for dup-agg AND join-back; covered-"
+     "position test is per-doc array lambdas, no pair join, no UDF"),
+    ("quality_gate_funnel",
+     "three doc_id-keyed joins of map-side gate outputs, one small "
+     "per-source agg — composed from the registered gates"),
 ]
 
 
