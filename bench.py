@@ -110,6 +110,7 @@ def main() -> None:
         "text_char_entropy": "documents",
         "surt_url_index": "documents",
         "rewrite_drop_boilerplate": "documents",
+        "rewrite_drop_dup_substrings": "documents",
     }
     NAMES = tuple(DRIVING)
     table_rows = {t: read_testdata(spark, SF_DIR, t).count()
