@@ -1124,8 +1124,27 @@ def quality_blocklist_gate(spark, sf_dir):
     -- dedup operates in), md5-pinned. A gram at pos covers tokens
     -- [pos, pos+K); token t is covered iff a dup-gram starts in
     -- (t-K, t]. Docs shorter than one gram pass through whole.
-    WITH {_SUBSTR_CTES}, ps AS (
-      SELECT doc_id, list_sort(list(pos)) AS ps FROM occ GROUP BY doc_id
+    -- Occurrences first MERGE into disjoint intervals (runs closer
+    -- than K fuse — the lag/gid trick): the per-token test then scans
+    -- the merged list, so a fully-templated doc (n_occ ~ n_toks) costs
+    -- O(n_toks * 1), not O(n_toks * n_occ) — the straggler the naive
+    -- per-occurrence test creates at scale.
+    WITH {_SUBSTR_CTES}, runs AS (
+      SELECT doc_id, pos,
+             CASE WHEN lag(pos) OVER w IS NULL
+                    OR pos - lag(pos) OVER w > {SUBSTR_K}
+                  THEN 1 ELSE 0 END AS is_start
+      FROM occ WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ), grp AS (
+      SELECT doc_id, pos,
+             sum(is_start) OVER (PARTITION BY doc_id ORDER BY pos) AS gid
+      FROM runs
+    ), merged AS (
+      SELECT doc_id, min(pos) AS s, max(pos) + {SUBSTR_K - 1} AS e
+      FROM grp GROUP BY doc_id, gid
+    ), ivs AS (
+      SELECT doc_id, list_sort(list([s, e])) AS ivs
+      FROM merged GROUP BY doc_id
     )
     SELECT t.doc_id,
            CAST(len(t.toks) AS INT) AS n_toks,
@@ -1137,19 +1156,22 @@ def quality_blocklist_gate(spark, sf_dir):
       SELECT tok.doc_id, tok.toks,
              list_transform(
                list_filter(range(1, len(tok.toks) + 1),
-                 t -> len(list_filter(coalesce(ps.ps, []),
-                       p -> p > t - {SUBSTR_K} AND p <= t)) = 0),
+                 t -> len(list_filter(coalesce(ivs.ivs, []),
+                       iv -> iv[1] <= t AND t <= iv[2])) = 0),
                i -> tok.toks[i]) AS kept
-      FROM tok LEFT JOIN ps ON ps.doc_id = tok.doc_id
+      FROM tok LEFT JOIN ivs ON ivs.doc_id = tok.doc_id
     ) t
 """)
 def rewrite_drop_dup_substrings(spark, sf_dir):
     """Materialize the substring-level dedup (Lee et al. 2022): tokens
     covered by corpus-duplicated 8-gram runs are cut out, the rest
     rejoined in order. 100 TB shape: the dup-gram table is the same
-    map-side-combined count agg as the coverage metric; per-doc the
-    covered-position test is array lambdas bounded by the doc's own
-    occurrence count — no pair join, no UDF, all codegen."""
+    map-side-combined count agg as the coverage metric; occurrences
+    merge into DISJOINT intervals first (lag/gid window), so the
+    per-token test scans the merged list — a fully-templated doc costs
+    O(n_toks), not O(n_toks * n_occ) — no pair join, no UDF."""
+    from pyspark.sql.window import Window
+
     docs = (read_testdata(spark, sf_dir, "documents")
             .repartition(spark.sparkContext.defaultParallelism)
             .withColumn("text", F.expr(_SLOGAN_SPARK))
@@ -1163,16 +1185,26 @@ def rewrite_drop_dup_substrings(spark, sf_dir):
              .localCheckpoint(eager=True))
     dup = (grams.groupBy("gram").agg(F.count("*").alias("n"))
            .filter(F.col("n") >= 2).select("gram"))
-    ps = (grams.join(dup, "gram")
-          .groupBy("doc_id")
-          .agg(F.array_sort(F.collect_list("pos")).alias("ps")))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    runs = (grams.join(dup, "gram")
+            .withColumn("is_start", F.when(
+                F.lag("pos").over(w).isNull()
+                | (F.col("pos") - F.lag("pos").over(w) > SUBSTR_K),
+                1).otherwise(0))
+            .withColumn("gid", F.sum("is_start").over(w)))
+    ivs = (runs.groupBy("doc_id", "gid")
+           .agg(F.min("pos").alias("s"),
+                (F.max("pos") + F.lit(SUBSTR_K - 1)).alias("e"))
+           .groupBy("doc_id")
+           .agg(F.array_sort(F.collect_list(F.array("s", "e")))
+                .alias("ivs")))
     joined = (docs.select("doc_id", "toks")
-              .join(ps, "doc_id", "left")
-              .withColumn("ps", F.coalesce(
-                  F.col("ps"), F.expr("CAST(array() AS array<int>)"))))
+              .join(ivs, "doc_id", "left")
+              .withColumn("ivs", F.coalesce(
+                  F.col("ivs"), F.expr("CAST(array() AS array<array<int>>)"))))
     kept = F.expr(
         f"transform(filter(sequence(1, size(toks)),"
-        f" t -> size(filter(ps, p -> p > t - {SUBSTR_K} AND p <= t)) = 0),"
+        f" t -> size(filter(ivs, iv -> iv[0] <= t AND t <= iv[1])) = 0),"
         f" i -> element_at(toks, i))")
     return joined.select(
         "doc_id",

@@ -175,8 +175,10 @@ AUDIT = [
      "boilerplate set broadcast back over the lines; rebuild is one "
      "doc_id agg (collect_list bounded by the doc's own line count)"),
     ("rewrite_drop_dup_substrings",
-     "gram table checkpointed once for dup-agg AND join-back; covered-"
-     "position test is per-doc array lambdas, no pair join, no UDF"),
+     "gram table checkpointed once for dup-agg AND join-back; "
+     "occurrences merged to disjoint intervals (lag/gid window) so the "
+     "per-token test is O(n_toks x n_merged) — template pages cannot "
+     "straggle; no pair join, no UDF"),
     ("quality_gate_funnel",
      "three doc_id-keyed joins of map-side gate outputs, one small "
      "per-source agg — composed from the registered gates"),
