@@ -55,13 +55,15 @@ _LINE_W = 3
 _BOILER_MIN_DOCS = 3
 _BOILER_FREQ_MULT = 3.0
 
-# Shared DuckDB CTE chain toks -> lines(doc_id, i, line) -> freq -> thr:
-# ONE definition of the pseudo-line decomposition and the corpus-relative
-# boilerplate threshold, used verbatim by boilerplate_corpus_lines AND
-# rewrite_drop_boilerplate (a drifting copy would let the flag query and
-# the rewrite query disagree about what boilerplate IS).
-_BOILER_CTES = f"""toks AS (
-      SELECT doc_id, text, string_split(text, ' ') AS ts FROM documents
+# Shared DuckDB CTE fragments (the no-drift rule: every query that
+# decomposes documents into pseudo-lines or rebuilds text from kept
+# lines uses THESE definitions, never a copy).
+#
+# _lines_ctes(src): toks -> lines(doc_id, i, line) decomposition over
+# any (doc_id, text) source.
+def _lines_ctes(src: str = "documents") -> str:
+    return f"""toks AS (
+      SELECT doc_id, text, string_split(text, ' ') AS ts FROM {src}
     ), lines AS (
       SELECT doc_id, i,
              array_to_string(ts[(i - 1) * {_LINE_W} + 1 :
@@ -70,7 +72,13 @@ _BOILER_CTES = f"""toks AS (
       FROM (SELECT doc_id, ts,
                    unnest(generate_series(1, len(ts) // {_LINE_W})) AS i
             FROM toks WHERE len(ts) >= {_LINE_W})
-    ), freq AS (
+    )"""
+
+
+# _BOILER_CTES: the line decomposition + the corpus-relative boilerplate
+# threshold, shared by boilerplate_corpus_lines AND
+# rewrite_drop_boilerplate.
+_BOILER_CTES = _lines_ctes() + f""", freq AS (
       SELECT line, count(DISTINCT doc_id) AS ndocs
       FROM lines GROUP BY line
     ), thr AS (
@@ -79,6 +87,29 @@ _BOILER_CTES = f"""toks AS (
                            AS BIGINT)) AS t
       FROM freq
     )"""
+
+# _REBUILD_SQL: given an ``agg(doc_id, n_lines, n_dropped, kept)`` CTE
+# (kept = surviving lines joined in original order), re-attach the
+# sub-line token tail and emit the rewritten doc, md5-pinned; short docs
+# (< one full line) pass through whole. Shared by both rewrite queries.
+_REBUILD_SQL = f""", rem AS (
+      SELECT doc_id,
+             array_to_string(ts[(len(ts) // {_LINE_W}) * {_LINE_W} + 1 :
+                                len(ts)], ' ') AS tail
+      FROM toks WHERE len(ts) >= {_LINE_W}
+    )
+    SELECT a.doc_id, n_lines, n_dropped,
+           CAST(length(trim(concat(coalesce(kept, ''), ' ',
+                                   coalesce(tail, '')))) AS INT)
+             AS cleaned_len,
+           md5(trim(concat(coalesce(kept, ''), ' ',
+                           coalesce(tail, '')))) AS cleaned_md5
+    FROM agg a JOIN rem USING (doc_id)
+    UNION ALL
+    SELECT doc_id, 0 AS n_lines, 0 AS n_dropped,
+           CAST(length(text) AS INT) AS cleaned_len,
+           md5(text) AS cleaned_md5
+    FROM toks WHERE len(ts) < {_LINE_W}"""
 # training context window (tokens) and shard fan-out for packing
 _CTX = 256
 _PACK_SHARDS = 16
@@ -157,6 +188,19 @@ def quality_lm_perplexity(spark, sf_dir):
                  F.round(F.avg(nl), 4).alias("avg_neg_logp")))
 
 
+def _doc_lines(docs):
+    """(doc_id, j, line): the Spark-side pseudo-line decomposition — the
+    twin of the _lines_ctes SQL fragment. j is the 0-based line position
+    (ordering only — never value-compared across engines)."""
+    return (docs
+            .select("doc_id", F.split("text", " ").alias("ts"))
+            .filter(F.size("ts") >= _LINE_W)
+            .select("doc_id", F.posexplode(F.expr(
+                f"transform(sequence(0, (size(ts) div {_LINE_W}) - 1),"
+                f" j -> array_join(slice(ts, j * {_LINE_W} + 1,"
+                f" {_LINE_W}), ' '))")).alias("j", "line")))
+
+
 def _lines_and_boiler(docs):
     """(lines(doc_id, j, line), boiler(line, ndocs)) — the ONE Spark-side
     pseudo-line decomposition + corpus-relative boilerplate set, the twin
@@ -167,13 +211,7 @@ def _lines_and_boiler(docs):
     lineage cut the full line-frequency shuffle runs twice (observed in
     the plan audit: 3 -> 6 exchanges). Same fix as the HITS matvec:
     materialize once, both consumers read the checkpointed result."""
-    lines = (docs
-             .select("doc_id", F.split("text", " ").alias("ts"))
-             .filter(F.size("ts") >= _LINE_W)
-             .select("doc_id", F.posexplode(F.expr(
-                 f"transform(sequence(0, (size(ts) div {_LINE_W}) - 1),"
-                 f" j -> array_join(slice(ts, j * {_LINE_W} + 1,"
-                 f" {_LINE_W}), ' '))")).alias("j", "line")))
+    lines = _doc_lines(docs)
     freq = (lines.groupBy("line")
             .agg(F.countDistinct("doc_id").alias("ndocs"))
             .localCheckpoint())
@@ -920,24 +958,7 @@ def char_entropy_stats(text: str) -> tuple[int, int, int, float]:
              string_agg(CASE WHEN NOT is_b THEN line END, ' '
                         ORDER BY i) AS kept
       FROM joined GROUP BY doc_id
-    ), rem AS (
-      SELECT doc_id,
-             array_to_string(ts[(len(ts) // {_LINE_W}) * {_LINE_W} + 1 :
-                                len(ts)], ' ') AS tail
-      FROM toks WHERE len(ts) >= {_LINE_W}
-    )
-    SELECT a.doc_id, n_lines, n_dropped,
-           CAST(length(trim(concat(coalesce(kept, ''), ' ',
-                                   coalesce(tail, '')))) AS INT)
-             AS cleaned_len,
-           md5(trim(concat(coalesce(kept, ''), ' ',
-                           coalesce(tail, '')))) AS cleaned_md5
-    FROM agg a JOIN rem USING (doc_id)
-    UNION ALL
-    SELECT doc_id, 0 AS n_lines, 0 AS n_dropped,
-           CAST(length(text) AS INT) AS cleaned_len,
-           md5(text) AS cleaned_md5
-    FROM toks WHERE len(ts) < {_LINE_W}
+    ){_REBUILD_SQL}
 """)
 def rewrite_drop_boilerplate(spark, sf_dir):
     """Materialize CCNet's paragraph-dedup rewrite: the per-doc text
@@ -948,16 +969,25 @@ def rewrite_drop_boilerplate(spark, sf_dir):
     per-doc bound every formatter stage already carries."""
     docs = read_testdata(spark, sf_dir, "documents")
     lines, boiler = _lines_and_boiler(docs)
-    joined = (lines.join(F.broadcast(boiler), "line", "left")
+    marked = (lines.join(F.broadcast(boiler), "line", "left")
               .select("doc_id", "j", "line",
-                      F.col("ndocs").isNotNull().alias("is_b")))
-    agg = (joined.groupBy("doc_id")
+                      F.col("ndocs").isNotNull().alias("drop")))
+    return _rebuild_from_marked(docs, marked)
+
+
+def _rebuild_from_marked(docs, marked):
+    """marked(doc_id, j, line, drop) -> the rewrite output frame
+    (doc_id, n_lines, n_dropped, cleaned_len, cleaned_md5): surviving
+    lines rejoined in original order + the sub-line token tail; short
+    docs pass through whole. The ONE Spark-side twin of _REBUILD_SQL,
+    shared by every line-level rewrite query."""
+    agg = (marked.groupBy("doc_id")
            .agg(F.count("*").cast("int").alias("n_lines"),
-                F.sum(F.col("is_b").cast("int")).cast("int")
+                F.sum(F.col("drop").cast("int")).cast("int")
                 .alias("n_dropped"),
                 F.array_join(F.transform(
                     F.array_sort(F.collect_list(
-                        F.when(~F.col("is_b"),
+                        F.when(~F.col("drop"),
                                F.struct("j", "line")))),
                     lambda s: s["line"]), " ").alias("kept")))
     toks = docs.select("doc_id", "text", F.split("text", " ").alias("ts"))
@@ -980,3 +1010,66 @@ def rewrite_drop_boilerplate(spark, sf_dir):
                           F.md5(F.col("text").cast("binary"))
                           .alias("cleaned_md5")))
     return long_docs.unionByName(short_docs)
+
+
+@register("rewrite_dedup_doc_lines", sql=f"""
+    -- CCNet's FIRST dedup step: within each document, repeated
+    -- pseudo-lines keep only their first occurrence (nav blocks and
+    -- footers repeated inside one page), rebuilt in order, md5-pinned.
+    -- The word-soup corpus repeats almost no lines naturally, so every
+    -- 13th doc gets a twin under -doc_id - 1: the doc TRUNCATED to full
+    -- pseudo-lines (so the append lands ON a line boundary — otherwise
+    -- the tail tokens shift the line grid and the repeat never aligns)
+    -- plus its first pseudo-line again at the end.
+    WITH docs_aug AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT -doc_id - 1 AS doc_id,
+             array_to_string(ts2[1 : (len(ts2) // {_LINE_W})
+                                    * {_LINE_W}], ' ')
+             || ' ' || array_to_string(ts2[1 : {_LINE_W}], ' ')
+      FROM (SELECT doc_id, string_split(text, ' ') AS ts2
+            FROM documents)
+      WHERE doc_id % 13 = 0 AND len(ts2) >= {_LINE_W}
+    ), {{LINES}}, ranked AS (
+      SELECT doc_id, i, line,
+             row_number() OVER (PARTITION BY doc_id, line ORDER BY i)
+               AS rn
+      FROM lines
+    ), agg AS (
+      SELECT doc_id,
+             CAST(count(*) AS INT) AS n_lines,
+             CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS INT)
+               AS n_dropped,
+             string_agg(CASE WHEN rn = 1 THEN line END, ' '
+                        ORDER BY i) AS kept
+      FROM ranked GROUP BY doc_id
+    ){{REBUILD}}
+""".replace("{LINES}", _lines_ctes("docs_aug"))
+   .replace("{REBUILD}", _REBUILD_SQL))
+def rewrite_dedup_doc_lines(spark, sf_dir):
+    """Intra-document line dedup (CCNet runs this before the corpus
+    pass): first occurrence of each pseudo-line survives, later repeats
+    drop, text rebuilt in order. 100 TB: the window partitions by
+    (doc_id, line) — per-document state only, no corpus-wide table at
+    all; the rebuild is the shared per-doc aggregation."""
+    from pyspark.sql.window import Window
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    ts2 = F.split("text", " ")
+    plants = (docs.filter((F.col("doc_id") % 13 == 0)
+                          & (F.size(ts2) >= _LINE_W))
+              .select((-F.col("doc_id") - 1).alias("doc_id"),
+                      F.concat(
+                          F.array_join(F.expr(
+                              f"slice(split(text, ' '), 1,"
+                              f" (size(split(text, ' '))"
+                              f" div {_LINE_W}) * {_LINE_W})"), " "),
+                          F.lit(" "),
+                          F.array_join(F.slice(ts2, 1, _LINE_W), " "))
+                      .alias("text")))
+    aug = docs.select("doc_id", "text").unionByName(plants)
+    w = Window.partitionBy("doc_id", "line").orderBy("j")
+    marked = (_doc_lines(aug)
+              .withColumn("drop", F.row_number().over(w) > 1))
+    return _rebuild_from_marked(aug, marked)

@@ -507,3 +507,33 @@ def test_rewrite_drop_boilerplate_semantics(spark, sf_dir):
             assert rw.cleaned_md5 != orig_md5, doc_id
             assert rw.cleaned_len < len(texts[doc_id]), doc_id
     assert touched > 0
+
+
+def test_rewrite_dedup_doc_lines_semantics(spark, sf_dir):
+    # Plants (negative ids) carry exactly one repeated pseudo-line and
+    # must drop exactly it; clean docs (the word-soup corpus repeats
+    # almost nothing) are near-universally untouched, and untouched
+    # docs hash to their original text.
+    import hashlib
+
+    from crawspark.registry import load_all
+    from crawspark.sources import read_testdata
+    rows = {r.doc_id: r for r in
+            load_all()["rewrite_dedup_doc_lines"].spark(spark, sf_dir)
+            .collect()}
+    texts = {r.doc_id: r.text for r in
+             read_testdata(spark, sf_dir, "documents")
+             .select("doc_id", "text").collect()}
+    plants = [r for d, r in rows.items() if d < 0]
+    assert plants
+    # exactly the planted repeat drops (>= 1 covers the rare doc that
+    # also repeats a line naturally)
+    assert all(r.n_dropped >= 1 for r in plants)
+    assert sum(r.n_dropped for r in plants) >= len(plants)
+    for doc_id, text in texts.items():
+        r = rows[doc_id]
+        if r.n_dropped == 0:
+            assert r.cleaned_md5 == hashlib.md5(
+                text.encode()).hexdigest(), doc_id
+        else:
+            assert r.cleaned_len < len(text), doc_id
