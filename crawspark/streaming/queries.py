@@ -392,3 +392,58 @@ def stream_fix_mojibake(spark, sf_dir):
     if not query.awaitTermination(600):
         raise RuntimeError("mojibake stream did not complete within timeout")
     return spark.read.parquet(out)
+
+
+def _rewrite_boiler_sql():
+    from crawspark.registry import REGISTRY
+    return REGISTRY["rewrite_drop_boilerplate"].sql
+
+
+@register("stream_rewrite_boilerplate", sql=_rewrite_boiler_sql())
+def stream_rewrite_boilerplate(spark, sf_dir):
+    """The rewrite family in the stream, production shape: the
+    corpus-global boilerplate SET is computed ONCE in batch (the model —
+    yesterday's corpus), then the document frontier drains through an
+    AvailableNow stream and every microbatch drops those lines from ITS
+    documents and rebuilds them (per-doc work only — the global state
+    enters as a broadcast join, never as streaming state). Oracle = the
+    batch rewrite SQL: streamed rewrites must hash-equal batch rewrites
+    row for row."""
+    from crawspark.bundle import ensure_shipped
+    from crawspark.operators.lmquality import (
+        _doc_lines,
+        _lines_and_boiler,
+        _rebuild_from_marked,
+    )
+    from crawspark.scratch import scratch_dir
+    from crawspark.sources import read_testdata
+
+    ensure_shipped(spark)
+    base = scratch_dir("srewrite", sf_dir, clean=("out", "ck"))
+    inp, out, ck = (os.path.join(base, d) for d in ("in", "out", "ck"))
+    docs = read_testdata(spark, sf_dir, "documents")
+    (docs.select("doc_id", "text")
+     .repartition(4).write.mode("overwrite").parquet(inp))
+    # offline pass: the corpus-global boilerplate set (localCheckpointed
+    # inside the helper, so microbatches reuse the materialized table)
+    _, boiler = _lines_and_boiler(docs)
+
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", 1).parquet(inp))
+
+    def process(batch_df, batch_id: int) -> None:
+        marked = (_doc_lines(batch_df)
+                  .join(F.broadcast(boiler), "line", "left")
+                  .select("doc_id", "j", "line",
+                          F.col("ndocs").isNotNull().alias("drop")))
+        (_rebuild_from_marked(batch_df, marked)
+         .write.mode("append").parquet(out))
+
+    query = (stream.writeStream
+             .foreachBatch(process)
+             .option("checkpointLocation", ck)
+             .trigger(availableNow=True)
+             .start())
+    if not query.awaitTermination(600):
+        raise RuntimeError("rewrite stream did not complete within timeout")
+    return spark.read.parquet(out)
