@@ -60,6 +60,10 @@ def main() -> None:
            .filter(real).select("doc_id", "is_nfc"))
     rewrite = (reg["rewrite_drop_boilerplate"].spark(spark, args.sf_dir)
                .select("doc_id", "n_dropped", "cleaned_len"))
+    linededup = (reg["rewrite_dedup_doc_lines"].spark(spark, args.sf_dir)
+                 .filter(real)
+                 .select("doc_id",
+                         F.col("n_dropped").alias("n_dup_lines")))
     block = (reg["quality_blocklist_gate"].spark(spark, args.sf_dir)
              .select("doc_id", F.col("keep").alias("k_block")))
     ent = (reg["text_char_entropy"].spark(spark, args.sf_dir)
@@ -67,13 +71,14 @@ def main() -> None:
 
     joined = (docs.select("doc_id", "lang", "source", "text")
               .join(moji, "doc_id").join(nfc, "doc_id")
-              .join(rewrite, "doc_id").join(block, "doc_id")
-              .join(ent, "doc_id"))
+              .join(rewrite, "doc_id").join(linededup, "doc_id")
+              .join(block, "doc_id").join(ent, "doc_id"))
     kept = joined.filter(
         F.col("k_block")
         & F.col("char_entropy").between(ENTROPY_MIN, ENTROPY_MAX))
     (kept.select("doc_id", "lang", "source", "text",
-                 "n_fixed", "is_nfc", "n_dropped", "cleaned_len")
+                 "n_fixed", "is_nfc", "n_dropped", "n_dup_lines",
+                 "cleaned_len")
      .write.mode("overwrite").parquet(args.out))
 
     back = spark.read.parquet(args.out).cache()
@@ -83,11 +88,14 @@ def main() -> None:
         F.sum((~F.col("is_nfc")).cast("int")).alias("docs_non_nfc"),
         F.sum((F.col("n_dropped") > 0).cast("int"))
         .alias("docs_deboilered"),
+        F.sum((F.col("n_dup_lines") > 0).cast("int"))
+        .alias("docs_line_deduped"),
     ).collect()[0]
     print(json.dumps({"docs_in": n_in, "docs_out": stats["docs_out"],
                       "docs_repaired": stats["docs_repaired"],
                       "docs_non_nfc": stats["docs_non_nfc"],
                       "docs_deboilered": stats["docs_deboilered"],
+                      "docs_line_deduped": stats["docs_line_deduped"],
                       "out": args.out}))
     spark.stop()
 

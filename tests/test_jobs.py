@@ -183,3 +183,5 @@ def test_hygiene_job_mainline(tmp_path):
     assert stats["docs_repaired"] == 0
     assert stats["docs_non_nfc"] == 0
     assert stats["docs_deboilered"] > 0
+    # the word-soup corpus repeats intra-doc lines only rarely
+    assert stats["docs_line_deduped"] < stats["docs_out"] * 0.05
