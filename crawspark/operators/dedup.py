@@ -93,6 +93,38 @@ def _shingle_table(spark, sf_dir) -> DataFrame:
     return shingle_rows_capped(read_testdata(spark, sf_dir, "documents"))
 
 
+def capped_shingle_arrays(docs: DataFrame) -> DataFrame:
+    """(doc_id, shs): each doc's DISTINCT post-cap shingle set as an
+    ARRAY, computed map-side — the r6 shape for every consumer that
+    needs per-doc shingle sets or signatures. The hot set (df > DF_CAP)
+    is aggregated once (the only exchange), collected into a single-row
+    array (bounded: only boilerplate keys survive the cap), broadcast,
+    and array_except'd from each doc's distinct shingle array — so the
+    per-doc set/signature pipeline never shuffles by doc_id at all
+    (the r5 shape exploded to (doc_id, shingle) rows and re-aggregated
+    them back per doc: one full posting-table exchange both ways).
+    Docs whose every shingle is hot drop (same as having no post-cap
+    posting rows). The base arrays are checkpointed: the hot aggregate
+    and the except pass both consume them, and the tokenize+shingle
+    HOFs are the dominant CPU."""
+    spark = docs.sparkSession
+    base = (docs.repartition(spark.sparkContext.defaultParallelism)
+            .withColumn("toks", F.expr(_TOKS))
+            .filter(F.size("toks") >= 3)
+            .withColumn("shs", F.expr(_SHINGLES))
+            .select("doc_id", "shs")
+            .localCheckpoint(eager=True))
+    hot = (base.select(F.explode("shs").alias("shingle"))
+           .groupBy("shingle").agg(F.count("*").alias("df"))
+           .filter(F.col("df") > DF_CAP)
+           .agg(F.collect_list("shingle").alias("hot")))  # 1 row
+    return (base.crossJoin(F.broadcast(hot))
+            .select("doc_id",
+                    F.array_except("shs", F.coalesce(
+                        "hot", F.expr("array()"))).alias("shs"))
+            .filter(F.size("shs") > 0))
+
+
 @register("dedup_ngram_jaccard", sql=f"""
     WITH {_DDB_TOK_CTES}, sizes AS (
       SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
@@ -115,27 +147,33 @@ def dedup_ngram_jaccard(spark, sf_dir):
     # shingles, self-join on the shingle (the classic inverted-index pair
     # generation — shuffle key is the shingle, so only docs sharing a
     # shingle ever meet; DF_CAP bounds any posting list's pair fanout).
-    # Eager localCheckpoint, not cache(): three plan branches (sizes +
-    # both join sides) read the shingle table, it materializes exactly
-    # once, and ContextCleaner reclaims the blocks when the DataFrame is
-    # unreferenced — cache() leaks executor storage until an explicit
-    # unpersist no caller can issue.
-    sh = _shingle_table(spark, sf_dir).localCheckpoint(eager=True)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    # r6 rework (guide §2.3/§2.4): postings explode from the MAP-SIDE
+    # capped arrays and each row CARRIES its doc's post-cap shingle
+    # count, so the pair aggregation emits n_common AND both sizes in
+    # one pass — the r5 plan joined the (much larger) overlap table
+    # against `sizes` twice, re-shuffling every candidate pair by doc_a
+    # and again by doc_b. n_sh rides in the GROUP KEY (functionally
+    # dependent on the doc_id) — plan: pair path is 2 exchanges, not 4.
+    # Eager localCheckpoint, not cache(): both join sides read the
+    # posting table, it materializes exactly once, and ContextCleaner
+    # reclaims the blocks when the DataFrame is unreferenced.
+    docs = read_testdata(spark, sf_dir, "documents")
+    ex = (capped_shingle_arrays(docs)
+          .select("doc_id", F.size("shs").alias("n_sh"),
+                  F.explode("shs").alias("shingle"))
+          .localCheckpoint(eager=True))
+    a = ex.alias("a")
+    b = ex.alias("b")
     overlap = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
                       & (F.col("a.doc_id") < F.col("b.doc_id")))
                .groupBy(F.col("a.doc_id").alias("doc_a"),
-                        F.col("b.doc_id").alias("doc_b"))
+                        F.col("b.doc_id").alias("doc_b"),
+                        F.col("a.n_sh").alias("n_sh_a"),
+                        F.col("b.n_sh").alias("n_sh_b"))
                .agg(F.count("*").alias("n_common")))
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
     jac = (F.col("n_common").cast("double")
-           / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_common")))
+           / (F.col("n_sh_a") + F.col("n_sh_b") - F.col("n_common")))
     return (overlap
-            .join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-            .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
             .filter(jac >= 0.05)
             .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard")))
 
@@ -170,22 +208,32 @@ def _signatures_from_rows(sh_rows: DataFrame, n_hashes: int) -> DataFrame:
     return h.groupBy("doc_id").agg(*aggs)
 
 
-def _raw_shingle_rows(df: DataFrame) -> DataFrame:
-    """(doc_id, shingle) from the raw (uncapped) shingle stream. The input
-    is repartitioned first: a small single-file parquet scan yields ONE
-    partition, serializing the (CPU-heavy) shingle HOFs onto one core
-    (measured 12s → <1s at sf0.1)."""
-    sc = df.sparkSession.sparkContext
-    return (df.repartition(sc.defaultParallelism)
+def minhash_signatures(df: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
+    """doc_id → n_hashes minhash values, computed ARRAY-SIDE (r6): the
+    per-doc distinct shingle array is hashed once, and each minhash is
+    array_min over re-hashes of those longs — all map-side codegen, so
+    the signature pipeline has ZERO exchanges (the r5 shape exploded
+    ~n_tokens rows per doc and re-aggregated them by doc_id). min over
+    the distinct set equals min over the raw multiset, so signatures are
+    bit-identical to the row-aggregation form (same xxhash64(h, i)
+    chain; pinned by tests/test_recall.py's recall floors)."""
+    spark = df.sparkSession
+    base = (df.repartition(spark.sparkContext.defaultParallelism)
             .withColumn("toks", F.expr(_TOKS))
             .filter(F.size("toks") >= 3)
-            .withColumn("sh_raw", F.expr(_SHINGLES_RAW))
-            .select("doc_id", F.explode("sh_raw").alias("shingle")))
+            .withColumn("hs", F.expr(
+                f"transform({_SHINGLES}, s -> xxhash64(s))"))
+            .select("doc_id", "hs"))
+    return _sig_cols_from_arrays(base, n_hashes)
 
 
-def minhash_signatures(df: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
-    """doc_id → n_hashes minhash values over the raw shingle stream."""
-    return _signatures_from_rows(_raw_shingle_rows(df), n_hashes)
+def _sig_cols_from_arrays(base: DataFrame, n_hashes: int,
+                          keep: tuple[str, ...] = ()) -> DataFrame:
+    """(doc_id, hs: array<long>) → doc_id [, keep...] + mh0..mhN columns
+    via array_min(transform(hs, h -> xxhash64(h, i)))."""
+    cols = [F.array_min(F.expr(f"transform(hs, h -> xxhash64(h, {i}))"))
+            .alias(f"mh{i}") for i in range(n_hashes)]
+    return base.select("doc_id", *keep, *cols)
 
 
 def _band_table_from_sig(sig: DataFrame, n_hashes: int,
@@ -214,7 +262,10 @@ def band_table_from_rows(sh_rows: DataFrame, n_hashes: int,
 
 def lsh_band_table(df: DataFrame, n_hashes: int = N_HASHES,
                    bands: int = BANDS) -> DataFrame:
-    return band_table_from_rows(_raw_shingle_rows(df), n_hashes, bands)
+    # Array-side signatures (r6): the band table is now map-only — the
+    # only exchange in an LSH query is the band self-join itself.
+    return _band_table_from_sig(minhash_signatures(df, n_hashes),
+                                n_hashes, bands)
 
 
 def candidates_from_rows(sh_rows: DataFrame, n_hashes: int,
@@ -246,7 +297,9 @@ def _candidates_from_bands(exploded: DataFrame) -> DataFrame:
 
 def lsh_candidates(df: DataFrame, n_hashes: int = N_HASHES,
                    bands: int = BANDS) -> DataFrame:
-    return candidates_from_rows(_raw_shingle_rows(df), n_hashes, bands)
+    exploded = lsh_band_table(df, n_hashes, bands).localCheckpoint(
+        eager=True)
+    return _candidates_from_bands(exploded)
 
 
 @register("dedup_minhash_lsh")  # rows-only (Spark-hash-specific banding)
@@ -430,18 +483,21 @@ def dedup_minhash_resolve(spark, sf_dir):
 
 
 def _resolve_combined(spark, sf_dir) -> DataFrame:
-    """ONE doc_id aggregation computes the RESOLVE_N_HASHES minhashes AND
-    the distinct post-cap shingle set (r4: signatures and verify-sets
-    previously ran two separate groupBys over the same checkpointed
-    shingle table — same key, same rows, double shuffle). Checkpointed
-    once; feeds band generation AND the exact-verify join. Shared by
+    """(doc_id, shingles, mh0..mh31): distinct post-cap shingle set AND
+    the RESOLVE_N_HASHES minhashes, computed ARRAY-SIDE from the
+    map-side capped arrays (r6 — the r5 shape exploded the posting
+    table and re-aggregated it by doc_id: one full posting exchange
+    carrying every shingle string, plus 32 agg buffers). min over the
+    distinct array equals min over the posting multiset, so signatures
+    and verify sets are identical. Checkpointed once; feeds band
+    generation AND the exact-verify join. Shared by
     dedup_minhash_resolve and dedup_incremental_minhash."""
-    sh = _shingle_table(spark, sf_dir)
-    h = sh.withColumn("h", F.xxhash64("shingle"))
-    mh_aggs = [F.min(F.xxhash64(F.col("h"), F.lit(i))).alias(f"mh{i}")
-               for i in range(RESOLVE_N_HASHES)]
-    return (h.groupBy("doc_id")
-            .agg(*mh_aggs, F.collect_set("shingle").alias("shingles"))
+    arrays = capped_shingle_arrays(read_testdata(spark, sf_dir, "documents"))
+    base = arrays.select(
+        "doc_id", F.col("shs").alias("shingles"),
+        F.expr("transform(shs, s -> xxhash64(s))").alias("hs"))
+    return (_sig_cols_from_arrays(base, RESOLVE_N_HASHES,
+                                  keep=("shingles",))
             .localCheckpoint(eager=True))
 
 
@@ -646,13 +702,10 @@ def dedup_minhash_incremental(spark, sf_dir):
     # it is rebuilt per run). Same post-cap shingle universe, 16x2
     # banding, and exact-Jaccard verify as dedup_minhash_resolve, so
     # the DuckDB all-pairs oracle is exact.
-    sh = _shingle_table(spark, sf_dir)
-    h = sh.withColumn("h", F.xxhash64("shingle"))
-    mh_aggs = [F.min(F.xxhash64(F.col("h"), F.lit(i))).alias(f"mh{i}")
-               for i in range(RESOLVE_N_HASHES)]
-    combined = (h.groupBy("doc_id")
-                .agg(*mh_aggs, F.collect_set("shingle").alias("shingles"))
-                .localCheckpoint(eager=True))
+    # Same combined table as dedup_minhash_resolve (r6: previously an
+    # inline copy of the row-aggregation pipeline — now the shared
+    # array-side build, one definition).
+    combined = _resolve_combined(spark, sf_dir)
     bands = _band_table_from_sig(combined, RESOLVE_N_HASHES,
                                  RESOLVE_BANDS)
     new_side = bands.filter(F.col("doc_id") % 3 == 0).alias("a")
@@ -877,7 +930,7 @@ def _winnow_fp(aug):
     fingerprints of an augmented (doc_id, text) frame. All w disjuncts
     share one window spec -> Catalyst plans a single Window node (one
     doc_id shuffle); pinned in tests/test_winnowing.py. The input is
-    repartitioned first — same hazard as _raw_shingle_rows: a small
+    repartitioned first — same hazard as capped_shingle_arrays: a small
     single-file parquet scan yields ONE partition, serializing the
     CPU-heavy gram+md5 map onto one core."""
     sc = aug.sparkSession.sparkContext

@@ -171,6 +171,11 @@ def quality_lm_perplexity(spark, sf_dir):
                .alias("bg"))
            .select("doc_id", "lang", "source", "bg.w1", "bg.w2"))
     train = big.filter(F.col("source") == _TARGET_SRC)
+    # Deliberately NOT checkpointing c12 (r6 measured 2.6s → 3.2s with a
+    # checkpoint): the two trusted-slice model scans are independent
+    # stages of ONE job and run concurrently, so materializing c12 only
+    # serializes them. Contrast quality_kn_perplexity, where FIVE
+    # derived scans made the checkpoint win.
     c12 = train.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
     c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
     vocab = (toks.filter(F.col("source") == _TARGET_SRC)
@@ -298,29 +303,45 @@ def dsir_importance_weights(spark, sf_dir):
     # the only wide exchange is the final groupBy(doc_id). The md5-hex
     # bucket is bit-identical in Spark (conv) and DuckDB (::UBIGINT),
     # the same pairing the KMV sketches pin.
+    # r6 rework (guide §2.3 "aggregate before you shuffle" + §2.4): the
+    # r5 plan built `words` FIVE times (corpus side, raw, tgt and both
+    # totals), re-running the explode + md5 + base-16 conv over every
+    # token OCCURRENCE each time. Now ONE tokenize pass aggregates
+    # per-(doc, token) counts first (map-side combine completes within
+    # the doc's partition), hashes only the DISTINCT (doc, token) rows
+    # (~vocab-per-doc, 6-7x fewer md5/conv evals on this corpus), and is
+    # checkpointed once; raw/tgt/totals all derive from the one
+    # ≤B-row-per-bucket aggregate of it. count(*) per bucket == sum of
+    # per-doc counts, and sum(logw over occurrences) == sum(c * logw) —
+    # identical values, round(4) absorbs the association ulps.
     docs = read_testdata(spark, sf_dir, "documents")
-    words = (docs
-             .select("doc_id", "source",
-                     F.explode(F.split("text", " ")).alias("t"))
-             .select("doc_id", "source",
-                     F.pmod(F.conv(F.substring(F.md5("t"), 1, 8), 16, 10)
-                            .cast("long"), F.lit(_DSIR_B)).alias("bucket")))
-    raw = words.groupBy("bucket").agg(F.count("*").alias("c_raw"))
-    tgt = (words.filter(F.col("source") == _TARGET_SRC)
-           .groupBy("bucket").agg(F.count("*").alias("c_tgt")))
-    totals = (raw.agg(F.sum("c_raw").alias("n_raw"))
-              .crossJoin(tgt.agg(F.coalesce(F.sum("c_tgt"), F.lit(0))
-                                 .alias("n_tgt"))))
-    wt = (raw.join(tgt, "bucket", "left").crossJoin(F.broadcast(totals))
+    tokc = (docs
+            .select("doc_id", "source",
+                    F.explode(F.split("text", " ")).alias("t"))
+            .groupBy("doc_id", "source", "t")
+            .agg(F.count("*").alias("c"))
+            .select("doc_id", "source",
+                    F.pmod(F.conv(F.substring(F.md5("t"), 1, 8), 16, 10)
+                           .cast("long"), F.lit(_DSIR_B)).alias("bucket"),
+                    "c")
+            .localCheckpoint(eager=True))
+    bkt = (tokc.groupBy("bucket")
+           .agg(F.sum("c").alias("c_raw"),
+                F.sum(F.when(F.col("source") == _TARGET_SRC, F.col("c"))
+                      .otherwise(F.lit(0))).alias("c_tgt")))
+    totals = bkt.agg(F.sum("c_raw").alias("n_raw"),
+                     F.sum("c_tgt").alias("n_tgt"))
+    wt = (bkt.crossJoin(F.broadcast(totals))
           .select("bucket",
-                  (F.log((F.coalesce(F.col("c_tgt"), F.lit(0)) + 1.0)
+                  (F.log((F.col("c_tgt") + 1.0)
                          / (F.col("n_tgt") + _DSIR_B))
                    - F.log((F.col("c_raw") + 1.0)
                            / (F.col("n_raw") + _DSIR_B))).alias("logw")))
-    return (words.join(F.broadcast(wt), "bucket")
+    return (tokc.join(F.broadcast(wt), "bucket")
             .groupBy("doc_id")
-            .agg(F.count("*").cast("int").alias("n_tokens"),
-                 F.round(F.sum("logw"), 4).alias("log_weight")))
+            .agg(F.sum("c").cast("int").alias("n_tokens"),
+                 F.round(F.sum(F.col("c") * F.col("logw")), 4)
+                 .alias("log_weight")))
 
 
 @register("pack_training_sequences", sql=f"""
@@ -660,6 +681,12 @@ def _clf_features_of(docs):
     """Features/labels/token counts from ANY docs DataFrame with
     (doc_id, source, text) — per-doc pure, so the same expressions run
     unchanged inside a streaming microbatch."""
+    # Left in the r5 shape on purpose: the dsir-style per-(doc, token)
+    # pre-count rework measured SLOWER here (4.6s → 5.3s at sf1.0) — the
+    # extra (doc_id, t) exchange lands inside the checkpointed feats
+    # build, while the md5 work it saves was already hidden by stage
+    # concurrency. Features are exchanged once and checkpointed by
+    # _clf_train; the GD loop dominates.
     bucket = F.pmod(F.conv(F.substring(F.md5("t"), 1, 8), 16, 10)
                     .cast("long"), F.lit(_CLF_B)).alias("bucket")
     words = (docs.select("doc_id", "source",
@@ -837,6 +864,12 @@ def quality_kn_perplexity(spark, sf_dir):
                "         (a, b) -> struct(a AS w1, b AS w2))"))
                .alias("bg"))
            .select("doc_id", "lang", "source", "bg.w1", "bg.w2"))
+    # Deliberately NOT checkpointing c12 even though c1/ncb/n_types all
+    # re-derive it (r6 measured 3.1s → 3.8s with a checkpoint): the five
+    # trusted-slice model scans are independent stages of ONE job and
+    # run concurrently on idle cores, so materializing c12 serializes a
+    # blocking job in front of the big-side pass and loses more than the
+    # redundancy costs. See quality_lm_perplexity's identical note.
     c12 = (big.filter(F.col("source") == _TARGET_SRC)
            .groupBy("w1", "w2")
            .agg(F.count("*").cast("double").alias("c12")))

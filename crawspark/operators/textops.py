@@ -204,27 +204,42 @@ def quality_repetition_stats(spark, sf_dir):
     # the shuffle key is doc_id, never text. Docs with zero alphanumeric
     # words drop (no denominators); docs with words but no '.'-delimited
     # sentences report dup_sentence_ratio 0.
+    # r6 rework (guide §2.4 "remove shuffles outright"): both signals are
+    # PER-DOCUMENT functions of the text, so they compute array-side in
+    # codegen — zero exchanges, zero joins — instead of two exploded
+    # aggregations (word rows + full sentence strings shuffled by doc_id)
+    # plus a join. max word count == longest equal-run of the SORTED
+    # token array; distinct-sentence count == size(array_distinct).
+    # Identical values; docs with zero alphanumeric words still drop, and
+    # word-only docs still report dup_sentence_ratio 0 (the left-join
+    # coalesce becomes the size(ss) = 0 branch).
     docs = read_testdata(spark, sf_dir, "documents")
-    words = docs.select(
-        "doc_id",
-        F.explode(F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)"))
-        .alias("word"))
-    wc = words.groupBy("doc_id", "word").agg(F.count("*").alias("c"))
-    wstats = wc.groupBy("doc_id").agg(
-        F.sum("c").cast("long").alias("n_words"),
-        F.round(F.max("c") / F.sum("c").cast("double"), 4)
-        .alias("top_word_frac"))
-    sents = (docs.select("doc_id",
-                         F.explode(F.split("text", r"\.")).alias("s"))
-             .select("doc_id", F.trim("s").alias("s"))
-             .filter(F.col("s") != ""))
-    sstats = sents.groupBy("doc_id").agg(
-        F.round(1 - F.countDistinct("s") / F.count("*").cast("double"), 4)
-        .alias("dup_sentence_ratio"))
-    return (wstats.join(sstats, "doc_id", "left")
-            .select("doc_id", "n_words", "top_word_frac",
-                    F.coalesce("dup_sentence_ratio", F.lit(0.0))
-                    .alias("dup_sentence_ratio")))
+    top_run = (
+        "CASE WHEN size(ws) < 2 THEN 1L ELSE aggregate("
+        " sequence(2, size(ws)),"
+        " named_struct('run', 1L, 'best', 1L),"
+        " (acc, i) -> IF(element_at(ws, i) = element_at(ws, i - 1),"
+        "   named_struct('run', acc.run + 1L,"
+        "                'best', greatest(acc.best, acc.run + 1L)),"
+        "   named_struct('run', 1L, 'best', acc.best)),"
+        " acc -> acc.best) END")
+    return (docs
+            .withColumn("ws", F.expr(
+                "array_sort(regexp_extract_all(lower(text),"
+                " '[a-z0-9]+', 0))"))
+            .filter(F.size("ws") >= 1)
+            .withColumn("ss", F.expr(
+                "filter(transform(split(text, '\\\\.'), s -> trim(s)),"
+                " s -> s != '')"))
+            .select(
+                "doc_id",
+                F.size("ws").cast("long").alias("n_words"),
+                F.round(F.expr(top_run) / F.size("ws").cast("double"), 4)
+                .alias("top_word_frac"),
+                F.when(F.size("ss") == 0, F.lit(0.0)).otherwise(
+                    F.round(1 - F.size(F.array_distinct("ss"))
+                            / F.size("ss").cast("double"), 4))
+                .alias("dup_sentence_ratio")))
 
 
 @register("text_fingerprint", sql=r"""
@@ -766,14 +781,16 @@ def collocations_pmi_topk(spark, sf_dir):
     pmi = F.round(F.log((F.col("c12") / F.col("nb"))
                         / ((F.col("c1") / F.col("nt"))
                            * (F.col("c2") / F.col("nt")))), 6)
-    from pyspark.sql.window import Window
-
-    w = Window.orderBy(F.desc("pmi"), "w1", "w2")
+    # Global top-20 as orderBy + limit → TakeOrderedAndProject (VERDICT
+    # r5 perf-weak #2: the row_number() over an UNPARTITIONED window
+    # single-partition-sorted the whole floor-5 bigram table; the
+    # deterministic (pmi, w1, w2) tiebreak makes the row sets identical).
+    # Same fix rank_bm25 got; pinned in tests/test_scale_plans.py.
     return (big.join(F.broadcast(u1), "w1").join(F.broadcast(u2), "w2")
             .crossJoin(F.broadcast(tot))
             .withColumn("pmi", pmi)
-            .withColumn("rk", F.row_number().over(w))
-            .filter(F.col("rk") <= 20)
+            .orderBy(F.desc("pmi"), "w1", "w2")
+            .limit(20)
             .select("w1", "w2", F.col("c12").cast("long").alias("pair_count"),
                     "pmi"))
 
@@ -857,7 +874,7 @@ def dedup_substring_coverage(spark, sf_dir):
     # grams cost counts, not postings^2.
     # The gram table feeds BOTH the dup-count aggregation and the
     # join-back side — repartition (single-file scan = one partition,
-    # see _raw_shingle_rows) and materialize once, or the tokenize +
+    # see capped_shingle_arrays) and materialize once, or the tokenize +
     # 8-gram explode subtree executes twice.
     docs = (read_testdata(spark, sf_dir, "documents")
             .repartition(spark.sparkContext.defaultParallelism)
@@ -1202,8 +1219,12 @@ def rewrite_drop_dup_substrings(spark, sf_dir):
               .join(ivs, "doc_id", "left")
               .withColumn("ivs", F.coalesce(
                   F.col("ivs"), F.expr("CAST(array() AS array<array<int>>)"))))
+    # if-guard (ADVICE r5): sequence(1, 0) DESCENDS to [1, 0] for a
+    # zero-token doc and element_at(toks, 0) throws — emit an empty
+    # index list instead (matching the oracle's empty range(1, 1)).
     kept = F.expr(
-        f"transform(filter(sequence(1, size(toks)),"
+        f"transform(filter(if(size(toks) > 0, sequence(1, size(toks)),"
+        f" cast(array() as array<int>)),"
         f" t -> size(filter(ivs, iv -> iv[0] <= t AND t <= iv[1])) = 0),"
         f" i -> element_at(toks, i))")
     return joined.select(

@@ -86,6 +86,16 @@ def decode_bytes(data: bytes, declared_charset: str = "") -> str:
         got = _try_strict(data, declared)
         if got is not None:
             return got
+    # Strict UTF-8 probe before statistical detection: a payload that
+    # decodes strictly as UTF-8 *is* UTF-8 for any practical purpose —
+    # multi-byte sequences that validate are vanishingly unlikely in any
+    # other encoding, so detection could only confirm (at ~1.3 ms/doc,
+    # the dominant cost of the decode chain measured at sf1.0) or
+    # misfire. Skipping it is both faster and strictly safer.
+    if declared != "utf-8":  # step 3 already proved a utf-8 decl fails
+        got = _try_strict(data, "utf-8")
+        if got is not None:
+            return got
     if _cn_from_bytes is not None:
         matches = _cn_from_bytes(data)
         best = matches.best()

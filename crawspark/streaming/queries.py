@@ -395,6 +395,11 @@ def stream_fix_mojibake(spark, sf_dir):
 
 
 def _rewrite_boiler_sql():
+    # Importing lmquality forces its @register calls, so a direct
+    # `import crawspark.streaming.queries` works standalone instead of
+    # relying on load_all()'s import order (ADVICE r5: a bare import
+    # raised KeyError because the registry entry did not exist yet).
+    from crawspark.operators import lmquality  # noqa: F401
     from crawspark.registry import REGISTRY
     return REGISTRY["rewrite_drop_boilerplate"].sql
 

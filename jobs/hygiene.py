@@ -1,7 +1,7 @@
-"""spark-submit job: corpus encoding/quality hygiene — repair mojibake,
-normalize to NFC, drop corpus-boilerplate lines, gate on blocklist
-fraction and character entropy — writing the cleaned corpus and printing
-one JSON stats line.
+"""spark-submit job: corpus encoding/quality hygiene — audit mojibake,
+NFC status, corpus-boilerplate lines, blocklist fraction and character
+entropy — writing the surviving documents (ORIGINAL text) plus their
+per-doc hygiene signals, and printing one JSON stats line.
 
 Usage:
   spark-submit --py-files $(python -c 'from crawspark.bundle import build_zip; print(build_zip())') \\
@@ -10,7 +10,11 @@ Usage:
 The stages are the same oracle-checked operators as the registry
 queries (fix_mojibake / unicode_nfc_stats / rewrite_drop_boilerplate /
 quality_blocklist_gate / text_char_entropy); this wrapper chains them
-over the REAL corpus (no plants) and writes the surviving cleaned text.
+over the REAL corpus (no plants). NOTE (ADVICE r5): the rewrite
+operators emit md5/length signals, not rebuilt text, so the `text`
+column written here is the ORIGINAL document text — `cleaned_len`
+records how long the boilerplate-stripped rewrite WOULD be (a gate
+signal for downstream consumers, not the length of `text`).
 Scale shape: repair + NFC are map-only riders on the scan; the only
 wide stages are the boilerplate line-frequency pass and the final
 doc_id joins of per-doc gate columns.
