@@ -192,12 +192,21 @@ def curate_corpus_v2(spark, sf_dir):
     # repetition gates. v1 stays registered unchanged so its
     # round-over-round numbers remain comparable. All drop lists stay
     # broadcast-small; the repetition stats are doc_id-keyed aggregates.
-    from crawspark.operators.dedup import dedup_exact_substring
+    from crawspark.operators.dedup import substr_windows
     from crawspark.operators.textops import quality_repetition_stats
 
     base = curate_corpus(spark, sf_dir).select("doc_id", "lang", "n_tokens")
-    substr_drop = (dedup_exact_substring(spark, sf_dir)
-                   .select(F.col("doc_b").alias("doc_id")).distinct())
+    # Drop-list derivation WITHOUT the pair join (r6, guide §1.2 "don't
+    # compute things you throw away"): v2 only needs "doc_b of SOME pair
+    # sharing a window" == "doc having a window whose corpus-min doc_id
+    # is smaller" — one window-min pass over the (shared) window table
+    # instead of the full inverted-index self-join + pair aggregation
+    # (measured: the pair join was 22.5s of v2's 39s at sf1.0).
+    wins = substr_windows(read_testdata(spark, sf_dir, "documents"))
+    mn = F.min("doc_id").over(Window.partitionBy("w"))
+    substr_drop = (wins.withColumn("mn", mn)
+                   .filter(F.col("doc_id") > F.col("mn"))
+                   .select("doc_id").distinct())
     rep = quality_repetition_stats(spark, sf_dir).select(
         "doc_id", "top_word_frac", "dup_sentence_ratio")
     return (base.join(F.broadcast(substr_drop), "doc_id", "left_anti")

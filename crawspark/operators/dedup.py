@@ -592,6 +592,22 @@ def dedup_lsh_containment(spark, sf_dir):
 SUBSTR_L = 12
 
 
+def substr_windows(docs: DataFrame) -> DataFrame:
+    """(doc_id, w): distinct SUBSTR_L-token window md5s per doc — the
+    ONE window-table definition shared by dedup_exact_substring (pair
+    join) and curate_corpus_v2's drop-list derivation (min-doc-per-
+    window; needs no pair join)."""
+    from crawspark.functions.ngrams import ngram_expr
+
+    return (docs.withColumn("toks", F.expr(_TOKS))
+            .filter(F.size("toks") >= SUBSTR_L)
+            .withColumn(
+                "w", F.explode(F.expr(
+                    f"array_distinct(transform({ngram_expr(SUBSTR_L)}, "
+                    f"g -> md5(g)))")))
+            .select("doc_id", "w"))
+
+
 @register("dedup_exact_substring", sql=f"""
     WITH tok AS (
       SELECT doc_id,
@@ -621,16 +637,7 @@ def dedup_exact_substring(spark, sf_dir):
     # the same DF_CAP hot-list treatment applies to viral boilerplate
     # windows (testdata max window df is single digits, so the exact
     # registry row stays uncapped).
-    from crawspark.functions.ngrams import ngram_expr
-
-    docs = read_testdata(spark, sf_dir, "documents")
-    wins = (docs.withColumn("toks", F.expr(_TOKS))
-            .filter(F.size("toks") >= SUBSTR_L)
-            .withColumn(
-                "w", F.explode(F.expr(
-                    f"array_distinct(transform({ngram_expr(SUBSTR_L)}, "
-                    f"g -> md5(g)))")))
-            .select("doc_id", "w"))
+    wins = substr_windows(read_testdata(spark, sf_dir, "documents"))
     a = wins.alias("a")
     b = wins.alias("b")
     return (a.join(b, (F.col("a.w") == F.col("b.w"))

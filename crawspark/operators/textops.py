@@ -213,6 +213,14 @@ def quality_repetition_stats(spark, sf_dir):
     # Identical values; docs with zero alphanumeric words still drop, and
     # word-only docs still report dup_sentence_ratio 0 (the left-join
     # coalesce becomes the size(ss) = 0 branch).
+    #
+    # The sorted-token and sentence arrays are bound through a Generate
+    # barrier (explode of a 1-element array) so they become REAL
+    # attributes: a plain alias is textually inlined at every reference
+    # site — including inside the aggregate() lambda, where an inlined
+    # array_sort(regexp_extract_all(...)) re-tokenizes the doc per
+    # lambda STEP (O(n_tokens^2); measured 1.5s standalone and 209s
+    # composed into curate_corpus_v2, vs 0.3s/58s with the barrier).
     docs = read_testdata(spark, sf_dir, "documents")
     top_run = (
         "CASE WHEN size(ws) < 2 THEN 1L ELSE aggregate("
@@ -224,13 +232,15 @@ def quality_repetition_stats(spark, sf_dir):
         "   named_struct('run', 1L, 'best', acc.best)),"
         " acc -> acc.best) END")
     return (docs
-            .withColumn("ws", F.expr(
-                "array_sort(regexp_extract_all(lower(text),"
-                " '[a-z0-9]+', 0))"))
+            .select("doc_id", F.explode(F.array(F.expr(
+                "named_struct("
+                "  'ws', array_sort(regexp_extract_all(lower(text),"
+                "                   '[a-z0-9]+', 0)),"
+                "  'ss', filter(transform(split(text, '\\\\.'),"
+                "               s -> trim(s)), s -> s != ''))")))
+                .alias("a"))
+            .select("doc_id", "a.ws", "a.ss")
             .filter(F.size("ws") >= 1)
-            .withColumn("ss", F.expr(
-                "filter(transform(split(text, '\\\\.'), s -> trim(s)),"
-                " s -> s != '')"))
             .select(
                 "doc_id",
                 F.size("ws").cast("long").alias("n_words"),
