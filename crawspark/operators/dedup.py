@@ -932,25 +932,52 @@ _WINNOW_CAP_CTES = f"""hot AS (
     )"""
 
 
+def _winnow_array_pred(j: str = "j") -> str:
+    """The rightmost-min selection rule over a bound hash-array attribute
+    `hs` at 0-based position ``j`` — the array-side twin of
+    _winnow_selected_pred's lag/lead form. For split a, the a hashes
+    left must all be >= hs[j] and the (w-1-a) right must all be > hs[j];
+    the range guards ARE the paper's "full windows only" (the window
+    form got them for free from lag/lead NULLs). IF() guards the empty
+    sequence: sequence(1, 0) DESCENDS in Spark."""
+    left = (f"IF(a = 0, true, size(filter(sequence(1, a), i -> NOT "
+            f"(element_at(hs, {j} - i + 1) >= element_at(hs, {j} + 1))"
+            f")) = 0)")
+    right = (f"IF(a = {WINNOW_W - 1}, true, "
+             f"size(filter(sequence(1, {WINNOW_W - 1} - a), i -> NOT "
+             f"(element_at(hs, {j} + i + 1) > element_at(hs, {j} + 1))"
+             f")) = 0)")
+    return (f"exists(sequence(0, {WINNOW_W - 1}), a -> "
+            f"{j} - a >= 0 AND {j} + {WINNOW_W - 1} - a <= size(hs) - 1 "
+            f"AND {left} AND {right})")
+
+
 def _winnow_fp(aug):
     """Spark mirror of _WINNOW_FP_CTES: DISTINCT (doc_id, h) winnowing
-    fingerprints of an augmented (doc_id, text) frame. All w disjuncts
-    share one window spec -> Catalyst plans a single Window node (one
-    doc_id shuffle); pinned in tests/test_winnowing.py. The input is
-    repartitioned first — same hazard as capped_shingle_arrays: a small
-    single-file parquet scan yields ONE partition, serializing the
-    CPU-heavy gram+md5 map onto one core."""
+    fingerprints of an augmented (doc_id, text) frame. r6: selection is
+    computed ARRAY-SIDE per document (the gram-hash array is bound once
+    through a Generate barrier — a plain alias would re-inline the
+    md5 transform at every element_at site), so the whole fingerprint
+    pass is map-only: the r5 shape posexploded every gram row and ran a
+    lag/lead Window over (doc_id, pos) — one full gram-table exchange +
+    sort — then a distinct (another exchange; per-doc array_distinct is
+    equivalent because doc_id is part of the key). Equivalence with the
+    window form is pinned by tests/test_winnowing.py's textbook
+    reference. The input is repartitioned first — same hazard as
+    capped_shingle_arrays: a small single-file parquet scan yields ONE
+    partition, serializing the CPU-heavy gram+md5 map onto one core."""
     sc = aug.sparkSession.sparkContext
-    grams = (aug.repartition(sc.defaultParallelism)
-             .selectExpr("doc_id", f"{_TOKS} AS toks")
-             .filter(F.expr(f"size(toks) >= {WINNOW_K}"))
-             .selectExpr("doc_id",
-                         f"posexplode({_WINNOW_GRAMS}) AS (pos, gram)")
-             .selectExpr("doc_id", "pos",
-                         "substring(md5(gram), 1, 16) AS h"))
-    sel = (grams.withColumn("selected", F.expr(_winnow_selected_pred()))
-           .filter("selected"))
-    return sel.select("doc_id", "h").distinct()
+    sel = (f"array_distinct(transform("
+           f"  filter(sequence(0, size(hs) - 1),"
+           f"         j -> {_winnow_array_pred('j')}),"
+           f"  j -> element_at(hs, j + 1)))")
+    return (aug.repartition(sc.defaultParallelism)
+            .selectExpr("doc_id", f"{_TOKS} AS toks")
+            .filter(F.expr(f"size(toks) >= {WINNOW_K}"))
+            .select("doc_id", F.explode(F.array(F.expr(
+                f"transform({_WINNOW_GRAMS},"
+                f" g -> substring(md5(g), 1, 16))"))).alias("hs"))
+            .select("doc_id", F.explode(F.expr(sel)).alias("h")))
 
 
 def _winnow_pairs(fpc):

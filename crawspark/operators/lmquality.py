@@ -206,6 +206,41 @@ def _doc_lines(docs):
                 f" {_LINE_W}), ' '))")).alias("j", "line")))
 
 
+def _line_arrays_and_boiler(docs):
+    """(withla, boiler_arr): per-doc pseudo-line ARRAYS + sub-line tail,
+    and the corpus boilerplate SET collected into one broadcastable row
+    — the r6 array-side twin of _lines_and_boiler. Per-doc work never
+    shuffles: the only exchange left in the line queries is the
+    line-frequency aggregation itself (per-doc lines are array_distinct
+    BEFORE the explode, so count(*) per line == count(DISTINCT doc_id)
+    without the two-phase distinct). The token array is bound through a
+    Generate barrier (see quality_repetition_stats: a plain alias would
+    be re-inlined at every reference site)."""
+    withts = (docs
+              .select("doc_id", F.explode(F.array(F.split("text", " ")))
+                      .alias("ts"))
+              .filter(F.size("ts") >= _LINE_W))
+    withla = (withts
+              .select("doc_id", F.explode(F.array(F.expr(f"""named_struct(
+                  'la', transform(sequence(0, (size(ts) div {_LINE_W}) - 1),
+                        j -> array_join(slice(ts, j * {_LINE_W} + 1,
+                                              {_LINE_W}), ' ')),
+                  'tail', array_join(slice(ts,
+                          (size(ts) div {_LINE_W}) * {_LINE_W} + 1,
+                          size(ts)), ' '))"""))).alias("a"))
+              .select("doc_id", "a.la", "a.tail"))
+    freq = (withla.select(F.explode(F.array_distinct("la")).alias("line"))
+            .groupBy("line").agg(F.count("*").alias("ndocs"))
+            .localCheckpoint())
+    thr = freq.agg(F.greatest(
+        F.lit(_BOILER_MIN_DOCS).cast("long"),
+        F.ceil(_BOILER_FREQ_MULT * F.avg("ndocs"))).alias("thr"))
+    boiler_arr = (freq.crossJoin(F.broadcast(thr))
+                  .filter(F.col("ndocs") >= F.col("thr"))
+                  .agg(F.collect_list("line").alias("boiler")))  # 1 row
+    return withla, boiler_arr
+
+
 def _lines_and_boiler(docs):
     """(lines(doc_id, j, line), boiler(line, ndocs)) — the ONE Spark-side
     pseudo-line decomposition + corpus-relative boilerplate set, the twin
@@ -254,16 +289,27 @@ def boilerplate_corpus_lines(spark, sf_dir):
     # threshold) is tiny by Zipf — broadcast it back over the lines
     # instead of re-shuffling the corpus, which is exactly CCNet's
     # frequent-paragraph hash set.
+    # r6: per-doc counts computed ARRAY-side against the broadcast
+    # boilerplate set — the r5 shape exploded every line row, joined the
+    # boiler table and re-aggregated by doc_id (one full line-table
+    # exchange); now the only exchange is the frequency pass inside
+    # _line_arrays_and_boiler. Identical values: counting occurrences of
+    # boiler membership over the line array == summing the join flags.
     docs = read_testdata(spark, sf_dir, "documents")
-    lines, boiler = _lines_and_boiler(docs)
-    flagged = lines.join(F.broadcast(boiler), "line", "left")
-    is_boiler = F.when(F.col("ndocs").isNotNull(), 1).otherwise(0)
-    return (flagged.groupBy("doc_id")
-            .agg(F.count("*").cast("int").alias("n_lines"),
-                 F.sum(is_boiler).cast("int").alias("n_boiler_lines"),
-                 F.round(1.0 - F.sum(is_boiler)
-                         / F.count("*").cast("double"), 4)
-                 .alias("kept_ratio")))
+    withla, boiler_arr = _line_arrays_and_boiler(docs)
+    return (withla.crossJoin(F.broadcast(boiler_arr))
+            .select("doc_id", F.explode(F.array(F.expr(
+                "named_struct("
+                " 'nl', size(la),"
+                " 'nb', size(filter(la,"
+                "            l -> array_contains(boiler, l))))")))
+                .alias("s"))
+            .select("doc_id",
+                    F.col("s.nl").cast("int").alias("n_lines"),
+                    F.col("s.nb").cast("int").alias("n_boiler_lines"),
+                    F.round(1.0 - F.col("s.nb")
+                            / F.col("s.nl").cast("double"), 4)
+                    .alias("kept_ratio")))
 
 
 @register("dsir_importance_weights", sql=f"""
@@ -996,16 +1042,39 @@ def char_entropy_stats(text: str) -> tuple[int, int, int, float]:
 def rewrite_drop_boilerplate(spark, sf_dir):
     """Materialize CCNet's paragraph-dedup rewrite: the per-doc text
     with corpus-boilerplate lines removed, order preserved, hashed.
-    100 TB shape: the boilerplate SET broadcasts back over the lines
-    (never a corpus self-join); the rebuild is one doc_id aggregation —
-    collect_list is bounded by a document's own line count, the same
-    per-doc bound every formatter stage already carries."""
+    100 TB shape (r6): the boilerplate SET broadcasts as ONE collected
+    row and the rebuild is a pure per-doc array filter + rejoin — the
+    rewrite pass is MAP-ONLY (the r5 shape exploded line rows, joined
+    the boiler table and re-assembled each doc with a collect_list
+    aggregation: two more exchanges of every line string). filter()
+    preserves array order, so the rebuilt text is identical."""
     docs = read_testdata(spark, sf_dir, "documents")
-    lines, boiler = _lines_and_boiler(docs)
-    marked = (lines.join(F.broadcast(boiler), "line", "left")
-              .select("doc_id", "j", "line",
-                      F.col("ndocs").isNotNull().alias("drop")))
-    return _rebuild_from_marked(docs, marked)
+    withla, boiler_arr = _line_arrays_and_boiler(docs)
+    cleaned = F.trim(F.concat(
+        F.array_join("s.kept", " "), F.lit(" "),
+        F.coalesce(F.col("s.tail"), F.lit(""))))
+    long_docs = (withla.crossJoin(F.broadcast(boiler_arr))
+                 .select("doc_id", F.explode(F.array(F.expr(
+                     "named_struct("
+                     " 'nl', size(la),"
+                     " 'kept', filter(la,"
+                     "          l -> NOT array_contains(boiler, l)),"
+                     " 'tail', tail)"))).alias("s"))
+                 .select("doc_id",
+                         F.col("s.nl").cast("int").alias("n_lines"),
+                         (F.col("s.nl") - F.size("s.kept")).cast("int")
+                         .alias("n_dropped"),
+                         F.length(cleaned).cast("int").alias("cleaned_len"),
+                         F.md5(cleaned.cast("binary")).alias("cleaned_md5")))
+    short_docs = (docs
+                  .filter(F.size(F.split("text", " ")) < _LINE_W)
+                  .select("doc_id",
+                          F.lit(0).cast("int").alias("n_lines"),
+                          F.lit(0).cast("int").alias("n_dropped"),
+                          F.length("text").cast("int").alias("cleaned_len"),
+                          F.md5(F.col("text").cast("binary"))
+                          .alias("cleaned_md5")))
+    return long_docs.unionByName(short_docs)
 
 
 def _rebuild_from_marked(docs, marked):

@@ -200,11 +200,22 @@ def approx_distinct_urls_hll(spark, sf_dir):
 """)
 def window_dedup_first(spark, sf_dir):
     # Keep-latest-version semantics [R: page.save upsert-by-url].
-    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), "event_id")
+    # r6: max_by with the (ts, -event_id) comparator instead of a
+    # row_number window — an AGGREGATE does partial (map-side) reduction
+    # so only one candidate row per (partition, user) reaches the
+    # exchange, where the window shuffled and sorted every event row
+    # (guide §2.3 "aggregate before you shuffle"; measured 1.03s →
+    # 0.25s at sf1.0). max(ts) then min(event_id) is exactly the
+    # rn=1 row of ORDER BY ts DESC, event_id.
     return (_t(spark, sf_dir, "events")
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("user_id", "event_id", "event_type"))
+            .groupBy("user_id")
+            .agg(F.max_by(
+                F.struct("event_id", "event_type"),
+                F.struct(F.col("ts"),
+                         (-F.col("event_id")).alias("neg"))).alias("m"))
+            .select("user_id",
+                    F.col("m.event_id").alias("event_id"),
+                    F.col("m.event_type").alias("event_type")))
 
 
 @register("window_running_value", sql="""
@@ -405,12 +416,21 @@ def semi_join_relevant(spark, sf_dir):
 """)
 def join_media_docs(spark, sf_dir):
     # Big-big equi-join: shuffle hash / SMJ chosen by planner + AQE.
-    o = _t(spark, sf_dir, "orders")
-    li = _t(spark, sf_dir, "lineitem")
-    return (o.join(li, o.o_orderkey == li.l_orderkey)
+    # r6: lineitem pre-aggregates by l_orderkey BEFORE the join (guide
+    # §2.3 "aggregate before you shuffle") — map-side combine shrinks
+    # the shuffled fact side ~4x and the join matches 1:1 rows instead
+    # of 1:N (measured 2.9s → 1.3s at sf1.0). count(*) == sum of
+    # per-orderkey counts; the re-associated sum sits ~1e-9 inside the
+    # round(2) granularity (same accepted class as join_salted_skew).
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    lagg = (_t(spark, sf_dir, "lineitem")
+            .groupBy("l_orderkey")
+            .agg(F.count("*").alias("n"),
+                 F.sum("l_extendedprice").alias("s")))
+    return (o.join(lagg, o.o_orderkey == lagg.l_orderkey)
             .groupBy("o_orderpriority")
-            .agg(F.count("*").alias("n_lines"),
-                 F.round(F.sum("l_extendedprice"), 2).alias("sum_price")))
+            .agg(F.sum("n").alias("n_lines"),
+                 F.round(F.sum("s"), 2).alias("sum_price")))
 
 
 @register("join_salted_skew", sql="""
