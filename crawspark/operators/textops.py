@@ -883,9 +883,13 @@ def dedup_substring_coverage(spark, sf_dir):
     # grams at extreme scale; no pair join ever forms, so hot template
     # grams cost counts, not postings^2.
     # The gram table feeds BOTH the dup-count aggregation and the
-    # join-back side — repartition (single-file scan = one partition,
-    # see capped_shingle_arrays) and materialize once, or the tokenize +
-    # 8-gram explode subtree executes twice.
+    # join-back side. r6: deliberately NOT checkpointed — the two
+    # consumers are independent stages of one job and re-run the
+    # tokenize+explode subtree CONCURRENTLY on idle cores, which
+    # measured 2.7s vs 5.2s with the eager materialization (the same
+    # stage-concurrency lesson as the lm/kn model tables). Repartition
+    # stays (single-file scan = one partition, see
+    # capped_shingle_arrays).
     docs = (read_testdata(spark, sf_dir, "documents")
             .repartition(spark.sparkContext.defaultParallelism)
             .withColumn("text", F.expr(_SLOGAN_SPARK))
@@ -893,8 +897,7 @@ def dedup_substring_coverage(spark, sf_dir):
             .filter(F.size("toks") >= SUBSTR_K)
             .select("doc_id", F.size("toks").alias("n_toks"),
                     F.posexplode(F.expr(ngram_expr(SUBSTR_K)))
-                    .alias("pos", "gram"))
-            .localCheckpoint(eager=True))
+                    .alias("pos", "gram")))
     dup = (docs.groupBy("gram").agg(F.count("*").alias("n"))
            .filter(F.col("n") >= 2).select("gram"))
     occ = docs.join(dup, "gram").select("doc_id", "n_toks", "pos")
@@ -1203,13 +1206,15 @@ def rewrite_drop_dup_substrings(spark, sf_dir):
             .repartition(spark.sparkContext.defaultParallelism)
             .withColumn("text", F.expr(_SLOGAN_SPARK))
             .withColumn("toks", F.expr(_WORD_TOKS)))
+    # Not checkpointed (r6): the dup-agg and join-back consumers run
+    # their recomputed subtrees concurrently — same measured win as
+    # dedup_substring_coverage above.
     grams = (docs.filter(F.size("toks") >= SUBSTR_K)
              .select("doc_id",
                      F.posexplode(F.expr(ngram_expr(SUBSTR_K)))
                      .alias("pos0", "gram"))
              # 1-based positions to mirror the oracle's range(1, ...)
-             .select("doc_id", (F.col("pos0") + 1).alias("pos"), "gram")
-             .localCheckpoint(eager=True))
+             .select("doc_id", (F.col("pos0") + 1).alias("pos"), "gram"))
     dup = (grams.groupBy("gram").agg(F.count("*").alias("n"))
            .filter(F.col("n") >= 2).select("gram"))
     w = Window.partitionBy("doc_id").orderBy("pos")
