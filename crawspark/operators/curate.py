@@ -80,7 +80,9 @@ DUP_SENT_MAX = 0.3
           / greatest(length(d.text), 1) BETWEEN {SPACE_LO} AND {SPACE_HI}
 """)
 def curate_corpus(spark, sf_dir):
-    docs = read_testdata(spark, sf_dir, "documents")
+    from crawspark.operators.partitioning import ensure_parallelism
+
+    docs = ensure_parallelism(read_testdata(spark, sf_dir, "documents"))
     # 1. exact dedup on the normalized-text fingerprint (window keeper —
     #    same shape as window_dedup_first; shuffle key is a 32-byte md5).
     norm = F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))

@@ -28,6 +28,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from crawspark.operators.partitioning import ensure_parallelism
 from crawspark.registry import register
 from crawspark.sources import read_testdata
 
@@ -160,7 +161,7 @@ def quality_lm_perplexity(spark, sf_dir):
     # explode + two broadcast joins + a per-doc partial agg, so the
     # only wide exchange is the final groupBy(doc_id), and AQE coalesces
     # it. The vocabulary scalar rides along as a 1-row broadcast.
-    docs = read_testdata(spark, sf_dir, "documents")
+    docs = ensure_parallelism(read_testdata(spark, sf_dir, "documents"))
     toks = docs.select("doc_id", "lang", "source",
                        F.split("text", " ").alias("ts"))
     big = (toks.filter(F.size("ts") >= 2)
@@ -216,7 +217,7 @@ def _line_arrays_and_boiler(docs):
     without the two-phase distinct). The token array is bound through a
     Generate barrier (see quality_repetition_stats: a plain alias would
     be re-inlined at every reference site)."""
-    withts = (docs
+    withts = (ensure_parallelism(docs)
               .select("doc_id", F.explode(F.array(F.split("text", " ")))
                       .alias("ts"))
               .filter(F.size("ts") >= _LINE_W))
@@ -361,7 +362,7 @@ def dsir_importance_weights(spark, sf_dir):
     # per-doc counts, and sum(logw over occurrences) == sum(c * logw) —
     # identical values, round(4) absorbs the association ulps.
     docs = read_testdata(spark, sf_dir, "documents")
-    tokc = (docs
+    tokc = (ensure_parallelism(docs)
             .select("doc_id", "source",
                     F.explode(F.split("text", " ")).alias("t"))
             .groupBy("doc_id", "source", "t")
@@ -775,8 +776,9 @@ def _clf_features_of(docs):
     # _clf_train; the GD loop dominates.
     bucket = F.pmod(F.conv(F.substring(F.md5("t"), 1, 8), 16, 10)
                     .cast("long"), F.lit(_CLF_B)).alias("bucket")
-    words = (docs.select("doc_id", "source",
-                         F.explode(F.split("text", " ")).alias("t"))
+    words = (ensure_parallelism(docs)
+             .select("doc_id", "source",
+                     F.explode(F.split("text", " ")).alias("t"))
              .select("doc_id", "source", bucket))
     ntok = words.groupBy("doc_id").agg(F.count("*").cast("double").alias("n"))
     tf = (words.groupBy("doc_id", "bucket").agg(F.count("*").alias("c"))
@@ -1024,7 +1026,7 @@ def text_char_entropy(spark, sf_dir):
 
     import pandas as pd
 
-    docs = (read_testdata(spark, sf_dir, "documents")
+    docs = (ensure_parallelism(read_testdata(spark, sf_dir, "documents"))
             .filter(F.length("text") > 0).select("doc_id", "text"))
 
     def entropy(batches: _Iter[pd.DataFrame]) -> _Iter[pd.DataFrame]:

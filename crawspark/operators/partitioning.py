@@ -97,3 +97,18 @@ def zorder_layout(df, x_col: str, y_col: str, partitions: int,
     return (df.withColumn("__z", z)
             .repartitionByRange(partitions, "__z")
             .sortWithinPartitions("__z"))
+
+
+def ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Round-robin repartition up to defaultParallelism when the scan
+    yields fewer partitions. A single-row-group parquet file CANNOT be
+    split by the reader (row groups are the split unit), so every
+    per-row CPU stage before the first exchange would serialize onto
+    1-2 cores (r6: the sf1.0 documents table is one 50k-row row group;
+    the curate_v2 window pass measured 11.0s vs 2.3s repartitioned).
+    Guarded: inputs that already scan wide — the production case at
+    100 TB — pass through untouched, so no exchange is added at scale."""
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        return df.repartition(sc.defaultParallelism)
+    return df

@@ -365,7 +365,9 @@ def pack_context_windows(spark, sf_dir):
 
     # toks feeds the block-sum branch AND the main join side —
     # materialize once or the tokenization scan runs twice.
-    toks = (read_testdata(spark, sf_dir, "documents")
+    from crawspark.operators.partitioning import ensure_parallelism
+
+    toks = (ensure_parallelism(read_testdata(spark, sf_dir, "documents"))
             .select("doc_id", F.size(F.expr(_WORD_TOKS)).alias("n"))
             .filter(F.col("n") >= 1)
             .withColumn("blk", F.expr(f"doc_id div {PACK_BLOCK}"))

@@ -221,7 +221,9 @@ def quality_repetition_stats(spark, sf_dir):
     # array_sort(regexp_extract_all(...)) re-tokenizes the doc per
     # lambda STEP (O(n_tokens^2); measured 1.5s standalone and 209s
     # composed into curate_corpus_v2, vs 0.3s/58s with the barrier).
-    docs = read_testdata(spark, sf_dir, "documents")
+    from crawspark.operators.partitioning import ensure_parallelism
+
+    docs = ensure_parallelism(read_testdata(spark, sf_dir, "documents"))
     top_run = (
         "CASE WHEN size(ws) < 2 THEN 1L ELSE aggregate("
         " sequence(2, size(ws)),"

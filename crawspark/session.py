@@ -19,6 +19,13 @@ def get_spark(master: str | None = None, app: str = "crawspark",
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Evaluated and NOT adopted (r6): preferSortMergeJoin=false +
+        # a 256m AQE shuffled-hash threshold measured inside the box's
+        # noise band (one A/B showed jaccard 13.9→11.3s, the repeat
+        # showed the reverse; identical-config runs swing 2.4x), and
+        # SHJ carries a build-side OOM tail at cluster scale — config
+        # is the guide's last-10-30% lever and this one is unprovable
+        # here, so the default SMJ planning stays.
         .config("spark.sql.shuffle.partitions",
                 str(shuffle_partitions or int(cpus)))
         .config("spark.sql.session.timeZone", "UTC")

@@ -73,7 +73,9 @@ def test_repetition_stats_plan_is_map_only(spark):
 
     plan = executed_plan(
         load_all()["quality_repetition_stats"].spark(spark, SF))
-    assert "Exchange" not in plan, plan[:1200]
+    # the guarded ensure_parallelism round-robin (single-row-group
+    # inputs only) is the one allowed exchange; never a hash/agg one
+    assert "hashpartitioning" not in plan, plan[:1200]
     assert "Join" not in plan, plan[:1200]
 
 

@@ -370,13 +370,21 @@ def test_encoding_hygiene_queries_are_map_only(spark):
     # The hygiene passes (mojibake repair, NFC audit, char entropy,
     # blocklist gate) must ride the scan: zero exchanges, zero joins —
     # at 100 TB they are free riders on the first pass over the corpus.
+    # Exception (r6): text_char_entropy carries the GUARDED
+    # ensure_parallelism round-robin — single-row-group inputs only, a
+    # no-op on the wide scans of the 100 TB case — so it may show that
+    # one exchange but never a hash/aggregation one.
     from crawspark.registry import load_all
     reg = load_all()
     for name in ("fix_mojibake", "unicode_nfc_stats",
-                 "text_char_entropy", "quality_blocklist_gate"):
+                 "quality_blocklist_gate"):
         plan = executed_plan(reg[name].spark(spark, "/root/testdata/sf0.001"))
         assert "Exchange" not in plan, (name, plan[:1200])
         assert "Join" not in plan, (name, plan[:1200])
+    plan = executed_plan(
+        reg["text_char_entropy"].spark(spark, "/root/testdata/sf0.001"))
+    assert "hashpartitioning" not in plan, plan[:1200]
+    assert "Join" not in plan, plan[:1200]
 
 
 def test_url_index_queries_single_agg_exchange(spark):
